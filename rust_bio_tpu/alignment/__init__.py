@@ -1,0 +1,25 @@
+"""Sequence alignment algorithms (reference parity: src/alignment/)."""
+
+from rust_bio_tpu.alignment.types import (
+    Alignment,
+    AlignmentMode,
+    AlignmentOperation,
+    Del,
+    Ins,
+    Match,
+    Subst,
+    Xclip,
+    Yclip,
+)
+
+__all__ = [
+    "Alignment",
+    "AlignmentMode",
+    "AlignmentOperation",
+    "Match",
+    "Subst",
+    "Del",
+    "Ins",
+    "Xclip",
+    "Yclip",
+]

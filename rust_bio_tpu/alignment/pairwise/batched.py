@@ -1,0 +1,685 @@
+"""Batch-lockstep generalized Smith-Waterman for TPU.
+
+TPU-native re-design of the reference's column-major sequential DP
+(src/alignment/pairwise/mod.rs:591-920):
+
+- **Batch in vector lanes**: B independent (x, y) pairs advance in lockstep.
+- **Query positions in sublanes**: each DP column is computed as one
+  vectorized step over all rows i=0..M; the only true in-column dependency
+  (the insertion matrix ``I``) is a (max, +) linear recurrence, evaluated as
+  a parallel prefix scan ``I[i] = cummax(T[i] - i*ge) + i*ge``.
+- **Columns via lax.scan**: the j loop is a single fused scan; per-pair
+  length masking freezes a pair's carried state once ``j > n_i`` so padded
+  batches stay bit-exact.
+- **Bitpacked traceback in HBM**: 12-bit cells (I/D/S layers, 4 bits each,
+  same encoding as the reference's TracebackCell) written per column; the
+  traceback is a batched lockstep walk (one gather per step per pair).
+
+Exactness: candidate evaluation order, strict-> tie-breaking, the row-``m``
+suffix-clip accumulator, the ``j == n`` boundary branch and both post-loop
+fixup passes replicate the reference semantics; scores, operations and clip
+lengths are bit-identical (property-tested against ``scalar.py``).
+
+Requires ``gap_open <= gap_extend`` (the standard affine regime): the prefix
+scan rewrites ``max(I[i-1]+ge, S[i-1]+go)`` as ``max(I[i-1]+ge, S~[i-1]+go)``
+with ``S~`` the non-insertion score, which is an identity exactly when
+chained opens are dominated by extends.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from rust_bio_tpu.alignment.types import (
+    Alignment,
+    AlignmentMode,
+    AlignmentOperation,
+    Del,
+    Ins,
+    Match,
+    Subst,
+    Xclip,
+    Yclip,
+)
+from rust_bio_tpu.alignment.pairwise.scoring import MIN_SCORE, Scoring
+from rust_bio_tpu.alignment.pairwise.scalar import (
+    TB_DEL,
+    TB_INS,
+    TB_MATCH,
+    TB_START,
+    TB_SUBST,
+    TB_XCLIP_PREFIX,
+    TB_XCLIP_SUFFIX,
+    TB_YCLIP_PREFIX,
+    TB_YCLIP_SUFFIX,
+)
+from rust_bio_tpu.utils.text import to_bytes
+
+I32 = jnp.int32
+MIN = MIN_SCORE
+
+
+def _pack(i_bits, d_bits, s_bits):
+    return i_bits | (d_bits << 4) | (s_bits << 8)
+
+
+def _unpack(cell):
+    return cell & 0xF, (cell >> 4) & 0xF, (cell >> 8) & 0xF
+
+
+def _priority_max(init_val, init_bits, candidates):
+    """Sequential strict-> candidate selection (reference tie-breaking).
+
+    ``candidates`` is a list of (value, bits) in reference evaluation order;
+    an earlier candidate wins ties against all later ones.
+    """
+    best, bits = init_val, init_bits
+    for v, b in candidates:
+        take = v > best
+        best = jnp.where(take, v, best)
+        bits = jnp.where(take, b, bits)
+    return best, bits
+
+
+_SENTINEL = np.int32(np.iinfo(np.int32).min)
+
+
+def _first_argmax_acc(vals, mask):
+    """Running strict-max accumulator over axis 1 starting at MIN_SCORE.
+
+    Returns (max value, index of the first element attaining it, whether any
+    update happened). Masked-out entries never update (the sentinel is
+    INT32_MIN: real candidate values can legitimately fall below MIN_SCORE).
+    Mirrors the reference's sequential ``if v > acc`` tracking.
+    """
+    masked = jnp.where(mask, vals, _SENTINEL)
+    best = jnp.max(masked, axis=1)
+    updated = best > MIN
+    hit = masked == best[:, None]
+    first = jnp.argmax(hit, axis=1).astype(I32)
+    return best, first, updated
+
+
+@partial(jax.jit, static_argnames=("with_traceback",))
+def _align_batch_device(
+    xb,  # (B, M) uint8 padded query batch
+    yb,  # (B, N) uint8 padded reference batch
+    mlens,  # (B,) int32
+    nlens,  # (B,) int32
+    lut,  # (256, 256) int32 substitution LUT
+    penalties,  # (6,) int32: go, ge, xcp, xcs, ycp, ycs
+    with_traceback: bool = True,
+):
+    B, M = xb.shape
+    N = yb.shape[1]
+    go, ge, xcp, xcs, ycp, ycs = [penalties[k] for k in range(6)]
+
+    rows = lax.broadcasted_iota(I32, (B, M + 1), 1)  # i index per row
+    row_ge1 = rows >= 1
+    mlens_c = mlens[:, None]
+    is_row_m = (rows == mlens_c) & (mlens_c >= 1)
+
+    # substitution scores for all cells: subs[b, i-1, j-1]
+    subs = lut[xb.astype(I32)[:, :, None], yb.astype(I32)[:, None, :]]
+    subs = subs.astype(I32)  # (B, M, N)
+    eq = (xb[:, :, None] == yb[:, None, :])  # (B, M, N)
+
+    # ---------------- init column (j = 0) ----------------
+    # I_init: i==1 -> go; else max(go+ge*(i-1), xcp+go) (ties -> clip)
+    gap_i = go + ge * (rows - 1)
+    clip_i = xcp + go
+    ins_wins = gap_i > clip_i
+    I0 = jnp.where(rows == 1, go, jnp.where(ins_wins, gap_i, clip_i))
+    I0 = jnp.where(row_ge1, I0, MIN)
+    i_bits0 = jnp.where(
+        rows == 1,
+        TB_START,
+        jnp.where(ins_wins, TB_INS, TB_XCLIP_PREFIX),
+    ).astype(I32)
+    i_bits0 = jnp.where(row_ge1, i_bits0, TB_START)
+
+    # S_init rows 1..M (pre row-m replacement): max(MIN, I0, xcp)
+    S0_pre, s_bits0_pre = _priority_max(
+        jnp.full((B, M + 1), MIN, dtype=I32),
+        jnp.full((B, M + 1), TB_START, dtype=I32),
+        [(I0, TB_INS), (jnp.full((B, M + 1), xcp, dtype=I32), TB_XCLIP_PREFIX)],
+    )
+    # row-m init: accumulator of S[i]+xcs over 1 <= i <= m-1
+    accA, firstA, updA = _first_argmax_acc(
+        S0_pre + xcs, row_ge1 & (rows <= mlens_c - 1)
+    )
+    Lx0 = jnp.where(updA, mlens - firstA, 0).astype(I32)
+    S_row_m, s_bits_row_m = _priority_max(
+        jnp.where(updA, accA, MIN),
+        jnp.full((B,), TB_XCLIP_SUFFIX, dtype=I32),
+        [
+            (jnp.take_along_axis(I0, mlens_c, axis=1)[:, 0], TB_INS),
+            (jnp.full((B,), xcp, dtype=I32), TB_XCLIP_PREFIX),
+        ],
+    )
+    S0 = jnp.where(is_row_m, S_row_m[:, None], S0_pre)
+    s_bits0 = jnp.where(is_row_m, s_bits_row_m[:, None], s_bits0_pre)
+    # row 0
+    S0 = S0.at[:, 0].set(0)
+    s_bits0 = s_bits0.at[:, 0].set(TB_START)
+
+    # Sn / Ly init
+    Sn0 = jnp.full((B, M + 1), MIN, dtype=I32)
+    Ly0 = jnp.zeros((B, M + 1), dtype=I32)
+    Sn0 = Sn0.at[:, 0].set(jnp.broadcast_to(ycs, (B,)))
+    Ly0 = Ly0.at[:, 0].set(nlens)
+    upd_sn = (S0 + ycs > Sn0) & row_ge1 & (rows <= mlens_c)
+    Ly0 = jnp.where(upd_sn, nlens[:, None], Ly0)
+    Sn0 = jnp.where(upd_sn, S0 + ycs, Sn0)
+
+    tb_col0 = _pack(i_bits0, jnp.full((B, M + 1), TB_START, dtype=I32), s_bits0)
+
+    D0 = jnp.full((B, M + 1), MIN, dtype=I32)
+
+    yclip_row = ycp + go + ge * (rows - 1)  # (B, M+1), valid rows >= 1
+
+    # ---------------- column scan ----------------
+    def column_step(carry, xs):
+        S_prev, D_prev, sbits_prev, I_prev, Sn, Ly, tb_prev = carry
+        j, subs_col, eq_col = xs  # j: scalar int32; subs/eq: (B, M)
+        active = (j <= nlens)  # (B,)
+        is_last = (j == nlens)
+
+        # --- i = 0 boundary ---
+        d_gap = go + ge * (j - 1)
+        d_clip = ycp + go
+        del_wins = d_gap > d_clip
+        D0j = jnp.where(j == 1, go, jnp.where(del_wins, d_gap, d_clip))
+        d_bits_0 = jnp.where(
+            j == 1, TB_START, jnp.where(del_wins, TB_DEL, TB_YCLIP_PREFIX)
+        )
+        d_gt = D0j > ycp
+        S0j = jnp.where(d_gt, D0j, ycp)
+        s_bits_0 = jnp.where(d_gt, TB_DEL, TB_YCLIP_PREFIX)
+        S0j = jnp.broadcast_to(S0j, (B,))
+        s_bits_0 = jnp.broadcast_to(s_bits_0, (B,)).astype(I32)
+
+        take_sn = is_last & (Sn[:, 0] > S0j)
+        S0j = jnp.where(take_sn, Sn[:, 0], S0j)
+        s_bits_0 = jnp.where(take_sn, TB_YCLIP_SUFFIX, s_bits_0)
+        upd_sn0 = (~take_sn) & (S0j + ycs > Sn[:, 0])
+        Sn = Sn.at[:, 0].set(jnp.where(upd_sn0 & active, S0j + ycs, Sn[:, 0]))
+        Ly = Ly.at[:, 0].set(jnp.where(upd_sn0 & active, nlens - j, Ly[:, 0]))
+
+        # --- rows 1..M elementwise candidates ---
+        m_score = jnp.concatenate(
+            [jnp.full((B, 1), MIN, dtype=I32), S_prev[:, :-1] + subs_col],
+            axis=1,
+        )
+        m_bits = jnp.concatenate(
+            [jnp.full((B, 1), TB_START, dtype=I32),
+             jnp.where(eq_col, TB_MATCH, TB_SUBST).astype(I32)],
+            axis=1,
+        )
+        d_ext = D_prev + ge
+        d_open = S_prev + go
+        d_wins = d_ext > d_open
+        bestD = jnp.where(d_wins, d_ext, d_open)
+        d_bits = jnp.where(d_wins, TB_DEL, sbits_prev)
+
+        xclip_score = xcp + jnp.maximum(ycp, go + ge * (j - 1))  # scalar
+
+        # S~ = best without the I candidate (value only)
+        s_tilde = jnp.maximum(
+            jnp.maximum(m_score, bestD),
+            jnp.maximum(
+                jnp.broadcast_to(xclip_score, (B, M + 1)).astype(I32),
+                yclip_row,
+            ),
+        )
+        s_tilde = jnp.where(row_ge1, s_tilde, MIN)
+        s_tilde = s_tilde.at[:, 0].set(S0j)
+
+        # --- I via (max,+) prefix scan over rows ---
+        # I[i] = max(I[i-1] + ge, S~[i-1] + go), I[0] = MIN
+        T = jnp.concatenate(
+            [jnp.full((B, 1), MIN, dtype=I32), s_tilde[:, :-1] + go], axis=1
+        )
+        U = T - rows * ge
+        bestI = lax.cummax(U, axis=1) + rows * ge
+        bestI = jnp.where(row_ge1, bestI, MIN)
+
+        # --- full-priority S selection (rows 1..M, pre row-m) ---
+        S_col, s_bits = _priority_max(
+            jnp.full((B, M + 1), MIN, dtype=I32),
+            jnp.full((B, M + 1), TB_XCLIP_SUFFIX, dtype=I32),
+            [
+                (m_score, m_bits),
+                (bestI, jnp.full((B, M + 1), TB_INS, dtype=I32)),
+                (bestD, jnp.full((B, M + 1), TB_DEL, dtype=I32)),
+                (
+                    jnp.broadcast_to(xclip_score, (B, M + 1)).astype(I32),
+                    jnp.full((B, M + 1), TB_XCLIP_PREFIX, dtype=I32),
+                ),
+                (yclip_row, jnp.full((B, M + 1), TB_YCLIP_PREFIX, dtype=I32)),
+            ],
+        )
+
+        # --- row-m replacement: init = suffix-clip accumulator ---
+        accA, firstA, updA = _first_argmax_acc(
+            S_col + xcs, row_ge1 & (rows <= mlens_c - 1)
+        )
+        Lx_j = jnp.where(updA & active, mlens - firstA, 0).astype(I32)
+        take_m = lambda a: jnp.take_along_axis(a, mlens_c, axis=1)[:, 0]
+        S_m, s_bits_m = _priority_max(
+            jnp.where(updA, accA, MIN),
+            jnp.full((B,), TB_XCLIP_SUFFIX, dtype=I32),
+            [
+                (take_m(m_score), take_m(m_bits)),
+                (take_m(bestI), jnp.full((B,), TB_INS, dtype=I32)),
+                (take_m(bestD), jnp.full((B,), TB_DEL, dtype=I32)),
+                (
+                    jnp.broadcast_to(xclip_score, (B,)).astype(I32),
+                    jnp.full((B,), TB_XCLIP_PREFIX, dtype=I32),
+                ),
+                (take_m(yclip_row), jnp.full((B,), TB_YCLIP_PREFIX, dtype=I32)),
+            ],
+        )
+        S_col = jnp.where(is_row_m, S_m[:, None], S_col)
+        s_bits = jnp.where(is_row_m, s_bits_m[:, None], s_bits)
+
+        # --- i_bits (post-hoc, elementwise) ---
+        i_ext = jnp.concatenate(
+            [jnp.full((B, 1), MIN, dtype=I32), bestI[:, :-1] + ge], axis=1
+        )
+        i_open = jnp.concatenate(
+            [jnp.full((B, 1), MIN, dtype=I32), s_tilde[:, :-1] + go], axis=1
+        )
+        prev_sbits = jnp.concatenate(
+            [jnp.full((B, 1), TB_START, dtype=I32), s_bits[:, :-1]], axis=1
+        )
+        # note: row 1's comparison uses s_tilde[0] = S0j and prev s_bits=...
+        prev_sbits = prev_sbits.at[:, 1].set(s_bits_0)
+        i_bits = jnp.where(i_ext > i_open, TB_INS, prev_sbits)
+        i_bits = jnp.where(row_ge1, i_bits, TB_START)
+
+        # write row 0 into column arrays
+        S_col = S_col.at[:, 0].set(S0j)
+        s_bits = s_bits.at[:, 0].set(s_bits_0)
+        bestD = bestD.at[:, 0].set(jnp.broadcast_to(D0j, (B,)))
+        bestI = bestI.at[:, 0].set(MIN)
+        d_bits = d_bits.at[:, 0].set(jnp.broadcast_to(d_bits_0, (B,)).astype(I32))
+
+        # --- Sn / Ly tracking (rows 1..m) ---
+        upd_sn_rows = (S_col + ycs > Sn) & row_ge1 & (rows <= mlens_c)
+        upd_sn_rows = upd_sn_rows & active[:, None]
+        Sn_new = jnp.where(upd_sn_rows, S_col + ycs, Sn)
+        Ly_new = jnp.where(upd_sn_rows, (nlens - j)[:, None], Ly)
+
+        tb_col = _pack(i_bits, d_bits, s_bits)
+
+        # freeze state for pairs past their last column
+        keep = active[:, None]
+        new_carry = (
+            jnp.where(keep, S_col, S_prev),
+            jnp.where(keep, bestD, D_prev),
+            jnp.where(keep, s_bits, sbits_prev),
+            jnp.where(keep, bestI, I_prev),
+            Sn_new,
+            Ly_new,
+            jnp.where(keep, tb_col, tb_prev),
+        )
+        return new_carry, (tb_col, Lx_j)
+
+    carry0 = (S0, D0, s_bits0, jnp.full((B, M + 1), MIN, dtype=I32), Sn0, Ly0, tb_col0)
+    js = jnp.arange(1, N + 1, dtype=I32)
+    xs = (js, jnp.moveaxis(subs, 2, 0), jnp.moveaxis(eq, 2, 0))
+    (S_f, D_f, sbits_f, I_f, Sn_f, Ly_f, tb_f), (tb_cols, Lx_cols) = lax.scan(
+        column_step, carry0, xs
+    )
+
+    # ---------------- post-loop suffix fixups at j = n ----------------
+    i_bits_f, d_bits_f, s_bits_f = _unpack(tb_f)
+
+    # fixup 1: yclip-suffix improvements + xclip-suffix re-accumulation
+    y_take = (Sn_f > S_f) & (rows <= mlens_c)
+    S1 = jnp.where(y_take, Sn_f, S_f)
+    sb1 = jnp.where(y_take, TB_YCLIP_SUFFIX, s_bits_f)
+    take_m = lambda a: jnp.take_along_axis(a, mlens_c, axis=1)[:, 0]
+    S_m_base = take_m(S_f)
+    # accumulate S1[i]+xcs for 0 <= i <= m-1 against acc0 = S_f[m]
+    vals = jnp.where(rows <= mlens_c - 1, S1 + xcs, _SENTINEL)
+    A2 = jnp.max(vals, axis=1)
+    x_upd = A2 > S_m_base
+    firstX = jnp.argmax(vals == A2[:, None], axis=1).astype(I32)
+    acc = jnp.where(x_upd, A2, S_m_base)
+    sb_m = jnp.where(x_upd, TB_XCLIP_SUFFIX, take_m(sb1))
+    Lx_n = jnp.where(x_upd, mlens - firstX, 0)
+    lx_n_set = x_upd
+    # then row m's own yclip-suffix check
+    Sn_m = take_m(Sn_f)
+    y_take_m = Sn_m > acc
+    acc = jnp.where(y_take_m, Sn_m, acc)
+    sb_m = jnp.where(y_take_m, TB_YCLIP_SUFFIX, sb_m)
+    S1 = jnp.where(is_row_m, acc[:, None], S1)
+    sb1 = jnp.where(is_row_m, sb_m[:, None], sb1)
+    S1 = S1.at[:, 0].set(jnp.where(mlens == 0, acc, S1[:, 0]))
+    sb1 = sb1.at[:, 0].set(jnp.where(mlens == 0, sb_m, sb1[:, 0]))
+
+    # fixup 2: recompute last-column I (chained opens after clip updates)
+    # S2[i] = max(S1[i], S2[i-1] + go) for i = 1..m-1 (row m handled after)
+    U2 = S1 - rows * go
+    S2 = lax.cummax(U2, axis=1) + rows * go
+    upd2 = S2 > S1
+    sb2 = jnp.where(upd2, TB_INS, sb1)
+    S2m1 = jnp.concatenate([jnp.full((B, 1), MIN, dtype=I32), S2[:, :-1]], axis=1)
+    open2 = S2m1 + go
+    i_take2 = open2 > I_f
+    I2 = jnp.where(i_take2, open2, I_f)
+    sb2_prev = jnp.concatenate(
+        [jnp.full((B, 1), TB_START, dtype=I32), sb2[:, :-1]], axis=1
+    )
+    ib2 = jnp.where(i_take2 & row_ge1, sb2_prev, i_bits_f)
+    # xclip re-check for updated rows 1..m-1 against evolving S[m]
+    vals3 = jnp.where((rows >= 1) & (rows <= mlens_c - 1) & upd2, S2 + xcs, _SENTINEL)
+    A3 = jnp.max(vals3, axis=1)
+    acc_m = take_m(S1)  # fixup-1 final row-m value
+    x_upd3 = A3 > acc_m
+    first3 = jnp.argmax(vals3 == A3[:, None], axis=1).astype(I32)
+    acc3 = jnp.where(x_upd3, A3, acc_m)
+    sb_m3 = jnp.where(x_upd3, TB_XCLIP_SUFFIX, take_m(sb2))
+    Lx_n = jnp.where(x_upd3, mlens - first3, Lx_n)
+    lx_n_set = lx_n_set | x_upd3
+    # row m second statement: S[m] = max(acc3, S2[m-1]+go)
+    sm_open = take_m(S2m1) + go
+    m_take = (sm_open > acc3) & (mlens >= 1)
+    S_final_m = jnp.where(m_take, sm_open, acc3)
+    sb_final_m = jnp.where(m_take, TB_INS, sb_m3)
+    # row m first statement (I)
+    i_take_m = (sm_open > take_m(I_f)) & (mlens >= 1)
+    I2 = jnp.where(is_row_m & i_take_m[:, None], sm_open[:, None], I2)
+    ib_m = jnp.where(i_take_m, take_m(sb2_prev), take_m(i_bits_f))
+
+    S_fixed = jnp.where(is_row_m, S_final_m[:, None], S2)
+    sb_fixed = jnp.where(is_row_m, sb_final_m[:, None], sb2)
+    ib_fixed = jnp.where(is_row_m, ib_m[:, None], ib2)
+    S_fixed = jnp.where(mlens_c == 0, S1, S_fixed)
+    sb_fixed = jnp.where(mlens_c == 0, sb1, sb_fixed)
+    ib_fixed = jnp.where(mlens_c == 0, i_bits_f, ib_fixed)
+
+    tb_col_fixed = _pack(ib_fixed, d_bits_f, sb_fixed)
+    score = jnp.take_along_axis(S_fixed, mlens_c, axis=1)[:, 0]
+
+    if not with_traceback:
+        return {"score": score}
+
+    # ---------------- assemble traceback matrix ----------------
+    # (B, M+1, N+1): init column + scanned columns, then fixed column at n_i
+    tb_full = jnp.concatenate(
+        [tb_col0[:, :, None], jnp.moveaxis(tb_cols, 0, 2)], axis=2
+    )
+    bidx = jnp.arange(B)
+    tb_full = tb_full.at[bidx[:, None], jnp.arange(M + 1)[None, :], nlens[:, None]].set(
+        tb_col_fixed
+    )
+    Lx_full = jnp.concatenate([Lx0[:, None], jnp.moveaxis(Lx_cols, 0, 1)], axis=1)
+    Lx_full = Lx_full.at[bidx, nlens].set(
+        jnp.where(lx_n_set, Lx_n, Lx_full[bidx, nlens])
+    )
+
+    # ---------------- batched traceback walk ----------------
+    T_steps = M + N + 8
+    tb_flat = tb_full.reshape(B, (M + 1) * (N + 1))
+
+    def walk_step(state, _):
+        i, j, layer, xstart, ystart, xend, yend, done = state
+        cell = jnp.take_along_axis(
+            tb_flat, (i * (N + 1) + j)[:, None], axis=1
+        )[:, 0]
+        ib, db, sb = _unpack(cell)
+        lx = jnp.take_along_axis(Lx_full, j[:, None], axis=1)[:, 0]
+        ly = jnp.take_along_axis(Ly_f, i[:, None], axis=1)[:, 0]
+
+        is_ins = layer == TB_INS
+        is_del = layer == TB_DEL
+        is_mm = (layer == TB_MATCH) | (layer == TB_SUBST)
+        is_xp = layer == TB_XCLIP_PREFIX
+        is_xs = layer == TB_XCLIP_SUFFIX
+        is_yp = layer == TB_YCLIP_PREFIX
+        is_ys = layer == TB_YCLIP_SUFFIX
+
+        op_len = (
+            is_xp * i + is_xs * lx + is_yp * j + is_ys * ly
+        )
+        op_code = jnp.where(done, 0, layer)
+
+        new_i = (
+            i
+            - (is_ins | is_mm) * 1
+            - is_xs * lx
+            + is_xp * (-i)  # i -> 0
+        )
+        new_j = (
+            j
+            - (is_del | is_mm) * 1
+            - is_ys * ly
+            + is_yp * (-j)  # j -> 0
+        )
+        new_i = jnp.where(done, i, new_i)
+        new_j = jnp.where(done, j, new_j)
+
+        xstart = jnp.where(is_xp & ~done, i, xstart)
+        xend = jnp.where(is_xs & ~done, new_i, xend)
+        ystart = jnp.where(is_yp & ~done, j, ystart)
+        yend = jnp.where(is_ys & ~done, new_j, yend)
+
+        cell2 = jnp.take_along_axis(
+            tb_flat, (new_i * (N + 1) + new_j)[:, None], axis=1
+        )[:, 0]
+        _, _, sb2w = _unpack(cell2)
+        next_layer = jnp.where(
+            is_ins, ib, jnp.where(is_del, db, sb2w)
+        )
+        new_done = done | (layer == TB_START)
+        next_layer = jnp.where(new_done, TB_START, next_layer)
+        return (
+            new_i,
+            new_j,
+            next_layer,
+            xstart,
+            ystart,
+            xend,
+            yend,
+            new_done,
+        ), (op_code, op_len)
+
+    init_layer = jnp.take_along_axis(
+        tb_flat, (mlens * (N + 1) + nlens)[:, None], axis=1
+    )[:, 0]
+    init_layer = _unpack(init_layer)[2]
+    state0 = (
+        mlens,
+        nlens,
+        init_layer,
+        jnp.zeros(B, I32),
+        jnp.zeros(B, I32),
+        mlens,
+        nlens,
+        jnp.zeros(B, bool),
+    )
+    (fi, fj, _, xstart, ystart, xend, yend, done), (op_codes, op_lens) = lax.scan(
+        walk_step, state0, None, length=T_steps
+    )
+
+    return {
+        "score": score,
+        "op_codes": op_codes,  # (T, B) in reverse order (end -> start)
+        "op_lens": op_lens,
+        "xstart": xstart,
+        "ystart": ystart,
+        "xend": xend,
+        "yend": yend,
+        "walk_done": done,
+    }
+
+
+_OP_BY_CODE = {
+    TB_INS: Ins,
+    TB_DEL: Del,
+    TB_MATCH: Match,
+    TB_SUBST: Subst,
+}
+
+
+def _decode_ops(codes: np.ndarray, lens: np.ndarray) -> List[AlignmentOperation]:
+    ops: List[AlignmentOperation] = []
+    for c, l in zip(codes, lens):
+        if c == 0:
+            break
+        if c in _OP_BY_CODE:
+            ops.append(_OP_BY_CODE[c])
+        elif c in (TB_XCLIP_PREFIX, TB_XCLIP_SUFFIX):
+            ops.append(Xclip(int(l)))
+        elif c in (TB_YCLIP_PREFIX, TB_YCLIP_SUFFIX):
+            ops.append(Yclip(int(l)))
+        else:
+            raise AssertionError(f"invalid op code {c}")
+    ops.reverse()
+    return ops
+
+
+class BatchAligner:
+    """Batched aligner: pads pairs to shared (M, N) and runs the lockstep DP.
+
+    API mirrors the reference modes (custom/global/semiglobal/local); results
+    are reference-exact ``Alignment`` objects.
+    """
+
+    def __init__(self, scoring: Scoring) -> None:
+        assert scoring.gap_open <= scoring.gap_extend, (
+            "batched path requires gap_open <= gap_extend; "
+            "use the scalar Aligner otherwise"
+        )
+        self.scoring = scoring
+        self._lut = jnp.asarray(scoring.dense_lut())
+
+    def _run(
+        self,
+        xs: Sequence[bytes],
+        ys: Sequence[bytes],
+        clips: Tuple[int, int, int, int],
+        mode: AlignmentMode,
+        filter_clips: bool,
+    ) -> List[Alignment]:
+        xs = [to_bytes(x) for x in xs]
+        ys = [to_bytes(y) for y in ys]
+        B = len(xs)
+        assert len(ys) == B
+        M = max((len(x) for x in xs), default=1) or 1
+        N = max((len(y) for y in ys), default=1) or 1
+        xb = np.zeros((B, M), dtype=np.uint8)
+        yb = np.zeros((B, N), dtype=np.uint8)
+        for k, (x, y) in enumerate(zip(xs, ys)):
+            xb[k, : len(x)] = np.frombuffer(x, dtype=np.uint8)
+            yb[k, : len(y)] = np.frombuffer(y, dtype=np.uint8)
+        mlens = np.array([len(x) for x in xs], dtype=np.int32)
+        nlens = np.array([len(y) for y in ys], dtype=np.int32)
+        go, ge = self.scoring.gap_open, self.scoring.gap_extend
+        pen = np.array([go, ge, *clips], dtype=np.int32)
+
+        out = _align_batch_device(
+            jnp.asarray(xb),
+            jnp.asarray(yb),
+            jnp.asarray(mlens),
+            jnp.asarray(nlens),
+            self._lut,
+            jnp.asarray(pen),
+        )
+        out = jax.tree.map(np.asarray, out)
+
+        results = []
+        for k in range(B):
+            ops = _decode_ops(out["op_codes"][:, k], out["op_lens"][:, k])
+            aln = Alignment(
+                score=int(out["score"][k]),
+                xstart=int(out["xstart"][k]),
+                ystart=int(out["ystart"][k]),
+                xend=int(out["xend"][k]),
+                yend=int(out["yend"][k]),
+                xlen=int(mlens[k]),
+                ylen=int(nlens[k]),
+                operations=ops,
+                mode=mode,
+            )
+            if filter_clips:
+                aln.filter_clip_operations()
+            results.append(aln)
+        return results
+
+    def custom(self, xs, ys) -> List[Alignment]:
+        s = self.scoring
+        return self._run(
+            xs,
+            ys,
+            (s.xclip_prefix, s.xclip_suffix, s.yclip_prefix, s.yclip_suffix),
+            AlignmentMode.Custom,
+            False,
+        )
+
+    def global_(self, xs, ys) -> List[Alignment]:
+        return self._run(
+            xs,
+            ys,
+            (MIN_SCORE, MIN_SCORE, MIN_SCORE, MIN_SCORE),
+            AlignmentMode.Global,
+            False,
+        )
+
+    def semiglobal(self, xs, ys) -> List[Alignment]:
+        return self._run(
+            xs, ys, (MIN_SCORE, MIN_SCORE, 0, 0), AlignmentMode.Semiglobal, True
+        )
+
+    def local(self, xs, ys) -> List[Alignment]:
+        return self._run(xs, ys, (0, 0, 0, 0), AlignmentMode.Local, True)
+
+    def scores(self, xs, ys, mode: str = "global"):
+        """Score-only fast path (no traceback materialization)."""
+        clips = {
+            "global": (MIN_SCORE, MIN_SCORE, MIN_SCORE, MIN_SCORE),
+            "semiglobal": (MIN_SCORE, MIN_SCORE, 0, 0),
+            "local": (0, 0, 0, 0),
+            "custom": (
+                self.scoring.xclip_prefix,
+                self.scoring.xclip_suffix,
+                self.scoring.yclip_prefix,
+                self.scoring.yclip_suffix,
+            ),
+        }[mode]
+        xs = [to_bytes(x) for x in xs]
+        ys = [to_bytes(y) for y in ys]
+        B = len(xs)
+        M = max(len(x) for x in xs)
+        N = max(len(y) for y in ys)
+        xb = np.zeros((B, M), dtype=np.uint8)
+        yb = np.zeros((B, N), dtype=np.uint8)
+        for k, (x, y) in enumerate(zip(xs, ys)):
+            xb[k, : len(x)] = np.frombuffer(x, dtype=np.uint8)
+            yb[k, : len(y)] = np.frombuffer(y, dtype=np.uint8)
+        mlens = np.array([len(x) for x in xs], dtype=np.int32)
+        nlens = np.array([len(y) for y in ys], dtype=np.int32)
+        pen = np.array(
+            [self.scoring.gap_open, self.scoring.gap_extend, *clips],
+            dtype=np.int32,
+        )
+        out = _align_batch_device(
+            jnp.asarray(xb),
+            jnp.asarray(yb),
+            jnp.asarray(mlens),
+            jnp.asarray(nlens),
+            self._lut,
+            jnp.asarray(pen),
+            with_traceback=False,
+        )
+        return np.asarray(out["score"])
