@@ -37,6 +37,6 @@ def test_fastexp_jax_bit_parity_with_numpy():
 
     xs = np.linspace(-300, 10, 1001)
     a = fastexp(xs)
-    with jax.experimental.enable_x64():
+    with jax.enable_x64(True):
         b = np.asarray(fastexp_jax(xs))
     np.testing.assert_array_equal(a, b)
