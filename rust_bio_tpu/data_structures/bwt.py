@@ -1,0 +1,125 @@
+"""Burrows-Wheeler transform, Occ array and less array.
+
+Reference parity: src/data_structures/bwt.rs — ``bwt`` (:39), ``invert_bwt``
+(:60), ``Occ`` checkpointed occurrence counts (:94-182), ``less`` (:186),
+``bwtfind`` (:202).
+
+TPU-native design notes: host construction is vectorized numpy; the hot
+``Occ.get`` (checkpoint + byte count, the reference's SIMD ``bytecount``
+loop) is a numpy ``count_nonzero`` over ≤k bytes host-side, and on device
+becomes a bit-packed popcount rank (see ``fm_device.py``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rust_bio_tpu.alphabets import Alphabet
+from rust_bio_tpu.utils.text import to_array
+
+BWT = np.ndarray  # uint8
+Less = np.ndarray  # int64, indexed by symbol
+BWTFind = np.ndarray  # int64
+
+
+def bwt(text, pos) -> BWT:
+    """BWT of a sentinel-terminated text given its suffix array (bwt.rs:39).
+
+    >>> from rust_bio_tpu.data_structures.suffix_array import suffix_array
+    >>> t = b"GCCTTAACATTATTACGCCTA$"
+    >>> bytes(bwt(t, suffix_array(t)))
+    b'ATTATTCAGGACCC$CTTTCAA'
+    """
+    arr = to_array(text)
+    pos = np.asarray(pos, dtype=np.int64)
+    assert len(arr) == len(pos)
+    return arr[pos - 1]  # pos==0 wraps to text[-1] via negative indexing
+
+
+def invert_bwt(bwt_arr) -> np.ndarray:
+    """Original text from a BWT (single final sentinel; bwt.rs:60)."""
+    b = to_array(bwt_arr)
+    alphabet = Alphabet(b.tobytes())
+    n = len(b)
+    bf = bwtfind(b, alphabet)
+    inverse = np.empty(n, dtype=np.uint8)
+    r = bf[0]
+    for i in range(n):
+        r = bf[r]
+        inverse[i] = b[r]
+    return inverse
+
+
+class Occ:
+    """Checkpointed occurrence counts, sampled every k rows (bwt.rs:76-182).
+
+    ``occ[ckpt, a]`` = number of occurrences of symbol ``a`` in
+    ``bwt[..ckpt*k+1]`` (i.e. counts *including* the checkpoint row), exactly
+    as the reference stores them.
+    """
+
+    def __init__(self, bwt_arr, k: int, alphabet: Alphabet) -> None:
+        b = to_array(bwt_arr)
+        n = len(b)
+        self.k = int(k)
+        m = alphabet.max_symbol()
+        assert m is not None, "Expecting non-empty alphabet."
+        m += 1
+        # counts[i, a] = occurrences of a in bwt[..i+1]; checkpoint rows only
+        onehot_counts = np.zeros((n, m), dtype=np.int64)
+        idx = np.arange(n)
+        valid = b < m
+        onehot_counts[idx[valid], b[valid]] = 1
+        cum = np.cumsum(onehot_counts, axis=0)
+        self.occ = cum[::k].copy()  # (n_ckpts, m)
+
+    def get(self, bwt_arr, r: int, a: int) -> int:
+        """Occurrences of ``a`` in ``bwt[..r+1]``; O(k) (bwt.rs:129-182)."""
+        b = bwt_arr if isinstance(bwt_arr, np.ndarray) else to_array(bwt_arr)
+        k = self.k
+        lo_ck = r // k
+        lo_occ = int(self.occ[lo_ck, a])
+        if k > 64:
+            hi_ck = lo_ck + 1
+            if hi_ck < len(self.occ):
+                hi_occ = int(self.occ[hi_ck, a])
+                if lo_occ == hi_occ:
+                    return lo_occ
+                hi_idx = hi_ck * k
+                if (hi_idx - r) < k // 2:
+                    return hi_occ - int(
+                        np.count_nonzero(b[r + 1 : hi_idx + 1] == a)
+                    )
+        lo_idx = lo_ck * k
+        return lo_occ + int(np.count_nonzero(b[lo_idx + 1 : r + 1] == a))
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, Occ):
+            return NotImplemented
+        return self.k == other.k and np.array_equal(self.occ, other.occ)
+
+
+def less(bwt_arr, alphabet: Alphabet) -> Less:
+    """#symbols lexicographically smaller than each symbol (bwt.rs:186)."""
+    b = to_array(bwt_arr)
+    m = alphabet.max_symbol()
+    assert m is not None, "Expecting non-empty alphabet."
+    counts = np.bincount(b, minlength=m + 2)[: m + 2].astype(np.int64)
+    # exclusive prefix sum (the reference's prescan)
+    out = np.zeros_like(counts)
+    np.cumsum(counts[:-1], out=out[1:])
+    return out
+
+
+def bwtfind(bwt_arr, alphabet: Alphabet) -> BWTFind:
+    """LF-mapping permutation used for BWT inversion (bwt.rs:202)."""
+    b = to_array(bwt_arr)
+    n = len(b)
+    l = less(b, alphabet)
+    out = np.empty(n, dtype=np.int64)
+    counters = l.copy()
+    for r in range(n):
+        c = b[r]
+        out[counters[c]] = r
+        counters[c] += 1
+    return out

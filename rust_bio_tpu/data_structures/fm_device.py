@@ -1,0 +1,260 @@
+"""HBM-resident FM-index with batched backward search (the TPU-native Occ).
+
+Redesign of the reference's FM-index hot loop (fmindex.rs:144-208 calling
+bwt.rs:129-182): instead of a checkpoint + SIMD byte-count scan per query
+symbol, the BWT is stored as per-symbol bit-planes packed into uint32 words
+with per-word exclusive checkpoint counts. A rank query is then
+
+    rank(r, a) = ckpt[a, r >> 5] + popcount(bits[a, r >> 5] & mask(r & 31))
+
+— one gather + one popcount per query, fully batched over the read batch in
+vector lanes. Search over a pattern batch is a single ``lax.scan`` over
+pattern positions (all lanes advance in lockstep, finished lanes masked),
+and locate is a batched LF-walk of ≤ s steps.
+
+Memory: sigma * n/8 bytes of bit-planes + sigma * n/8 bytes of checkpoints —
+for DNA+sentinel over a 3 Gbp genome ≈ 4.5 GB, HBM-resident on one chip.
+
+Results are bit-identical to the host oracle ``fmindex.FMIndex`` (including
+the occ_r == 0 underflow guard and Partial/Absent semantics), which is
+property-tested in tests/test_fmindex.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rust_bio_tpu.alphabets import Alphabet
+from rust_bio_tpu.data_structures.fmindex import (
+    BackwardSearchKind,
+    BackwardSearchResult,
+    Interval,
+)
+from rust_bio_tpu.utils.text import to_array
+
+I32 = jnp.int32
+
+# status codes in the kernel's result
+ABSENT, PARTIAL, COMPLETE = 0, 1, 2
+
+
+def _pack_bitplanes(b: np.ndarray, symbols: List[int]):
+    """(sigma, nw) uint32 bit-planes + (sigma, nw) int32 exclusive counts."""
+    n = len(b)
+    nw = (n + 31) // 32 or 1
+    bits = np.zeros((len(symbols), nw), dtype=np.uint32)
+    ckpt = np.zeros((len(symbols), nw), dtype=np.int32)
+    pos = np.arange(n)
+    word = pos >> 5
+    bit = pos & 31
+    for si, sym in enumerate(symbols):
+        is_sym = b == sym
+        np.bitwise_or.at(
+            bits[si], word[is_sym], (np.uint32(1) << bit[is_sym].astype(np.uint32))
+        )
+        counts = np.bincount(word[is_sym], minlength=nw)
+        ckpt[si, 1:] = np.cumsum(counts)[:-1]
+    return bits, ckpt
+
+
+class DeviceFMIndex:
+    """Packed FM-index resident in device HBM, with batched search/locate."""
+
+    def __init__(self, bwt_arr, alphabet: Alphabet, sa=None, sampling_rate: int = 32):
+        b = to_array(bwt_arr)
+        self.n = len(b)
+        symbols = sorted(set(alphabet.symbols()) | set(np.unique(b).tolist()))
+        self.symbols = symbols
+        sym_of = np.full(256, -1, dtype=np.int32)
+        for si, sym in enumerate(symbols):
+            sym_of[sym] = si
+        bits, ckpt = _pack_bitplanes(b, symbols)
+
+        counts = np.bincount(b, minlength=257).astype(np.int64)
+        less = np.zeros(257, dtype=np.int64)
+        np.cumsum(counts[:-1], out=less[1:])
+
+        self.bits = jnp.asarray(bits)
+        self.ckpt = jnp.asarray(ckpt)
+        self.less = jnp.asarray(less.astype(np.int32))
+        self.sym_of = jnp.asarray(sym_of)
+        self.bwt_sym = jnp.asarray(sym_of[b])  # (n,) int32 symbol indices
+        self.bwt_bytes = jnp.asarray(b)
+        # lexicographically smallest symbol == the sentinel (by construction
+        # the text's final sentinel is the smallest; suffix_array.rs:431-441)
+        self.sentinel = int(b.min()) if self.n else 0
+
+        # sampled SA for locate (single-sentinel texts): sa[i] kept if i%s==0
+        self.s = int(sampling_rate)
+        if sa is not None:
+            sa = np.asarray(sa, dtype=np.int64)
+            self.sa_sample = jnp.asarray(sa[:: self.s].astype(np.int32))
+        else:
+            self.sa_sample = None
+
+    # ------------------------------------------------------------------
+    def _rank(self, r, sym):
+        """Batched rank: occurrences of symbol-index ``sym`` in bwt[..r+1].
+
+        ``r`` may be -1 (returns 0). Shapes broadcast.
+        """
+        r = jnp.asarray(r, I32)
+        sym = jnp.asarray(sym, I32)
+        w = jnp.maximum(r, 0) >> 5
+        bitpos = jnp.maximum(r, 0) & 31
+        word = self.bits[sym, w]
+        mask = jnp.where(
+            bitpos == 31,
+            jnp.uint32(0xFFFFFFFF),
+            (jnp.uint32(1) << (bitpos + 1).astype(jnp.uint32)) - jnp.uint32(1),
+        )
+        cnt = self.ckpt[sym, w] + jax.lax.population_count(word & mask).astype(I32)
+        return jnp.where(r < 0, 0, cnt)
+
+    def occ(self, r, a):
+        """Batched occ by symbol byte ``a`` (matches Occ::get semantics)."""
+        return self._rank(r, self.sym_of[jnp.asarray(a, I32)])
+
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnums=(0,))
+    def _search_kernel(self, pats, plens):
+        """Batched backward search. pats (B, L) uint8, plens (B,) int32.
+
+        Returns status (B,), lower (B,), upper (B,), matched_len (B,)
+        replicating fmindex.rs:144-208 exactly.
+        """
+        B, L = pats.shape
+        n = self.n
+
+        def step(carry, t):
+            l, r, pl, pr, mlen, complete, done = carry
+            idx = plens - 1 - t
+            active = (t < plens) & ~done
+            a = jnp.take_along_axis(
+                pats, jnp.maximum(idx, 0)[:, None], axis=1
+            )[:, 0].astype(I32)
+            sym = self.sym_of[a]
+            valid_sym = sym >= 0
+            less_a = jnp.where(valid_sym, self.less[a], 0)
+
+            pl_n = jnp.where(active, l, pl)
+            pr_n = jnp.where(active, r, pr)
+            occ_r = jnp.where(valid_sym, self._rank(r, jnp.maximum(sym, 0)), 0)
+            # underflow guard (issue #606): occ_r == 0 -> stop, no match here
+            fail0 = occ_r == 0
+            occ_lm1 = jnp.where(
+                (l > 0) & valid_sym, self._rank(l - 1, jnp.maximum(sym, 0)), 0
+            )
+            l_new = less_a + occ_lm1
+            r_new = less_a + occ_r - 1
+            fail1 = l_new > r_new
+            fail = fail0 | fail1
+            upd = active & ~fail
+            l2 = jnp.where(upd, l_new, l)
+            r2 = jnp.where(upd, r_new, r)
+            mlen2 = jnp.where(upd, mlen + 1, mlen)
+            complete2 = jnp.where(active & fail, False, complete)
+            done2 = done | (active & fail)
+            return (l2, r2, pl_n, pr_n, mlen2, complete2, done2), None
+
+        init = (
+            jnp.zeros(B, I32),
+            jnp.full(B, n - 1, I32),
+            jnp.zeros(B, I32),
+            jnp.full(B, n - 1, I32),
+            jnp.zeros(B, I32),
+            jnp.ones(B, bool),
+            jnp.zeros(B, bool),
+        )
+        (l, r, pl, pr, mlen, complete, _), _ = jax.lax.scan(
+            step, init, jnp.arange(L, dtype=I32)
+        )
+        status = jnp.where(
+            mlen > 0, jnp.where(complete, COMPLETE, PARTIAL), ABSENT
+        )
+        lower = jnp.where(complete, l, pl)
+        upper = jnp.where(complete, r, pr) + 1
+        return status, lower, upper, mlen
+
+    def backward_search_batch(self, patterns) -> List[BackwardSearchResult]:
+        """Batch of backward searches; exact reference result objects."""
+        pats = [to_array(p) for p in patterns]
+        B = len(pats)
+        L = max((len(p) for p in pats), default=1) or 1
+        pb = np.zeros((B, L), dtype=np.uint8)
+        plens = np.zeros(B, dtype=np.int32)
+        for i, p in enumerate(pats):
+            pb[i, : len(p)] = p
+            plens[i] = len(p)
+        status, lower, upper, mlen = jax.tree.map(
+            np.asarray, self._search_kernel(jnp.asarray(pb), jnp.asarray(plens))
+        )
+        out = []
+        for i in range(B):
+            if status[i] == COMPLETE:
+                out.append(
+                    BackwardSearchResult.complete(
+                        Interval(int(lower[i]), int(upper[i]))
+                    )
+                )
+            elif status[i] == PARTIAL:
+                out.append(
+                    BackwardSearchResult.partial(
+                        Interval(int(lower[i]), int(upper[i])), int(mlen[i])
+                    )
+                )
+            else:
+                out.append(BackwardSearchResult.absent())
+        return out
+
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnums=(0,))
+    def _locate_kernel(self, rows):
+        """Batched sampled-SA lookup via LF-walk (suffix_array.rs:157-184).
+
+        Single-sentinel texts only (no extra_rows patching needed).
+        """
+        assert self.sa_sample is not None, "index built without suffix array"
+        s = self.s
+        sentinel = self.sentinel
+
+        def is_done(pos, done):
+            # sampled row, or the sentinel BWT row: for a single final
+            # sentinel that row's SA value is 0, which is the reference's
+            # extra_rows patch (suffix_array.rs:166-175) specialized.
+            return done | ((pos % s) == 0) | (self.bwt_bytes[pos] == sentinel)
+
+        def cond(carry):
+            pos, _, done = carry
+            return ~jnp.all(is_done(pos, done))
+
+        def body(carry):
+            pos, offset, done = carry
+            done = is_done(pos, done)
+            c = self.bwt_bytes[pos].astype(I32)
+            sym = self.sym_of[c]
+            nxt = self.less[c] + self._rank(pos - 1, jnp.maximum(sym, 0))
+            pos2 = jnp.where(done, pos, nxt)
+            offset2 = jnp.where(done, offset, offset + 1)
+            return pos2, offset2, done
+
+        pos0 = jnp.asarray(rows, I32)
+        B = pos0.shape[0]
+        pos, offset, _ = jax.lax.while_loop(
+            cond, body, (pos0, jnp.zeros(B, I32), jnp.zeros(B, bool))
+        )
+        sampled = (pos % s) == 0
+        base = jnp.where(sampled, self.sa_sample[pos // s], 0)
+        return base + offset
+
+    def locate_batch(self, rows) -> np.ndarray:
+        """Text positions for a batch of suffix-array row indices."""
+        return np.asarray(self._locate_kernel(jnp.asarray(rows, np.int32)))
+
+    def locate_interval(self, interval: Interval) -> np.ndarray:
+        return self.locate_batch(np.arange(interval.lower, interval.upper))

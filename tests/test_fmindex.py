@@ -1,0 +1,144 @@
+"""Parity + property suite for FM-index / FMD-index / device FM-index.
+
+Golden values from reference fmindex.rs doctests and unit tests; the device
+path is cross-checked against the host oracle on random texts/patterns.
+"""
+
+import numpy as np
+import pytest
+
+from rust_bio_tpu.alphabets import dna
+from rust_bio_tpu.data_structures.bwt import Occ, bwt, less
+from rust_bio_tpu.data_structures.fmindex import (
+    BackwardSearchKind,
+    FMDIndex,
+    FMIndex,
+)
+from rust_bio_tpu.data_structures.fm_device import DeviceFMIndex
+from rust_bio_tpu.data_structures.suffix_array import (
+    sample_suffix_array,
+    suffix_array,
+)
+
+
+def _build(text, k=3):
+    alphabet = dna.n_alphabet()
+    sa = suffix_array(text)
+    b = bwt(text, sa)
+    l = less(b, alphabet)
+    occ = Occ(b, k, alphabet)
+    return sa, b, l, occ, FMIndex(b, l, occ)
+
+
+def test_backward_search_complete():
+    text = b"GCCTTAACATTATTACGCCTA$"
+    sa, b, l, occ, fm = _build(text)
+    res = fm.backward_search(b"TTA")
+    assert res.kind == BackwardSearchKind.Complete
+    assert res.interval.occ(sa) == [3, 12, 9]
+
+
+def test_backward_search_partial():
+    # suffix GCCTT matches partially (reference test_fmindex semantics)
+    text = b"GCCTTAACATTATTACGCCTA$"
+    sa, b, l, occ, fm = _build(text)
+    res = fm.backward_search(b"GGGTTA")
+    assert res.kind == BackwardSearchKind.Partial
+    assert res.matched_len == 3
+
+
+def test_backward_search_absent():
+    text = b"GCCTTAACATTATTACGCCTA$"
+    *_, fm = _build(text)
+    # 'X' never occurs -> occ_r == 0 immediately -> Absent (issue #606 path)
+    res = fm.backward_search(b"NNN")
+    assert res.kind == BackwardSearchKind.Absent
+
+
+def test_fmd_smems_doctest():
+    text = b"ATTC$GAAT$"
+    alphabet = dna.n_alphabet()
+    sa = suffix_array(text)
+    b = bwt(text, sa)
+    l = less(b, alphabet)
+    occ = Occ(b, 3, alphabet)
+    fm = FMIndex(b, l, occ)
+    fmd = FMDIndex(fm)
+
+    intervals = fmd.smems(b"ATT", 2, 0)
+    sampled = sample_suffix_array(sa, text, b, l, occ, 1)
+    assert intervals[0][0].forward().occ(sampled) == [0]
+    assert intervals[0][0].revcomp().occ(sampled) == [6]
+    assert intervals[0][1] == 0
+    assert intervals[0][2] == 3
+
+
+def test_fmd_all_smems_doctest():
+    text = b"ATTCGGGG$CCCCGAAT$"
+    alphabet = dna.n_alphabet()
+    sa = suffix_array(text)
+    b = bwt(text, sa)
+    l = less(b, alphabet)
+    occ = Occ(b, 3, alphabet)
+    fmd = FMDIndex(FMIndex(b, l, occ))
+
+    intervals = fmd.all_smems(b"ATTGGGG", 0)
+    assert len(intervals) == 2
+    solutions = [[0, 14, 0, 3], [4, 9, 3, 4]]
+    for sol, (bi, p, ln) in zip(solutions, intervals):
+        fwd = bi.forward().occ(sa)
+        rev = bi.revcomp().occ(sa)
+        assert [fwd[0], rev[0], p, ln] == sol
+
+
+def _random_text(rng, n, nl=False):
+    alpha = b"ACGTN" if nl else b"ACGT"
+    return rng.choice(list(alpha), size=n).astype("uint8").tobytes() + b"$"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_device_search_matches_host_oracle(seed):
+    rng = np.random.default_rng(seed)
+    text = _random_text(rng, 500)
+    sa, b, l, occ, fm = _build(text, k=32)
+    dev = DeviceFMIndex(b, dna.n_alphabet(), sa=sa, sampling_rate=4)
+
+    patterns = []
+    for _ in range(64):
+        ln = int(rng.integers(1, 20))
+        if rng.random() < 0.5:
+            start = int(rng.integers(0, len(text) - ln - 1))
+            patterns.append(text[start : start + ln])
+        else:
+            patterns.append(rng.choice(list(b"ACGT"), size=ln).astype("uint8").tobytes())
+
+    got = dev.backward_search_batch(patterns)
+    for pat, res in zip(patterns, got):
+        expect = fm.backward_search(pat)
+        assert res.kind == expect.kind, pat
+        if expect.kind != BackwardSearchKind.Absent:
+            assert res.interval == expect.interval, pat
+        if expect.kind == BackwardSearchKind.Partial:
+            assert res.matched_len == expect.matched_len, pat
+
+
+def test_device_locate_matches_sa():
+    rng = np.random.default_rng(3)
+    text = _random_text(rng, 400)
+    sa, b, l, occ, fm = _build(text, k=32)
+    dev = DeviceFMIndex(b, dna.n_alphabet(), sa=sa, sampling_rate=8)
+    rows = np.arange(len(sa), dtype=np.int32)
+    got = dev.locate_batch(rows)
+    np.testing.assert_array_equal(got, np.asarray(sa, dtype=np.int32))
+
+
+def test_device_occ_matches_host():
+    rng = np.random.default_rng(4)
+    text = _random_text(rng, 300)
+    sa, b, l, occ, fm = _build(text, k=32)
+    dev = DeviceFMIndex(b, dna.n_alphabet())
+    rs = np.arange(len(b), dtype=np.int32)
+    for a in b"ACGT$":
+        want = np.array([occ.get(b, int(r), a) for r in rs])
+        got = np.asarray(dev.occ(rs, np.full_like(rs, a)))
+        np.testing.assert_array_equal(got, want)
