@@ -1,0 +1,177 @@
+"""Batched Myers bit-parallel matching on TPU.
+
+TPU-native redesign of the reference's Myers search (simple.rs:95-117 and
+the block-based long.rs:46-120): instead of one u64 register advancing over
+one text, B independent (pattern, text) lanes advance in lockstep, each lane
+carrying its bit-vector state as W uint32 words — shape (B, W). The text
+scan is one ``lax.scan``; multi-word carry/shift chains are unrolled at
+trace time (W is static), so any pattern length is supported (the reference
+``long`` variant's block decomposition becomes just W > 1).
+
+Outputs are bit-exact with the host oracle ``myers.Myers`` (property-tested
+in tests/test_myers_device.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rust_bio_tpu.utils.text import to_bytes
+
+U32 = jnp.uint32
+I32 = jnp.int32
+_MASK32 = np.uint32(0xFFFFFFFF)
+
+
+def _add_words(x: List, y: List) -> List:
+    """Multi-word add (LSB word first), carry chain unrolled over W."""
+    out = []
+    carry = None
+    for xw, yw in zip(x, y):
+        s = xw + yw if carry is None else xw + yw + carry
+        # carry-out: unsigned overflow detection on uint32 wraparound
+        c1 = s < xw
+        if carry is not None:
+            c2 = (s == xw) & (carry == 1)
+            carry = (c1 | c2).astype(U32)
+        else:
+            carry = c1.astype(U32)
+        out.append(s)
+    return out
+
+
+def _shl1(x: List) -> List:
+    """Multi-word logical shift left by one bit."""
+    out = []
+    prev_hi = None
+    for xw in x:
+        w = xw << 1
+        if prev_hi is not None:
+            w = w | prev_hi
+        prev_hi = xw >> 31
+        out.append(w)
+    return out
+
+
+class BatchMyers:
+    """A batch of Myers matchers, one pattern per lane.
+
+    All patterns share a word count W = ceil(max_m / 32); shorter patterns
+    are exact thanks to per-lane ``bound`` masks and initial distances.
+    """
+
+    def __init__(self, patterns: Sequence, wildcards: Optional[bytes] = None):
+        pats = [to_bytes(p) for p in patterns]
+        B = len(pats)
+        ms = np.array([len(p) for p in pats], dtype=np.int32)
+        assert (ms > 0).all(), "Pattern is empty"
+        W = int((ms.max() + 31) // 32)
+        peq = np.zeros((B, 256, W), dtype=np.uint32)
+        for b, p in enumerate(pats):
+            for i, symbol in enumerate(p):
+                peq[b, symbol, i >> 5] |= np.uint32(1) << np.uint32(i & 31)
+            if wildcards:
+                for w in wildcards:
+                    peq[b, w, :] = _MASK32
+        bound = np.zeros((B, W), dtype=np.uint32)
+        bound[np.arange(B), (ms - 1) >> 5] = np.uint32(1) << (
+            (ms - 1) & 31
+        ).astype(np.uint32)
+        self.B, self.W = B, W
+        self.ms = jnp.asarray(ms)
+        self.peq = jnp.asarray(peq)
+        self.bound = jnp.asarray(bound)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _scan_kernel(self, texts, tlens):
+        """Distances at every text end position: (N, B) int32 (garbage past
+        tlens, mask downstream)."""
+        B, W = self.B, self.W
+        N = texts.shape[1]
+        bidx = jnp.arange(B)
+
+        def step(carry, a):
+            pv, mv, dist = carry  # pv/mv: (B, W); dist: (B,)
+            eq = self.peq[bidx, a.astype(I32)]  # (B, W)
+            eqw = [eq[:, w] for w in range(W)]
+            pvw = [pv[:, w] for w in range(W)]
+            mvw = [mv[:, w] for w in range(W)]
+
+            xv = [e | m for e, m in zip(eqw, mvw)]
+            anded = [e & p for e, p in zip(eqw, pvw)]
+            summed = _add_words(anded, pvw)
+            xh = [(s ^ p) | e for s, p, e in zip(summed, pvw, eqw)]
+            ph = [m | ~(x | p) for m, x, p in zip(mvw, xh, pvw)]
+            mh = [p & x for p, x in zip(pvw, xh)]
+
+            phb = jnp.zeros(B, bool)
+            mhb = jnp.zeros(B, bool)
+            for w in range(W):
+                phb = phb | ((ph[w] & self.bound[:, w]) != 0)
+                mhb = mhb | ((mh[w] & self.bound[:, w]) != 0)
+            dist = dist + phb.astype(I32) - mhb.astype(I32)
+
+            ph = _shl1(ph)
+            mh = _shl1(mh)
+            pv_n = [m | ~(x | p) for m, x, p in zip(mh, xv, ph)]
+            mv_n = [p & x for p, x in zip(ph, xv)]
+            pv2 = jnp.stack(pv_n, axis=1)
+            mv2 = jnp.stack(mv_n, axis=1)
+            return (pv2, mv2, dist), dist
+
+        pv0 = jnp.full((B, W), _MASK32, dtype=U32)
+        mv0 = jnp.zeros((B, W), dtype=U32)
+        (_, _, _), dists = jax.lax.scan(
+            step, (pv0, mv0, self.ms), jnp.swapaxes(texts, 0, 1)
+        )
+        return dists  # (N, B)
+
+    # ------------------------------------------------------------------
+    def _pad(self, texts: Sequence) -> Tuple[np.ndarray, np.ndarray]:
+        ts = [to_bytes(t) for t in texts]
+        assert len(ts) == self.B
+        N = max((len(t) for t in ts), default=1) or 1
+        tb = np.zeros((self.B, N), dtype=np.uint8)
+        tlens = np.zeros(self.B, dtype=np.int32)
+        for i, t in enumerate(ts):
+            tb[i, : len(t)] = np.frombuffer(t, dtype=np.uint8)
+            tlens[i] = len(t)
+        return tb, tlens
+
+    def distance_batch(self, texts: Sequence) -> np.ndarray:
+        """Min edit distance per lane (reference ``distance``)."""
+        tb, tlens = self._pad(texts)
+        dists = np.asarray(self._scan_kernel(jnp.asarray(tb), jnp.asarray(tlens)))
+        ms = np.asarray(self.ms)
+        pos = np.arange(dists.shape[0])[:, None]
+        masked = np.where(pos < tlens[None, :], dists, np.iinfo(np.int32).max)
+        out = masked.min(axis=0)
+        return np.where(tlens > 0, out, ms)
+
+    def find_all_end_batch(
+        self, texts: Sequence, max_dist: int
+    ) -> List[List[Tuple[int, int]]]:
+        """Per lane: list of (end, dist) hits (reference ``find_all_end``)."""
+        tb, tlens = self._pad(texts)
+        dists = np.asarray(self._scan_kernel(jnp.asarray(tb), jnp.asarray(tlens)))
+        out: List[List[Tuple[int, int]]] = []
+        for b in range(self.B):
+            d = dists[: tlens[b], b]
+            hits = np.nonzero(d <= max_dist)[0]
+            out.append([(int(e), int(d[e])) for e in hits])
+        return out
+
+    def find_best_end_batch(self, texts: Sequence) -> np.ndarray:
+        """(B, 2) array of (first best end, best dist) per lane."""
+        tb, tlens = self._pad(texts)
+        dists = np.asarray(self._scan_kernel(jnp.asarray(tb), jnp.asarray(tlens)))
+        pos = np.arange(dists.shape[0])[:, None]
+        masked = np.where(pos < tlens[None, :], dists, np.iinfo(np.int32).max)
+        best = masked.min(axis=0)
+        first = masked.argmin(axis=0)
+        return np.stack([first, best], axis=1)
