@@ -28,7 +28,7 @@ _MIN_VAL = -500.0
 def fastexp(v):
     """Vectorized numpy fastexp, bit-identical to the reference for f64."""
     v = np.asarray(v, dtype=np.float64)
-    x = _ONEBYLOG2 * v
+    x = _ONEBYLOG2 * np.where(v > _MIN_VAL, v, _MIN_VAL)  # -inf masked below
     # Rust `x as i64` truncates toward zero.
     bits = np.trunc(x).astype(np.int64)
     x = x - bits.astype(np.float64)
