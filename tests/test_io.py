@@ -171,7 +171,7 @@ def test_gff3_roundtrip():
 def test_gff3_percent_encoding():
     r = gff.Record(
         seqname="c1", source="s", feature_type="gene", start=1, end=10,
-        attributes={"Note": ["a;b=c"], "X": ["1,2"]},
+        attributes={"Note": ["a;b=c"], "X": ["1", "2"], "Y": ["p,q"]},
     )
     out = io.StringIO()
     gff.Writer(out, gff.GffType.GFF3).write(r)
@@ -179,8 +179,10 @@ def test_gff3_percent_encoding():
     assert "a%3Bb%3Dc" in line
     back = list(gff.Reader(io.StringIO(line), gff.GffType.GFF3).records())
     assert back[0].attributes["Note"] == ["a;b=c"]
-    # comma splits multi-values on read
+    # multi-values are comma-joined on write and split on read
     assert back[0].attributes["X"] == ["1", "2"]
+    # a literal comma inside one value is percent-encoded and roundtrips
+    assert back[0].attributes["Y"] == ["p,q"]
 
 
 def test_gtf2_attributes():
