@@ -1,0 +1,119 @@
+"""Parity suite for HMM (reference: hmm/mod.rs tests)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from rust_bio_tpu.stats.hmm import (
+    DiscreteEmissionModel,
+    DiscreteEmissionOptEndModel,
+    GaussianModel,
+    backward,
+    baum_welch,
+    forward,
+    viterbi,
+)
+
+TRANS = [[0.5, 0.5], [0.4, 0.6]]
+OBS = [[0.2, 0.3, 0.3, 0.2], [0.3, 0.2, 0.2, 0.3]]
+INIT = [0.5, 0.5]
+
+
+def _toy():
+    return DiscreteEmissionModel.with_float(TRANS, OBS, INIT)
+
+
+def test_discrete_viterbi_toy_example():
+    path, log_prob = viterbi(_toy(), [2, 2, 1, 0, 1, 3, 2, 0, 0])
+    assert path == [0, 0, 0, 1, 1, 1, 1, 1, 1]
+    assert math.exp(log_prob) == pytest.approx(4.25e-8, abs=1e-9)
+
+
+def test_discrete_forward_toy_example():
+    _, log_prob = forward(_toy(), [2, 2, 1, 0])
+    assert math.exp(log_prob) == pytest.approx(0.0038432, abs=0.0001)
+
+
+def test_discrete_backward_toy_example():
+    _, log_prob = backward(_toy(), [2, 2, 1, 0])
+    assert math.exp(log_prob) == pytest.approx(0.0038432, abs=0.0001)
+
+
+def test_discrete_forward_equals_backward():
+    hmm = _toy()
+    rng = np.random.default_rng(0)
+    for n in range(1, 10):
+        for _ in range(8):
+            seq = rng.integers(0, 2, size=n).tolist()
+            pf = math.exp(forward(hmm, seq)[1])
+            pb = math.exp(backward(hmm, seq)[1])
+            assert pf == pytest.approx(pb, abs=1e-5)
+
+
+def _gauss():
+    return GaussianModel.with_float(
+        TRANS, [(0.0, 1.0), (2.0, 1.0)], INIT
+    )
+
+
+def test_gaussian_viterbi():
+    path, log_prob = viterbi(
+        _gauss(), [-0.1, 0.1, -0.2, 0.5, 0.8, 1.1, 1.2, 1.5, 0.5, 0.2]
+    )
+    assert path == [0, 0, 0, 0, 0, 1, 1, 1, 0, 0]
+    assert math.exp(log_prob) == pytest.approx(2.64e-8, abs=1e-9)
+
+
+def test_gaussian_forward_backward():
+    obs = [0.1, 1.5, 1.8, 2.2, 0.5]
+    assert math.exp(forward(_gauss(), obs)[1]) == pytest.approx(7.820e-4, abs=1e-5)
+    assert math.exp(backward(_gauss(), obs)[1]) == pytest.approx(7.820e-4, abs=1e-5)
+
+
+ICES = [1, 2, 2, 1, 2, 1, 2, 1, 1, 2, 0, 2, 2, 0, 0, 0, 1, 0, 0, 0, 2, 0,
+        1, 0, 0, 0, 1, 2, 2, 1, 2, 1, 1]
+
+
+def test_discrete_opt_end_backward():
+    hmm = DiscreteEmissionOptEndModel.with_float(TRANS, OBS, INIT, None)
+    _, log_prob = backward(hmm, [2, 2, 1, 0])
+    assert math.exp(log_prob) == pytest.approx(0.0038432, abs=0.0001)
+
+
+def test_discrete_with_end_backward():
+    hmm = DiscreteEmissionOptEndModel.with_float(
+        [[0.8, 0.1], [0.1, 0.8]],
+        [[0.7, 0.2, 0.1], [0.1, 0.2, 0.7]],
+        [0.5, 0.5],
+        [0.1, 0.1],
+    )
+    _, log_prob = backward(hmm, ICES)
+    assert math.exp(log_prob) == pytest.approx(0.912e-18, abs=0.1e-20)
+
+
+def test_baum_welch_step_valid_distributions():
+    hmm = DiscreteEmissionOptEndModel.with_float(
+        [[0.8, 0.1], [0.1, 0.8]],
+        [[0.7, 0.2, 0.1], [0.1, 0.2, 0.7]],
+        [0.3, 0.7],
+        [0.1, 0.1],
+    )
+    pi, A, B, E = baum_welch(hmm, ICES)
+    # pi sums to 1, each B row sums to 1
+    assert math.fsum(np.exp(pi)) == pytest.approx(1.0, abs=1e-3)
+    for row in B:
+        assert math.fsum(np.exp(row)) == pytest.approx(1.0, abs=1e-3)
+
+
+def test_baum_welch_training_improves_likelihood():
+    hmm = DiscreteEmissionOptEndModel.with_float(
+        [[0.8, 0.1], [0.1, 0.8]],
+        [[0.7, 0.2, 0.1], [0.1, 0.2, 0.7]],
+        [0.3, 0.7],
+        [0.1, 0.1],
+    )
+    _, p0 = forward(hmm, ICES)
+    hmm.train_baum_welch([ICES], n_iter=5)
+    _, p1 = forward(hmm, ICES)
+    assert float(p1) >= float(p0) - 1e-9
