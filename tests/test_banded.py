@@ -1,0 +1,183 @@
+"""Parity suite for the banded aligner (reference: banded.rs tests)."""
+
+import numpy as np
+import pytest
+
+from rust_bio_tpu.alignment.pairwise.banded import Aligner as BandedAligner, Band
+from rust_bio_tpu.alignment.pairwise.scalar import Aligner as FullAligner
+from rust_bio_tpu.alignment.pairwise.scoring import Scoring
+from rust_bio_tpu.alignment.sparse import hash_kmers
+from rust_bio_tpu.alignment.types import Del, Ins, Match, Subst
+
+
+def _score_pm1(a, b):
+    return 1 if a == b else -1
+
+
+def _banded(x, y, k=10, w=10, go=-5, ge=-1, fn=_score_pm1):
+    return BandedAligner(Scoring.new(go, ge, fn), k, w)
+
+
+def _full(go=-5, ge=-1, fn=_score_pm1):
+    return FullAligner(go, ge, fn)
+
+
+def _compare_all_modes(x, y):
+    ba = _banded(x, y)
+    fa = _full()
+    for mode in ("local", "global_", "semiglobal"):
+        got = getattr(ba, mode)(x, y)
+        want = getattr(fa, mode)(x, y)
+        assert got == want, (mode, x, y)
+    # prehash path
+    set_ = hash_kmers(y, 10)
+    got = ba.semiglobal_with_prehash(x, y, set_)
+    want = fa.semiglobal(x, y)
+    assert got == want
+
+
+def test_band_add_entry():
+    band = Band(10, 10)
+    band.add_entry((3, 3), 3)
+    assert [(int(s), int(e)) for s, e in zip(band.starts, band.ends)] == [
+        (0, 7)] * 7 + [(11, 0)] * 4
+    band.add_entry((9, 9), 2)
+    assert [(int(s), int(e)) for s, e in zip(band.starts, band.ends)] == [
+        (0, 7)] * 7 + [(7, 11)] * 4
+    band.add_entry((7, 5), 2)
+    assert [(int(s), int(e)) for s, e in zip(band.starts, band.ends)][:8] == [
+        (0, 7), (0, 7), (0, 7), (0, 10), (0, 10), (0, 10), (0, 10), (5, 11)]
+
+
+def test_same():
+    x = b"ACGTATCATAGACCCTAGATAGGGTTGTGTAGATGATCCACAGACGTATCATAGATTAGATAGGGTTGTGTAGATGATTCCACAG"
+    _compare_all_modes(x, x)
+
+
+def test_deletion():
+    _compare_all_modes(
+        b"AGCACACGTGTGCGCTATACAGTACACGTGTCACAGTTGTACTAGCATGAC",
+        b"AGCACACGTGTGCGCTATACAGTAAAAAAAACACGTGTCACAGTTGTACTAGCATGAC",
+    )
+
+
+def test_insertion():
+    _compare_all_modes(
+        b"AGCACACGTGTGCGCTATACAGTAAGTAGTAGTACACGTGTCACAGTTGTACTAGCATGAC",
+        b"AGCACACGTGTGCGCTATACAGTACACGTGTCACAGTTGTACTAGCATGAC",
+    )
+
+
+def test_substitutions():
+    _compare_all_modes(
+        b"AGCACACGTGTGCGCTATACAGTAAGTAGTAGTACACGTGTCACAGTTGTACTAGCATGAC",
+        b"AGCACAAGTGTGCGCTATACAGGAAGTAGGAGTACACGTGTCACATTTGTACTAGCATGAC",
+    )
+
+
+def test_overhangs():
+    cases = [
+        (b"CGCTATACAGTAAGTAGTAGTACACGTGTCACAGTTGTACTAGCATGAC",
+         b"AGCACAAGTGTGAGCACAAGTGTGCGCTATACAGGAAGTAGGAGTACACGTGTCACATTTGTACTAGCATGAC"),
+        (b"GCACACGAGCACACGTAGCACACGTGTGCGCTATACAGTAAGTAGTAGTACACGTGTCACAGTTGTACTAGCATGAC",
+         b"TATACAGGAAGTAGGAGTACACGTGTCACATTTGTACTAGCATGAC"),
+        (b"AGCACACGTGTGCGCTATACAGTAAGTAGTAGTACACGTG",
+         b"AGCACAAGTGTGCGCTATACAGGAAGTAGGAGTACACGTGTCACATTTGTACTAGCATGAC"),
+        (b"AGCACACGTGTGCGCTATACAGTAAGTAGTAGTACACGTGTCACAGTTGTACTAGCATGACCAGTTGTACTAGCATGAC",
+         b"AGCACAAGTGTGCGCTATACAGGAAGTAGGAGTACACGTGTCA"),
+        (b"AGCACAAGTGTGCGCTATACAGGAAGTAGGAGTACACGTGTCA",
+         b"CAGTTGTACTAGCATGACCAGTTGTACTAGCATGACAGCACACGTGTGCGCTATACAGTAAGTAGTAGTACACGTGTCACAGTTGTACTAGCATGACCAGTTGTACTAGCATGAC"),
+    ]
+    for x, y in cases:
+        _compare_all_modes(x, y)
+
+
+def test_band_placement():
+    _compare_all_modes(
+        b"AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAGGGGGGGGGGGGGGGGGGGG",
+        b"TTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTGGGGGGGGGGGGGGGGGGGG",
+    )
+    _compare_all_modes(
+        b"GGGGGGGGGGGGGGGGGGGGAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA",
+        b"GGGGGGGGGGGGGGGGGGGGTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTT",
+    )
+    _compare_all_modes(
+        b"AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAGGGGGGGGGGGGGGGGGGGGAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA",
+        b"TTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTGGGGGGGGGGGGGGGGGGGGTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTTT",
+    )
+
+
+def test_semiglobal():
+    aln = _banded(b"ACCGTGGAT", b"AAAAACCGTTGAT").semiglobal(
+        b"ACCGTGGAT", b"AAAAACCGTTGAT"
+    )
+    assert aln.ystart == 4
+    assert aln.xstart == 0
+    assert aln.operations == [
+        Match, Match, Match, Match, Match, Subst, Match, Match, Match,
+    ]
+
+
+def test_semiglobal_gap_open_lt_mismatch():
+    fn = lambda a, b: 1 if a == b else -5
+    aln = _banded(b"", b"", go=-1, ge=-1, fn=fn).semiglobal(
+        b"ACCGTGGAT", b"AAAAACCGTTGAT"
+    )
+    assert aln.ystart == 4
+    assert aln.xstart == 0
+    assert aln.operations == [
+        Match, Match, Match, Match, Del, Match, Ins, Match, Match, Match,
+    ]
+
+
+def test_global_affine_ins():
+    fn = lambda a, b: 1 if a == b else -3
+    aln = _banded(b"", b"", fn=fn).global_(b"ACGAGAACA", b"ACGACA")
+    assert aln.operations == [
+        Match, Match, Match, Ins, Ins, Ins, Match, Match, Match,
+    ]
+
+
+def test_global_affine_ins2():
+    aln = _banded(b"", b"").global_(
+        b"AGATAGATAGATAGGGAGTTGTGTAGATGATCCACAGT", b"AGATAGATAGATGTAGATGATCCACAGT"
+    )
+    assert aln.operations == [Match] * 11 + [Ins] * 10 + [Match] * 17
+
+
+def test_local_empty():
+    fn = lambda a, b: 1 if a == b else -3
+    x = b"N" * 69
+    y = b"AACGTACGATACGTGGGTTGTCACACGTGTCGCGCGGCAACACATCAGACTCTAACAGCATCATCAGCACGTGACA"
+    aln = _banded(x, y, fn=fn).local(x, y)
+    assert aln.x_aln_len() == 0
+    assert aln.y_aln_len() == 0
+
+
+def test_local_affine_ins2():
+    aln = _banded(b"", b"").local(
+        b"ACGTATCATAGATAGATAGGGTTGTGTAGATGATCCACAG",
+        b"CGTATCATAGATAGATGTAGATGATCCACAGT",
+    )
+    assert aln.xstart == 1
+    assert aln.ystart == 0
+
+
+def test_random_vs_full_metamorphic():
+    """Fuzz-style: banded == full on mutated pairs (banded_aligner.rs oracle)."""
+    rng = np.random.default_rng(11)
+    for _ in range(10):
+        n = int(rng.integers(40, 120))
+        x = rng.choice(list(b"ACGT"), size=n).astype("uint8").tobytes()
+        y = bytearray(x)
+        for _ in range(int(rng.integers(0, 6))):
+            p = int(rng.integers(0, len(y)))
+            op = rng.integers(0, 3)
+            if op == 0:
+                y[p] = ord("ACGT"[rng.integers(0, 4)])
+            elif op == 1 and len(y) > 10:
+                del y[p]
+            else:
+                y.insert(p, ord("ACGT"[rng.integers(0, 4)]))
+        y = bytes(y)
+        _compare_all_modes(x, y)
