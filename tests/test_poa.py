@@ -1,0 +1,173 @@
+"""Parity suite for POA (reference: poa.rs tests)."""
+
+import pytest
+
+from rust_bio_tpu.alignment.pairwise.scoring import Scoring
+from rust_bio_tpu.alignment.poa import (
+    Aligner,
+    DelOp,
+    InsOp,
+    MatchOp,
+    Poa,
+    XclipOp,
+    YclipOp,
+)
+
+
+def _scoring(go=-1, ge=0, ma=1, mi=-1):
+    return Scoring.new(go, ge, lambda a, b: ma if a == b else mi)
+
+
+def test_init_graph():
+    poa = Poa.from_string(_scoring(), b"123456789")
+    assert poa.graph.node_count() == 9
+    assert poa.graph.edge_count() == 8
+
+
+def test_alignment():
+    poa = Poa.from_string(_scoring(), b"GATTACA")
+    aln = poa.recalculate_alignment(poa.custom(b"GCATGCU"))
+    assert aln.score == 0
+    aln = poa.recalculate_alignment(poa.custom(b"GCATGCUx"))
+    assert aln.score == -1
+    aln = poa.recalculate_alignment(poa.custom(b"xCATGCU"))
+    assert aln.score == -2
+
+
+def test_branched_alignment():
+    poa = Poa.from_string(_scoring(), b"TTTTT")
+    head, tail = 1, 2
+    node1 = poa.graph.add_node(ord("A"))
+    node2 = poa.graph.add_node(ord("A"))
+    poa.graph.add_edge(head, node1, 1)
+    poa.graph.add_edge(node1, node2, 1)
+    poa.graph.add_edge(node2, tail, 1)
+    aln = poa.recalculate_alignment(poa.custom(b"TTATT"))
+    assert aln.score == 3
+
+
+def test_alt_branched_alignment():
+    poa = Poa.from_string(_scoring(), b"TTCCTTAA")
+    head, tail = 1, 2
+    node1 = poa.graph.add_node(ord("A"))
+    node2 = poa.graph.add_node(ord("A"))
+    poa.graph.add_edge(head, node1, 1)
+    poa.graph.add_edge(node1, node2, 1)
+    poa.graph.add_edge(node2, tail, 1)
+    aln = poa.recalculate_alignment(poa.custom(b"TTTTGGAA"))
+    poa.add_alignment(aln, b"TTTTGGAA")
+    assert poa.graph.edge_count() == 14
+    assert poa.graph.find_edge(5, 10) is not None
+    assert poa.graph.find_edge(11, 6) is not None
+
+
+def test_insertion_on_branch():
+    poa = Poa.from_string(_scoring(), b"TTCCGGTTTAA")
+    head, tail = 1, 2
+    n1 = poa.graph.add_node(ord("C"))
+    n2 = poa.graph.add_node(ord("C"))
+    n3 = poa.graph.add_node(ord("C"))
+    poa.graph.add_edge(head, n1, 1)
+    poa.graph.add_edge(n1, n2, 1)
+    poa.graph.add_edge(n2, n3, 1)
+    poa.graph.add_edge(n3, tail, 1)
+    aln = poa.recalculate_alignment(poa.custom(b"TTGGTATGGGAA"))
+    assert aln.score == 2
+    poa.add_alignment(aln, b"TTGGTATGGGAA")
+    aln2 = poa.recalculate_alignment(poa.custom(b"TTGGTTTGCGAA"))
+    assert aln2.score == 10
+
+
+def test_poa_method_chaining():
+    aligner = Aligner(_scoring(), b"TTCCGGTTTAA")
+    aligner.global_(b"TTGGTATGGGAA").add_to_graph().global_(b"TTGGTTTGCGAA")
+    assert aligner.alignment().score == 10
+
+
+def test_edge_cases():
+    # case 1: BBA + AAA
+    aligner = Aligner(_scoring(), b"BBA")
+    aligner.global_(b"AAA").add_to_graph()
+    g = aligner.graph()
+    assert g.node_count() == 5
+    assert bytes(g.weights) == b"BBAAA"
+    edges = {(a, b): w for a, b, w in g.edges}
+    assert edges == {(0, 1): 1, (1, 2): 1, (3, 4): 1, (4, 2): 1}
+    # case 2: AAA + ABA
+    aligner = Aligner(_scoring(), b"AAA")
+    aligner.global_(b"ABA").add_to_graph()
+    g = aligner.graph()
+    assert bytes(g.weights) == b"AAAB"
+    edges = {(a, b): w for a, b, w in g.edges}
+    assert edges == {(0, 1): 1, (1, 2): 1, (0, 3): 1, (3, 2): 1}
+    # case 3: BBBBBAAA + AAA
+    aligner = Aligner(_scoring(), b"BBBBBAAA")
+    aligner.global_(b"AAA").add_to_graph()
+    g = aligner.graph()
+    edges = {(a, b): w for a, b, w in g.edges}
+    assert edges == {
+        (0, 1): 1, (1, 2): 1, (2, 3): 1, (3, 4): 1, (4, 5): 1,
+        (5, 6): 2, (6, 7): 2,
+    }
+    # case 4: AAA + BBBBBAAA
+    aligner = Aligner(_scoring(), b"AAA")
+    aligner.global_(b"BBBBBAAA").add_to_graph()
+    g = aligner.graph()
+    edges = {(a, b): w for a, b, w in g.edges}
+    assert edges == {
+        (0, 1): 2, (1, 2): 2, (3, 4): 1, (4, 5): 1, (5, 6): 1,
+        (6, 7): 1, (7, 0): 1,
+    }
+
+
+def test_consensus():
+    aligner = Aligner(_scoring(), b"GCATGCUx")
+    aligner.global_(b"GCATGCU").add_to_graph()
+    aligner.global_(b"xCATGCU").add_to_graph()
+    assert aligner.consensus() == b"GCATGCUx"
+
+
+def test_global_banded_equals_unbanded():
+    s1 = b"TGGCATGCTCAAGGACCGTTGAATACTATCTTAATGGACCGCAAGCTCCCTGAAGGTGGGCCACATTCGAGGGCC"
+    s2 = b"TGGCTACATGCTCAAGCATCGTTGAAGCTCATCTTAATGGACCGCAACGGCCGCCTGAAGGTGGGACACGTGACG"
+    s3 = b"TGGCATGCTCAAGGAGTGCTGAAGCTCATTTTAATGGACCGCAACGGCCGCCTGAAGGTGGGGCACGTGACGGGC"
+    scoring = Scoring.from_scores(-2, -2, 2, -4)
+    ab = Aligner(scoring, s1)
+    ab.global_banded(s2, 25).add_to_graph()
+    ab.global_banded(s3, 25)
+    au = Aligner(Scoring.from_scores(-2, -2, 2, -4), s1)
+    au.global_(s2).add_to_graph()
+    au.global_(s3)
+    assert ab.alignment().operations == au.alignment().operations
+
+
+def test_xclip_prefix_custom():
+    scoring = _scoring(go=-5, ge=-1).xclip(-5)
+    aligner = Aligner(scoring, b"GGGGGGATG")
+    aln = aligner.custom(b"ATG").alignment()
+    assert aln.operations == [
+        XclipOp(0), MatchOp((5, 6)), MatchOp((6, 7)), MatchOp((7, 8)),
+    ]
+
+
+def test_yclip_prefix_custom():
+    scoring = _scoring(go=-5, ge=-1).yclip(-5)
+    aligner = Aligner(scoring, b"ATG")
+    aln = aligner.custom(b"GGGGGGATG").alignment()
+    assert aln.operations == [
+        YclipOp(0, 6), MatchOp(None), MatchOp((0, 1)), MatchOp((1, 2)),
+    ]
+
+
+def test_xclip_suffix_custom():
+    scoring = _scoring(go=-5, ge=-1).xclip(0).yclip(0)
+    aligner = Aligner(scoring, b"GAAAA")
+    aln = aligner.custom(b"CG").alignment()
+    assert aln.operations == [YclipOp(0, 1), MatchOp(None), XclipOp(1)]
+
+
+def test_yclip_suffix_custom():
+    scoring = Scoring.new(-5, -1, lambda a, b: 3 if a == b else -3).yclip(-5).xclip(0)
+    aligner = Aligner(scoring, b"CG")
+    aln = aligner.custom(b"GAAAA").alignment()
+    assert aln.operations == [XclipOp(0), MatchOp((0, 1)), YclipOp(1, 5)]
