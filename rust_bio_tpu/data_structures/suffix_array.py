@@ -86,6 +86,10 @@ def _sa_prefix_doubling(rank0: np.ndarray) -> np.ndarray:
 def suffix_array(text) -> RawSuffixArray:
     """Suffix array of a sentinel-terminated text (multi-sentinel allowed).
 
+    Construction uses the native O(n) SAIS kernel (native/biotpu.cpp) when
+    available, falling back to the numpy prefix-doubling sort. Both paths
+    produce identical arrays (property-tested).
+
     Reference: suffix_array.rs:264-289. Example:
 
     >>> list(suffix_array(b"GCCTTAACATTATTACGCCTA$"))[:5]
@@ -97,7 +101,13 @@ def suffix_array(text) -> RawSuffixArray:
         return np.zeros(0, dtype=np.int64)
     alphabet = Alphabet(arr.tobytes())
     sc = _sentinel_count(arr)
-    return _sa_prefix_doubling(transform_text(arr, alphabet, sc))
+    transformed = transform_text(arr, alphabet, sc)
+    from rust_bio_tpu import native
+
+    sa = native.sais(transformed, int(transformed.max()) + 1)
+    if sa is not None:
+        return sa
+    return _sa_prefix_doubling(transformed)
 
 
 def suffix_array_int(text: Sequence[int]) -> RawSuffixArray:

@@ -1,0 +1,121 @@
+"""ctypes bindings for the native host kernels (native/biotpu.cpp).
+
+The shared library is compiled on first use (g++ -O3, cached next to the
+source) and every entry point has a pure-Python/numpy fallback, so the
+framework works without a toolchain — just slower on index builds.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(os.path.dirname(_HERE), "native", "biotpu.cpp")
+_LIB_PATH = os.path.join(os.path.dirname(_HERE), "native", "libbiotpu.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> Optional[str]:
+    if not os.path.exists(_SRC):
+        return None
+    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
+        return _LIB_PATH
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-march=native", "-shared", "-fPIC",
+                "-o", _LIB_PATH, _SRC,
+            ],
+            check=True,
+            capture_output=True,
+        )
+        return _LIB_PATH
+    except Exception:
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded library, or None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        path = _build()
+        if path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            return None
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.sais_i64.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64, i64p]
+        lib.sais_i64.restype = None
+        lib.myers_distance_u64.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
+        lib.myers_distance_u64.restype = ctypes.c_int64
+        lib.hamming_u8.argtypes = [u8p, u8p, ctypes.c_int64]
+        lib.hamming_u8.restype = ctypes.c_int64
+        lib.bytecount_u8.argtypes = [u8p, ctypes.c_int64, ctypes.c_uint8]
+        lib.bytecount_u8.restype = ctypes.c_int64
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def sais(transformed: np.ndarray, alphabet_size: int) -> Optional[np.ndarray]:
+    """O(n) suffix array of an int64 text, or None if native unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    t = np.ascontiguousarray(transformed, dtype=np.int64)
+    n = len(t)
+    sa = np.empty(n, dtype=np.int64)
+    lib.sais_i64(
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        int(alphabet_size),
+        sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return sa
+
+
+def levenshtein(a: bytes, b: bytes) -> Optional[int]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    aa = np.frombuffer(a, dtype=np.uint8)
+    bb = np.frombuffer(b, dtype=np.uint8)
+    return int(
+        lib.myers_distance_u64(
+            aa.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(a),
+            bb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(b),
+        )
+    )
+
+
+def hamming(a: bytes, b: bytes) -> Optional[int]:
+    lib = get_lib()
+    if lib is None or len(a) != len(b):
+        return None
+    aa = np.frombuffer(a, dtype=np.uint8)
+    bb = np.frombuffer(b, dtype=np.uint8)
+    return int(
+        lib.hamming_u8(
+            aa.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            bb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(a),
+        )
+    )

@@ -1,0 +1,58 @@
+"""Native kernels vs Python oracles."""
+
+import numpy as np
+import pytest
+
+from rust_bio_tpu import native
+from rust_bio_tpu.alignment.distance import hamming, levenshtein
+from rust_bio_tpu.data_structures.suffix_array import (
+    _sa_prefix_doubling,
+    _sentinel_count,
+    suffix_array,
+    transform_text,
+)
+from rust_bio_tpu.alphabets import Alphabet
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native toolchain unavailable"
+)
+
+
+def test_native_sais_matches_doubling():
+    rng = np.random.default_rng(0)
+    for trial in range(25):
+        n = int(rng.integers(2, 500))
+        nseq = int(rng.integers(1, 4))
+        parts = [
+            rng.choice(list(b"ACGTN"), size=max(n // nseq, 1)).astype("uint8").tobytes()
+            for _ in range(nseq)
+        ]
+        text = b"$".join(parts) + b"$"
+        arr = np.frombuffer(text, dtype=np.uint8)
+        alphabet = Alphabet(text)
+        sc = _sentinel_count(arr)
+        tr = transform_text(arr, alphabet, sc)
+        want = _sa_prefix_doubling(tr)
+        got = native.sais(tr, int(tr.max()) + 1)
+        np.testing.assert_array_equal(got, want, err_msg=str(text))
+
+
+def test_native_sais_golden():
+    assert list(suffix_array(b"GCCTTAACATTATTACGCCTA$")) == [
+        21, 20, 5, 6, 14, 11, 8, 7, 17, 1, 15, 18, 2, 16, 0, 19, 4, 13, 10, 3, 12, 9,
+    ]
+
+
+def test_native_levenshtein():
+    rng = np.random.default_rng(1)
+    for _ in range(40):
+        a = rng.choice(list(b"ACGT"), size=int(rng.integers(1, 300))).astype("uint8").tobytes()
+        b = rng.choice(list(b"ACGT"), size=int(rng.integers(1, 300))).astype("uint8").tobytes()
+        assert native.levenshtein(a, b) == levenshtein(a, b)
+
+
+def test_native_hamming():
+    rng = np.random.default_rng(2)
+    a = rng.choice(list(b"ACGT"), size=257).astype("uint8").tobytes()
+    b = rng.choice(list(b"ACGT"), size=257).astype("uint8").tobytes()
+    assert native.hamming(a, b) == hamming(a, b)
