@@ -1,0 +1,151 @@
+"""Data-parallel read pipelines over a device mesh.
+
+The scale-out story (SURVEY §2.7, §5.8): read batches are sharded on the
+'data' mesh axis; indexes (score LUTs, FM-index rank arrays) are replicated
+per device; per-shard results come back as one sharded array (XLA inserts
+the ICI collectives). On one host with N devices this runs SPMD via
+``jax.jit`` + ``NamedSharding``; across hosts the same code runs under
+``jax.distributed.initialize`` with DCN carrying only the final gathers.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rust_bio_tpu import parallel
+from rust_bio_tpu.alignment.pairwise.batched import _align_batch_device
+from rust_bio_tpu.alignment.pairwise.scoring import MIN_SCORE, Scoring
+
+
+def _pad_to_multiple(arrs, lens, multiple: int):
+    B = arrs.shape[0]
+    rem = (-B) % multiple
+    if rem == 0:
+        return arrs, lens, B
+    pad_arr = np.zeros((rem,) + arrs.shape[1:], dtype=arrs.dtype)
+    pad_len = np.zeros(rem, dtype=lens.dtype)
+    return (
+        np.concatenate([arrs, pad_arr]),
+        np.concatenate([lens, pad_len]),
+        B,
+    )
+
+
+class ShardedAligner:
+    """Batched SW aligner sharded over the mesh's 'data' axis.
+
+    Scores (and optionally full tracebacks) for arbitrarily large read
+    batches; lanes are padded to a multiple of the data-axis size and
+    masked by length, so results are identical to the single-device kernel.
+    """
+
+    def __init__(self, scoring: Scoring, mesh=None) -> None:
+        self.scoring = scoring
+        self.mesh = mesh if mesh is not None else parallel.make_mesh()
+        self._lut = jax.device_put(
+            jnp.asarray(scoring.dense_lut()),
+            parallel.replicated_sharding(self.mesh),
+        )
+
+    def _pen(self, clips):
+        s = self.scoring
+        return jax.device_put(
+            jnp.asarray(
+                np.array([s.gap_open, s.gap_extend, *clips], np.int32)
+            ),
+            parallel.replicated_sharding(self.mesh),
+        )
+
+    def scores(self, xb, yb, mlens, nlens, mode: str = "global") -> np.ndarray:
+        """(B,) alignment scores, sharded execution over the mesh."""
+        clips = {
+            "global": (MIN_SCORE, MIN_SCORE, MIN_SCORE, MIN_SCORE),
+            "semiglobal": (MIN_SCORE, MIN_SCORE, 0, 0),
+            "local": (0, 0, 0, 0),
+            "custom": (
+                self.scoring.xclip_prefix,
+                self.scoring.xclip_suffix,
+                self.scoring.yclip_prefix,
+                self.scoring.yclip_suffix,
+            ),
+        }[mode]
+        n_data = self.mesh.shape["data"]
+        xb = np.asarray(xb, dtype=np.uint8)
+        yb = np.asarray(yb, dtype=np.uint8)
+        mlens = np.asarray(mlens, dtype=np.int32)
+        nlens = np.asarray(nlens, dtype=np.int32)
+        xb, mlens, B = _pad_to_multiple(xb, mlens, n_data)
+        yb, nlens, _ = _pad_to_multiple(yb, nlens, n_data)
+        xb_d, yb_d, ml_d, nl_d = parallel.shard_batch(
+            self.mesh, xb, yb, mlens, nlens
+        )
+        pen = self._pen(clips)
+
+        out = _align_batch_device(
+            xb_d, yb_d, ml_d, nl_d, self._lut, pen, with_traceback=False
+        )
+        return np.asarray(out["score"])[:B]
+
+
+class ShardedFMIndex:
+    """Replicated FM-index searched over a sharded pattern batch.
+
+    The packed rank arrays (DeviceFMIndex) are replicated on every device;
+    the pattern batch is sharded on 'data'. For genomes exceeding one
+    device's HBM the Occ table would instead be sharded on 'model' with
+    partial-interval exchange — the mesh axes are already laid out for it.
+    """
+
+    def __init__(self, device_index, mesh=None) -> None:
+        self.index = device_index
+        self.mesh = mesh if mesh is not None else parallel.make_mesh()
+        repl = parallel.replicated_sharding(self.mesh)
+        for name in ("bits", "ckpt", "less", "sym_of", "bwt_bytes"):
+            setattr(
+                self.index, name, jax.device_put(getattr(self.index, name), repl)
+            )
+        if self.index.sa_sample is not None:
+            self.index.sa_sample = jax.device_put(self.index.sa_sample, repl)
+
+    def backward_search_batch(self, patterns: Sequence) -> List:
+        from rust_bio_tpu.utils.text import to_array
+
+        pats = [to_array(p) for p in patterns]
+        B = len(pats)
+        n_data = self.mesh.shape["data"]
+        L = max((len(p) for p in pats), default=1) or 1
+        Bp = B + ((-B) % n_data)
+        pb = np.zeros((Bp, L), dtype=np.uint8)
+        plens = np.zeros(Bp, dtype=np.int32)
+        for i, p in enumerate(pats):
+            pb[i, : len(p)] = p
+            plens[i] = len(p)
+        pb_d, pl_d = parallel.shard_batch(self.mesh, pb, plens)
+        status, lower, upper, mlen = jax.tree.map(
+            np.asarray, self.index._search_kernel(pb_d, pl_d)
+        )
+        from rust_bio_tpu.data_structures.fmindex import (
+            BackwardSearchResult,
+            Interval,
+        )
+        from rust_bio_tpu.data_structures.fm_device import ABSENT, COMPLETE, PARTIAL
+
+        out = []
+        for i in range(B):
+            if status[i] == COMPLETE:
+                out.append(
+                    BackwardSearchResult.complete(Interval(int(lower[i]), int(upper[i])))
+                )
+            elif status[i] == PARTIAL:
+                out.append(
+                    BackwardSearchResult.partial(
+                        Interval(int(lower[i]), int(upper[i])), int(mlen[i])
+                    )
+                )
+            else:
+                out.append(BackwardSearchResult.absent())
+        return out
