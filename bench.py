@@ -39,14 +39,45 @@ def _cpu_baseline_rate(B=512, M=150, N=150, iters=3) -> float:
     return float(out.stdout.strip())
 
 
+def _fm_queries_per_s() -> float:
+    """Secondary stat: batched FM-index backward searches per second."""
+    import jax.numpy as jnp
+
+    from rust_bio_tpu.alphabets import dna
+    from rust_bio_tpu.data_structures.bwt import bwt
+    from rust_bio_tpu.data_structures.fm_device import DeviceFMIndex
+    from rust_bio_tpu.data_structures.suffix_array import suffix_array
+
+    rng = np.random.default_rng(11)
+    text = rng.choice(list(b"ACGT"), size=100_000).astype(np.uint8).tobytes() + b"$"
+    sa = suffix_array(text)
+    idx = DeviceFMIndex(bwt(text, sa), dna.n_alphabet())
+    B, L = 65536, 20
+    pats = np.zeros((B, L), dtype=np.uint8)
+    starts = rng.integers(0, len(text) - L - 1, size=B)
+    tarr = np.frombuffer(text, dtype=np.uint8)
+    for i, s in enumerate(starts):
+        pats[i] = tarr[s : s + L]
+    plens = np.full(B, L, dtype=np.int32)
+    pats_d, plens_d = jnp.asarray(pats), jnp.asarray(plens)
+    out = idx._search_kernel(pats_d, plens_d)
+    _ = np.asarray(out[0]).sum()
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = idx._search_kernel(pats_d, plens_d)
+        _ = np.asarray(out[0]).sum()  # forces full sync
+    dt = (time.perf_counter() - t0) / iters
+    return B / dt
+
+
 def main() -> None:
-    import jax
     import jax.numpy as jnp
 
     from rust_bio_tpu.alignment.pairwise.batched import _align_batch_device
     from rust_bio_tpu.alignment.pairwise.scoring import MIN_SCORE, Scoring
 
-    B, M, N = 4096, 150, 150
+    B, M, N = 8192, 150, 150
     rng = np.random.default_rng(7)
     xb = jnp.asarray(rng.integers(0, 4, size=(B, M)).astype(np.uint8) + ord("A"))
     yb = jnp.asarray(rng.integers(0, 4, size=(B, N)).astype(np.uint8) + ord("A"))
@@ -61,8 +92,9 @@ def main() -> None:
 
     def run():
         out = _align_batch_device(xb, yb, mlens, nlens, lut, pen)
-        jax.block_until_ready(out)
-        return out
+        # np.asarray forces a full device->host sync (block_until_ready is
+        # not reliable through the axon tunnel)
+        return int(np.asarray(out["score"]).sum())
 
     run()  # compile + warmup
     iters = 5
@@ -78,6 +110,12 @@ def main() -> None:
         print(f"cpu baseline failed: {e}", file=sys.stderr)
         cpu_rate = float("nan")
 
+    try:
+        fm_rate = round(_fm_queries_per_s(), 2)
+    except Exception as e:
+        print(f"fm bench failed: {e}", file=sys.stderr)
+        fm_rate = None
+
     print(
         json.dumps(
             {
@@ -87,6 +125,7 @@ def main() -> None:
                 "vs_baseline": round(rate / cpu_rate, 3)
                 if cpu_rate == cpu_rate
                 else None,
+                "fm_index_queries_per_s": fm_rate,
             }
         )
     )

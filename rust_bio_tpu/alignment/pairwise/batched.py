@@ -125,10 +125,24 @@ def _align_batch_device(
     mlens_c = mlens[:, None]
     is_row_m = (rows == mlens_c) & (mlens_c >= 1)
 
-    # substitution scores for all cells: subs[b, i-1, j-1]
-    subs = lut[xb.astype(I32)[:, :, None], yb.astype(I32)[:, None, :]]
-    subs = subs.astype(I32)  # (B, M, N)
-    eq = (xb[:, :, None] == yb[:, None, :])  # (B, M, N)
+    # Substitution scores subs[b, i-1, j-1] via one-hot einsum on the MXU:
+    # a direct (256,256) LUT gather over (B, M, N) is pathologically slow on
+    # TPU (gathers scalarize); instead recode symbols to dense ranks over the
+    # symbols actually present and contract one-hot encodings against the
+    # compacted score table. f32 keeps i32 scores exact up to 2^24.
+    syms = jnp.unique(
+        jnp.concatenate([xb.ravel(), yb.ravel()]), size=32, fill_value=0
+    )  # (32,) uint8; padded duplicates are harmless (callers guard sigma<=32)
+    small_lut = lut[syms.astype(I32)[:, None], syms.astype(I32)[None, :]]
+    onehot_x = (xb[:, :, None] == syms[None, None, :]).astype(jnp.float32)
+    onehot_y = (yb[:, :, None] == syms[None, None, :]).astype(jnp.float32)
+    subs = jnp.einsum(
+        "bms,st,bnt->bmn",
+        onehot_x,
+        small_lut.astype(jnp.float32),
+        onehot_y,
+        preferred_element_type=jnp.float32,
+    ).astype(I32)  # (B, M, N)
 
     # ---------------- init column (j = 0) ----------------
     # I_init: i==1 -> go; else max(go+ge*(i-1), xcp+go) (ties -> clip)
@@ -187,7 +201,8 @@ def _align_batch_device(
     # ---------------- column scan ----------------
     def column_step(carry, xs):
         S_prev, D_prev, sbits_prev, I_prev, Sn, Ly, tb_prev = carry
-        j, subs_col, eq_col = xs  # j: scalar int32; subs/eq: (B, M)
+        j, subs_col, y_col = xs  # j: scalar; subs_col: (B, M); y_col: (B,)
+        eq_col = xb == y_col[:, None]  # (B, M)
         active = (j <= nlens)  # (B,)
         is_last = (j == nlens)
 
@@ -271,7 +286,11 @@ def _align_batch_device(
             S_col + xcs, row_ge1 & (rows <= mlens_c - 1)
         )
         Lx_j = jnp.where(updA & active, mlens - firstA, 0).astype(I32)
-        take_m = lambda a: jnp.take_along_axis(a, mlens_c, axis=1)[:, 0]
+        # masked reduction instead of take_along_axis: per-step gathers are
+        # slow on TPU, a lane-masked max over the row axis is a vector op
+        take_m = lambda a: jnp.max(
+            jnp.where(is_row_m, a, _SENTINEL), axis=1
+        )
         S_m, s_bits_m = _priority_max(
             jnp.where(updA, accA, MIN),
             jnp.full((B,), TB_XCLIP_SUFFIX, dtype=I32),
@@ -334,7 +353,7 @@ def _align_batch_device(
 
     carry0 = (S0, D0, s_bits0, jnp.full((B, M + 1), MIN, dtype=I32), Sn0, Ly0, tb_col0)
     js = jnp.arange(1, N + 1, dtype=I32)
-    xs = (js, jnp.moveaxis(subs, 2, 0), jnp.moveaxis(eq, 2, 0))
+    xs = (js, jnp.moveaxis(subs, 2, 0), jnp.moveaxis(yb, 1, 0))
     (S_f, D_f, sbits_f, I_f, Sn_f, Ly_f, tb_f), (tb_cols, Lx_cols) = lax.scan(
         column_step, carry0, xs
     )
