@@ -20,4 +20,16 @@ L6 alignment/pattern_matching/stats/seq_analysis.
 
 __version__ = "0.1.0"
 
-from rust_bio_tpu import alphabets, utils  # noqa: F401
+from rust_bio_tpu import (  # noqa: F401
+    alignment,
+    alphabets,
+    data_structures,
+    io,
+    parallel,
+    pattern_matching,
+    scores,
+    seq_analysis,
+    stats,
+    types,
+    utils,
+)

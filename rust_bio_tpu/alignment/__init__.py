@@ -1,5 +1,7 @@
 """Sequence alignment algorithms (reference parity: src/alignment/)."""
 
+from rust_bio_tpu.alignment import distance, poa, sparse  # noqa: F401
+from rust_bio_tpu.alignment.pairwise import banded  # noqa: F401
 from rust_bio_tpu.alignment.types import (
     Alignment,
     AlignmentMode,

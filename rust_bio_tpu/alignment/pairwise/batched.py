@@ -451,12 +451,15 @@ def _align_batch_device(
     T_steps = M + N + 8
     tb_flat = tb_full.reshape(B, (M + 1) * (N + 1))
 
+    # one gather per step: the next step's layer is resolved from the cell
+    # gathered at that step (use_s), or carried from this cell's I/D bits
     def walk_step(state, _):
-        i, j, layer, xstart, ystart, xend, yend, done = state
+        i, j, carried, use_s, xstart, ystart, xend, yend, done = state
         cell = jnp.take_along_axis(
             tb_flat, (i * (N + 1) + j)[:, None], axis=1
         )[:, 0]
         ib, db, sb = _unpack(cell)
+        layer = jnp.where(use_s, sb, carried)
         lx = jnp.take_along_axis(Lx_full, j[:, None], axis=1)[:, 0]
         ly = jnp.take_along_axis(Ly_f, i[:, None], axis=1)[:, 0]
 
@@ -493,19 +496,15 @@ def _align_batch_device(
         ystart = jnp.where(is_yp & ~done, j, ystart)
         yend = jnp.where(is_ys & ~done, new_j, yend)
 
-        cell2 = jnp.take_along_axis(
-            tb_flat, (new_i * (N + 1) + new_j)[:, None], axis=1
-        )[:, 0]
-        _, _, sb2w = _unpack(cell2)
-        next_layer = jnp.where(
-            is_ins, ib, jnp.where(is_del, db, sb2w)
-        )
         new_done = done | (layer == TB_START)
-        next_layer = jnp.where(new_done, TB_START, next_layer)
+        next_carried = jnp.where(is_ins, ib, db)
+        next_use_s = ~(is_ins | is_del) | new_done
+        next_carried = jnp.where(new_done, TB_START, next_carried)
         return (
             new_i,
             new_j,
-            next_layer,
+            next_carried,
+            next_use_s,
             xstart,
             ystart,
             xend,
@@ -513,21 +512,18 @@ def _align_batch_device(
             new_done,
         ), (op_code, op_len)
 
-    init_layer = jnp.take_along_axis(
-        tb_flat, (mlens * (N + 1) + nlens)[:, None], axis=1
-    )[:, 0]
-    init_layer = _unpack(init_layer)[2]
     state0 = (
         mlens,
         nlens,
-        init_layer,
+        jnp.full(B, TB_START, I32),
+        jnp.ones(B, bool),  # first step reads the s-bits at (m, n)
         jnp.zeros(B, I32),
         jnp.zeros(B, I32),
         mlens,
         nlens,
         jnp.zeros(B, bool),
     )
-    (fi, fj, _, xstart, ystart, xend, yend, done), (op_codes, op_lens) = lax.scan(
+    (fi, fj, _, _, xstart, ystart, xend, yend, done), (op_codes, op_lens) = lax.scan(
         walk_step, state0, None, length=T_steps
     )
 

@@ -5,4 +5,13 @@ TPU-native redesign of the reference's ``src/pattern_matching/``
 kernels for the throughput paths (``myers_device``).
 """
 
+from rust_bio_tpu.pattern_matching import (  # noqa: F401
+    bndm,
+    bom,
+    horspool,
+    kmp,
+    pssm,
+    shift_and,
+    ukkonen,
+)
 from rust_bio_tpu.pattern_matching.myers import Myers, MyersBuilder  # noqa: F401

@@ -10,4 +10,4 @@ from rust_bio_tpu.stats.probs import (  # noqa: F401
     PHREDProb,
     Prob,
 )
-from rust_bio_tpu.stats import combinatorics  # noqa: F401
+from rust_bio_tpu.stats import bayesian, combinatorics, hmm, pairhmm  # noqa: F401
