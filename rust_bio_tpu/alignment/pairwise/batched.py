@@ -66,10 +66,12 @@ MIN = MIN_SCORE
 
 
 def _pack(i_bits, d_bits, s_bits):
-    return i_bits | (d_bits << 4) | (s_bits << 8)
+    """12-bit cell packed into uint16 (halves traceback HBM traffic)."""
+    return (i_bits | (d_bits << 4) | (s_bits << 8)).astype(jnp.uint16)
 
 
 def _unpack(cell):
+    cell = cell.astype(I32)
     return cell & 0xF, (cell >> 4) & 0xF, (cell >> 8) & 0xF
 
 
