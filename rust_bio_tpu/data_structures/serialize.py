@@ -1,0 +1,90 @@
+"""Index persistence: build once, memory-map forever.
+
+The reference gets this via serde derives on every index structure
+(SURVEY §5: Occ bwt.rs:76, FMIndex fmindex.rs:213, SampledSuffixArray
+suffix_array.rs:125). Here the packed arrays are written as a single
+``.npz`` artifact with a version + content-hash header; device indexes are
+rehydrated straight into HBM via ``jax.device_put`` per shard.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Optional
+
+import numpy as np
+
+FORMAT_VERSION = 1
+
+
+def _content_hash(arrays: dict) -> str:
+    h = hashlib.sha256()
+    for key in sorted(arrays):
+        h.update(key.encode())
+        h.update(np.ascontiguousarray(arrays[key]).tobytes())
+    return h.hexdigest()[:16]
+
+
+def save_fm_index(path, device_index) -> None:
+    """Persist a DeviceFMIndex's packed arrays (npz, versioned + hashed)."""
+    arrays = {
+        "bits": np.asarray(device_index.bits),
+        "ckpt": np.asarray(device_index.ckpt),
+        "less": np.asarray(device_index.less),
+        "sym_of": np.asarray(device_index.sym_of),
+        "bwt_bytes": np.asarray(device_index.bwt_bytes),
+    }
+    if device_index.sa_sample is not None:
+        arrays["sa_sample"] = np.asarray(device_index.sa_sample)
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "kind": "fm_index",
+        "n": int(device_index.n),
+        "s": int(device_index.s),
+        "sentinel": int(device_index.sentinel),
+        "symbols": list(device_index.symbols),
+        "hash": _content_hash(arrays),
+    }
+    np.savez_compressed(
+        path, __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        **arrays,
+    )
+
+
+def load_fm_index(path, verify: bool = True):
+    """Rehydrate a DeviceFMIndex; arrays go straight to device HBM."""
+    import jax.numpy as jnp
+
+    from rust_bio_tpu.data_structures.fm_device import DeviceFMIndex
+
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        assert meta["format_version"] == FORMAT_VERSION, (
+            f"unsupported index format {meta['format_version']}"
+        )
+        assert meta["kind"] == "fm_index"
+        arrays = {k: z[k] for k in z.files if k != "__meta__"}
+    if verify:
+        got = _content_hash(arrays)
+        assert got == meta["hash"], (
+            f"index artifact corrupted: hash {got} != {meta['hash']}"
+        )
+
+    idx = DeviceFMIndex.__new__(DeviceFMIndex)
+    idx.n = meta["n"]
+    idx.s = meta["s"]
+    idx.sentinel = meta["sentinel"]
+    idx.symbols = list(meta["symbols"])
+    idx.bits = jnp.asarray(arrays["bits"])
+    idx.ckpt = jnp.asarray(arrays["ckpt"])
+    idx.less = jnp.asarray(arrays["less"])
+    idx.sym_of = jnp.asarray(arrays["sym_of"])
+    idx.bwt_bytes = jnp.asarray(arrays["bwt_bytes"])
+    idx.bwt_sym = jnp.asarray(
+        np.asarray(arrays["sym_of"])[np.asarray(arrays["bwt_bytes"])]
+    )
+    idx.sa_sample = (
+        jnp.asarray(arrays["sa_sample"]) if "sa_sample" in arrays else None
+    )
+    return idx

@@ -181,3 +181,29 @@ def test_random_vs_full_metamorphic():
                 y.insert(p, ord("ACGT"[rng.integers(0, 4)]))
         y = bytes(y)
         _compare_all_modes(x, y)
+
+
+def test_rescore_metamorphic_oracle():
+    """Port of the fuzz target's self-validating re-scoring oracle."""
+    from rust_bio_tpu.alignment.validate import validate_alignment_score
+
+    rng = np.random.default_rng(21)
+    scoring = Scoring.from_scores(-5, -1, 1, -1)
+    for _ in range(8):
+        n = int(rng.integers(50, 150))
+        x = rng.choice(list(b"ACGT"), size=n).astype("uint8").tobytes()
+        y = bytearray(x)
+        for _ in range(int(rng.integers(0, 8))):
+            p = int(rng.integers(0, len(y)))
+            y[p] = ord("ACGT"[rng.integers(0, 4)])
+        y = bytes(y)
+        full = FullAligner.with_scoring(scoring)
+        for mode in ("global_", "semiglobal", "local"):
+            aln = getattr(full, mode)(x, y)
+            # clip filtering removes mode-implied clips; re-score path core
+            assert validate_alignment_score(aln, x, y, scoring), (mode, x, y)
+        banded = BandedAligner(scoring.with_clips(0, 0, 0, 0), 10, 10)
+        aln = banded.custom(x, y)
+        assert validate_alignment_score(
+            aln, x, y, scoring.with_clips(0, 0, 0, 0)
+        )

@@ -142,3 +142,46 @@ def test_device_occ_matches_host():
         want = np.array([occ.get(b, int(r), a) for r in rs])
         got = np.asarray(dev.occ(rs, np.full_like(rs, a)))
         np.testing.assert_array_equal(got, want)
+
+
+def test_index_serialization_roundtrip(tmp_path):
+    from rust_bio_tpu.data_structures.serialize import load_fm_index, save_fm_index
+
+    rng = np.random.default_rng(9)
+    text = _random_text(rng, 300)
+    sa, b, l, occ, fm = _build(text, k=32)
+    dev = DeviceFMIndex(b, dna.n_alphabet(), sa=sa, sampling_rate=4)
+    path = tmp_path / "genome.fmidx.npz"
+    save_fm_index(path, dev)
+    back = load_fm_index(path)
+
+    pats = [text[10:25], text[100:140], b"ACGTACGTAC"]
+    got = back.backward_search_batch(pats)
+    want = dev.backward_search_batch(pats)
+    for g, w in zip(got, want):
+        assert g.kind == w.kind and g.interval == w.interval
+    rows = np.arange(len(sa), dtype=np.int32)
+    np.testing.assert_array_equal(back.locate_batch(rows), dev.locate_batch(rows))
+
+
+def test_index_serialization_detects_corruption(tmp_path):
+    import json
+    import zipfile
+
+    from rust_bio_tpu.data_structures.serialize import load_fm_index, save_fm_index
+
+    rng = np.random.default_rng(10)
+    text = _random_text(rng, 100)
+    sa, b, l, occ, fm = _build(text, k=32)
+    dev = DeviceFMIndex(b, dna.n_alphabet())
+    path = tmp_path / "idx.npz"
+    save_fm_index(path, dev)
+    # flip bytes in one member to simulate corruption
+    import numpy as _np
+    with _np.load(path) as z:
+        arrays = {k: z[k] for k in z.files}
+    arrays["less"] = arrays["less"].copy()
+    arrays["less"][65] += 1
+    _np.savez_compressed(path, **arrays)
+    with pytest.raises(AssertionError):
+        load_fm_index(path)
