@@ -10,10 +10,17 @@ TPU-native re-design of the reference's column-major sequential DP
   a parallel prefix scan ``I[i] = cummax(T[i] - i*ge) + i*ge``.
 - **Columns via lax.scan**: the j loop is a single fused scan; per-pair
   length masking freezes a pair's carried state once ``j > n_i`` so padded
-  batches stay bit-exact.
+  batches stay bit-exact. With constant match/mismatch scoring the column
+  scan instead runs as a Pallas kernel (ops/sw_pallas.py) that keeps the
+  DP state VMEM-resident.
 - **Bitpacked traceback in HBM**: 12-bit cells (I/D/S layers, 4 bits each,
-  same encoding as the reference's TracebackCell) written per column; the
-  traceback is a batched lockstep walk (one gather per step per pair).
+  same encoding as the reference's TracebackCell) in uint16, written per
+  column; the traceback is a batched lockstep walk (one gather per step).
+
+The stages are factored so both scan engines share the exact same prelude
+(init column) and postlude (suffix fixups, traceback assembly, walk):
+``_init_column`` → ``_scan_columns_xla`` | Pallas → ``_suffix_fixups`` →
+``_walk``.
 
 Exactness: candidate evaluation order, strict-> tie-breaking, the row-``m``
 suffix-clip accumulator, the ``j == n`` boundary branch and both post-loop
@@ -47,7 +54,11 @@ from rust_bio_tpu.alignment.types import (
     Xclip,
     Yclip,
 )
-from rust_bio_tpu.alignment.pairwise.scoring import MIN_SCORE, Scoring
+from rust_bio_tpu.alignment.pairwise.scoring import (
+    MIN_SCORE,
+    MatchParams,
+    Scoring,
+)
 from rust_bio_tpu.alignment.pairwise.scalar import (
     TB_DEL,
     TB_INS,
@@ -108,37 +119,21 @@ def _first_argmax_acc(vals, mask):
     return best, first, updated
 
 
-@partial(jax.jit, static_argnames=("with_traceback",))
-def _align_batch_device(
-    xb,  # (B, M) uint8 padded query batch
-    yb,  # (B, N) uint8 padded reference batch
-    mlens,  # (B,) int32
-    nlens,  # (B,) int32
-    lut,  # (256, 256) int32 substitution LUT
-    penalties,  # (6,) int32: go, ge, xcp, xcs, ycp, ycs
-    with_traceback: bool = True,
-):
-    B, M = xb.shape
-    N = yb.shape[1]
-    go, ge, xcp, xcs, ycp, ycs = [penalties[k] for k in range(6)]
+def _subs_einsum(xb, yb, lut):
+    """Substitution scores subs[b, i-1, j-1] via one-hot einsum on the MXU.
 
-    rows = lax.broadcasted_iota(I32, (B, M + 1), 1)  # i index per row
-    row_ge1 = rows >= 1
-    mlens_c = mlens[:, None]
-    is_row_m = (rows == mlens_c) & (mlens_c >= 1)
-
-    # Substitution scores subs[b, i-1, j-1] via one-hot einsum on the MXU:
-    # a direct (256,256) LUT gather over (B, M, N) is pathologically slow on
-    # TPU (gathers scalarize); instead recode symbols to dense ranks over the
-    # symbols actually present and contract one-hot encodings against the
-    # compacted score table. f32 keeps i32 scores exact up to 2^24.
+    A direct (256,256) LUT gather over (B, M, N) is pathologically slow on
+    TPU (gathers scalarize); instead recode symbols to dense ranks over the
+    symbols actually present and contract one-hot encodings against the
+    compacted score table. f32 keeps i32 scores exact up to 2^24.
+    """
     syms = jnp.unique(
         jnp.concatenate([xb.ravel(), yb.ravel()]), size=32, fill_value=0
     )  # (32,) uint8; padded duplicates are harmless (callers guard sigma<=32)
     small_lut = lut[syms.astype(I32)[:, None], syms.astype(I32)[None, :]]
     onehot_x = (xb[:, :, None] == syms[None, None, :]).astype(jnp.float32)
     onehot_y = (yb[:, :, None] == syms[None, None, :]).astype(jnp.float32)
-    subs = jnp.einsum(
+    return jnp.einsum(
         "bms,st,bnt->bmn",
         onehot_x,
         small_lut.astype(jnp.float32),
@@ -146,7 +141,11 @@ def _align_batch_device(
         preferred_element_type=jnp.float32,
     ).astype(I32)  # (B, M, N)
 
-    # ---------------- init column (j = 0) ----------------
+
+def _init_column(B, M, rows, row_ge1, mlens, nlens, mlens_c, is_row_m, pens):
+    """The j = 0 init column (reference custom() :597-672)."""
+    go, ge, xcp, xcs, ycp, ycs = pens
+
     # I_init: i==1 -> go; else max(go+ge*(i-1), xcp+go) (ties -> clip)
     gap_i = go + ge * (rows - 1)
     clip_i = xcp + go
@@ -195,152 +194,177 @@ def _align_batch_device(
     Sn0 = jnp.where(upd_sn, S0 + ycs, Sn0)
 
     tb_col0 = _pack(i_bits0, jnp.full((B, M + 1), TB_START, dtype=I32), s_bits0)
-
     D0 = jnp.full((B, M + 1), MIN, dtype=I32)
+    return S0, D0, s_bits0, Sn0, Ly0, tb_col0, Lx0
 
-    yclip_row = ycp + go + ge * (rows - 1)  # (B, M+1), valid rows >= 1
 
-    # ---------------- column scan ----------------
+def _column_body(
+    S_prev, D_prev, sbits_prev, I_prev, Sn, Ly,
+    j, subs_col, eq_col,
+    B, M, rows, row_ge1, mlens, nlens, mlens_c, is_row_m, yclip_row, pens,
+):
+    """One DP column (reference custom() hot loop :674-843), layout (B, M+1).
+
+    Shared verbatim by the XLA scan and (re-traced on transposed shapes is
+    NOT possible, so the Pallas kernel uses the same code via this function
+    too — it operates purely on jnp values).
+    """
+    go, ge, xcp, xcs, ycp, ycs = pens
+    active = (j <= nlens)  # (B,)
+    is_last = (j == nlens)
+
+    # --- i = 0 boundary ---
+    d_gap = go + ge * (j - 1)
+    d_clip = ycp + go
+    del_wins = d_gap > d_clip
+    D0j = jnp.where(j == 1, go, jnp.where(del_wins, d_gap, d_clip))
+    d_bits_0 = jnp.where(
+        j == 1, TB_START, jnp.where(del_wins, TB_DEL, TB_YCLIP_PREFIX)
+    )
+    d_gt = D0j > ycp
+    S0j = jnp.where(d_gt, D0j, ycp)
+    s_bits_0 = jnp.where(d_gt, TB_DEL, TB_YCLIP_PREFIX)
+    S0j = jnp.broadcast_to(S0j, (B,))
+    s_bits_0 = jnp.broadcast_to(s_bits_0, (B,)).astype(I32)
+
+    take_sn = is_last & (Sn[:, 0] > S0j)
+    S0j = jnp.where(take_sn, Sn[:, 0], S0j)
+    s_bits_0 = jnp.where(take_sn, TB_YCLIP_SUFFIX, s_bits_0)
+    upd_sn0 = (~take_sn) & (S0j + ycs > Sn[:, 0])
+    Sn = Sn.at[:, 0].set(jnp.where(upd_sn0 & active, S0j + ycs, Sn[:, 0]))
+    Ly = Ly.at[:, 0].set(jnp.where(upd_sn0 & active, nlens - j, Ly[:, 0]))
+
+    # --- rows 1..M elementwise candidates ---
+    m_score = jnp.concatenate(
+        [jnp.full((B, 1), MIN, dtype=I32), S_prev[:, :-1] + subs_col],
+        axis=1,
+    )
+    m_bits = jnp.concatenate(
+        [jnp.full((B, 1), TB_START, dtype=I32),
+         jnp.where(eq_col, TB_MATCH, TB_SUBST).astype(I32)],
+        axis=1,
+    )
+    d_ext = D_prev + ge
+    d_open = S_prev + go
+    d_wins = d_ext > d_open
+    bestD = jnp.where(d_wins, d_ext, d_open)
+    d_bits = jnp.where(d_wins, TB_DEL, sbits_prev)
+
+    xclip_score = xcp + jnp.maximum(ycp, go + ge * (j - 1))  # scalar
+
+    # S~ = best without the I candidate (value only)
+    s_tilde = jnp.maximum(
+        jnp.maximum(m_score, bestD),
+        jnp.maximum(
+            jnp.broadcast_to(xclip_score, (B, M + 1)).astype(I32),
+            yclip_row,
+        ),
+    )
+    s_tilde = jnp.where(row_ge1, s_tilde, MIN)
+    s_tilde = s_tilde.at[:, 0].set(S0j)
+
+    # --- I via (max,+) prefix scan over rows ---
+    # I[i] = max(I[i-1] + ge, S~[i-1] + go), I[0] = MIN
+    T = jnp.concatenate(
+        [jnp.full((B, 1), MIN, dtype=I32), s_tilde[:, :-1] + go], axis=1
+    )
+    U = T - rows * ge
+    bestI = lax.cummax(U, axis=1) + rows * ge
+    bestI = jnp.where(row_ge1, bestI, MIN)
+
+    # --- full-priority S selection (rows 1..M, pre row-m) ---
+    S_col, s_bits = _priority_max(
+        jnp.full((B, M + 1), MIN, dtype=I32),
+        jnp.full((B, M + 1), TB_XCLIP_SUFFIX, dtype=I32),
+        [
+            (m_score, m_bits),
+            (bestI, jnp.full((B, M + 1), TB_INS, dtype=I32)),
+            (bestD, jnp.full((B, M + 1), TB_DEL, dtype=I32)),
+            (
+                jnp.broadcast_to(xclip_score, (B, M + 1)).astype(I32),
+                jnp.full((B, M + 1), TB_XCLIP_PREFIX, dtype=I32),
+            ),
+            (yclip_row, jnp.full((B, M + 1), TB_YCLIP_PREFIX, dtype=I32)),
+        ],
+    )
+
+    # --- row-m replacement: init = suffix-clip accumulator ---
+    accA, firstA, updA = _first_argmax_acc(
+        S_col + xcs, row_ge1 & (rows <= mlens_c - 1)
+    )
+    Lx_j = jnp.where(updA & active, mlens - firstA, 0).astype(I32)
+    # masked reduction instead of take_along_axis: per-step gathers are
+    # slow on TPU, a lane-masked max over the row axis is a vector op
+    take_m = lambda a: jnp.max(
+        jnp.where(is_row_m, a, _SENTINEL), axis=1
+    )
+    S_m, s_bits_m = _priority_max(
+        jnp.where(updA, accA, MIN),
+        jnp.full((B,), TB_XCLIP_SUFFIX, dtype=I32),
+        [
+            (take_m(m_score), take_m(m_bits)),
+            (take_m(bestI), jnp.full((B,), TB_INS, dtype=I32)),
+            (take_m(bestD), jnp.full((B,), TB_DEL, dtype=I32)),
+            (
+                jnp.broadcast_to(xclip_score, (B,)).astype(I32),
+                jnp.full((B,), TB_XCLIP_PREFIX, dtype=I32),
+            ),
+            (take_m(yclip_row), jnp.full((B,), TB_YCLIP_PREFIX, dtype=I32)),
+        ],
+    )
+    S_col = jnp.where(is_row_m, S_m[:, None], S_col)
+    s_bits = jnp.where(is_row_m, s_bits_m[:, None], s_bits)
+
+    # --- i_bits (post-hoc, elementwise) ---
+    i_ext = jnp.concatenate(
+        [jnp.full((B, 1), MIN, dtype=I32), bestI[:, :-1] + ge], axis=1
+    )
+    i_open = jnp.concatenate(
+        [jnp.full((B, 1), MIN, dtype=I32), s_tilde[:, :-1] + go], axis=1
+    )
+    prev_sbits = jnp.concatenate(
+        [jnp.full((B, 1), TB_START, dtype=I32), s_bits[:, :-1]], axis=1
+    )
+    # note: row 1's comparison uses s_tilde[0] = S0j and prev s_bits=...
+    prev_sbits = jnp.where(rows == 1, s_bits_0[:, None], prev_sbits)
+    i_bits = jnp.where(i_ext > i_open, TB_INS, prev_sbits)
+    i_bits = jnp.where(row_ge1, i_bits, TB_START)
+
+    # write row 0 into column arrays
+    S_col = S_col.at[:, 0].set(S0j)
+    s_bits = s_bits.at[:, 0].set(s_bits_0)
+    bestD = bestD.at[:, 0].set(jnp.broadcast_to(D0j, (B,)))
+    bestI = bestI.at[:, 0].set(MIN)
+    d_bits = d_bits.at[:, 0].set(jnp.broadcast_to(d_bits_0, (B,)).astype(I32))
+
+    # --- Sn / Ly tracking (rows 1..m) ---
+    upd_sn_rows = (S_col + ycs > Sn) & row_ge1 & (rows <= mlens_c)
+    upd_sn_rows = upd_sn_rows & active[:, None]
+    Sn_new = jnp.where(upd_sn_rows, S_col + ycs, Sn)
+    Ly_new = jnp.where(upd_sn_rows, (nlens - j)[:, None], Ly)
+
+    tb_col = _pack(i_bits, d_bits, s_bits)
+    return S_col, bestD, s_bits, bestI, Sn_new, Ly_new, tb_col, Lx_j, active
+
+
+def _scan_columns_xla(
+    xb, yb, subs, S0, D0, s_bits0, Sn0, Ly0, tb_col0,
+    B, M, N, rows, row_ge1, mlens, nlens, mlens_c, is_row_m, yclip_row, pens,
+):
+    """The XLA lax.scan engine over DP columns."""
+
     def column_step(carry, xs):
         S_prev, D_prev, sbits_prev, I_prev, Sn, Ly, tb_prev = carry
-        j, subs_col, y_col = xs  # j: scalar; subs_col: (B, M); y_col: (B,)
+        j, subs_col, y_col = xs
         eq_col = xb == y_col[:, None]  # (B, M)
-        active = (j <= nlens)  # (B,)
-        is_last = (j == nlens)
-
-        # --- i = 0 boundary ---
-        d_gap = go + ge * (j - 1)
-        d_clip = ycp + go
-        del_wins = d_gap > d_clip
-        D0j = jnp.where(j == 1, go, jnp.where(del_wins, d_gap, d_clip))
-        d_bits_0 = jnp.where(
-            j == 1, TB_START, jnp.where(del_wins, TB_DEL, TB_YCLIP_PREFIX)
+        (
+            S_col, bestD, s_bits, bestI, Sn_new, Ly_new, tb_col, Lx_j, active
+        ) = _column_body(
+            S_prev, D_prev, sbits_prev, I_prev, Sn, Ly,
+            j, subs_col, eq_col,
+            B, M, rows, row_ge1, mlens, nlens, mlens_c, is_row_m,
+            yclip_row, pens,
         )
-        d_gt = D0j > ycp
-        S0j = jnp.where(d_gt, D0j, ycp)
-        s_bits_0 = jnp.where(d_gt, TB_DEL, TB_YCLIP_PREFIX)
-        S0j = jnp.broadcast_to(S0j, (B,))
-        s_bits_0 = jnp.broadcast_to(s_bits_0, (B,)).astype(I32)
-
-        take_sn = is_last & (Sn[:, 0] > S0j)
-        S0j = jnp.where(take_sn, Sn[:, 0], S0j)
-        s_bits_0 = jnp.where(take_sn, TB_YCLIP_SUFFIX, s_bits_0)
-        upd_sn0 = (~take_sn) & (S0j + ycs > Sn[:, 0])
-        Sn = Sn.at[:, 0].set(jnp.where(upd_sn0 & active, S0j + ycs, Sn[:, 0]))
-        Ly = Ly.at[:, 0].set(jnp.where(upd_sn0 & active, nlens - j, Ly[:, 0]))
-
-        # --- rows 1..M elementwise candidates ---
-        m_score = jnp.concatenate(
-            [jnp.full((B, 1), MIN, dtype=I32), S_prev[:, :-1] + subs_col],
-            axis=1,
-        )
-        m_bits = jnp.concatenate(
-            [jnp.full((B, 1), TB_START, dtype=I32),
-             jnp.where(eq_col, TB_MATCH, TB_SUBST).astype(I32)],
-            axis=1,
-        )
-        d_ext = D_prev + ge
-        d_open = S_prev + go
-        d_wins = d_ext > d_open
-        bestD = jnp.where(d_wins, d_ext, d_open)
-        d_bits = jnp.where(d_wins, TB_DEL, sbits_prev)
-
-        xclip_score = xcp + jnp.maximum(ycp, go + ge * (j - 1))  # scalar
-
-        # S~ = best without the I candidate (value only)
-        s_tilde = jnp.maximum(
-            jnp.maximum(m_score, bestD),
-            jnp.maximum(
-                jnp.broadcast_to(xclip_score, (B, M + 1)).astype(I32),
-                yclip_row,
-            ),
-        )
-        s_tilde = jnp.where(row_ge1, s_tilde, MIN)
-        s_tilde = s_tilde.at[:, 0].set(S0j)
-
-        # --- I via (max,+) prefix scan over rows ---
-        # I[i] = max(I[i-1] + ge, S~[i-1] + go), I[0] = MIN
-        T = jnp.concatenate(
-            [jnp.full((B, 1), MIN, dtype=I32), s_tilde[:, :-1] + go], axis=1
-        )
-        U = T - rows * ge
-        bestI = lax.cummax(U, axis=1) + rows * ge
-        bestI = jnp.where(row_ge1, bestI, MIN)
-
-        # --- full-priority S selection (rows 1..M, pre row-m) ---
-        S_col, s_bits = _priority_max(
-            jnp.full((B, M + 1), MIN, dtype=I32),
-            jnp.full((B, M + 1), TB_XCLIP_SUFFIX, dtype=I32),
-            [
-                (m_score, m_bits),
-                (bestI, jnp.full((B, M + 1), TB_INS, dtype=I32)),
-                (bestD, jnp.full((B, M + 1), TB_DEL, dtype=I32)),
-                (
-                    jnp.broadcast_to(xclip_score, (B, M + 1)).astype(I32),
-                    jnp.full((B, M + 1), TB_XCLIP_PREFIX, dtype=I32),
-                ),
-                (yclip_row, jnp.full((B, M + 1), TB_YCLIP_PREFIX, dtype=I32)),
-            ],
-        )
-
-        # --- row-m replacement: init = suffix-clip accumulator ---
-        accA, firstA, updA = _first_argmax_acc(
-            S_col + xcs, row_ge1 & (rows <= mlens_c - 1)
-        )
-        Lx_j = jnp.where(updA & active, mlens - firstA, 0).astype(I32)
-        # masked reduction instead of take_along_axis: per-step gathers are
-        # slow on TPU, a lane-masked max over the row axis is a vector op
-        take_m = lambda a: jnp.max(
-            jnp.where(is_row_m, a, _SENTINEL), axis=1
-        )
-        S_m, s_bits_m = _priority_max(
-            jnp.where(updA, accA, MIN),
-            jnp.full((B,), TB_XCLIP_SUFFIX, dtype=I32),
-            [
-                (take_m(m_score), take_m(m_bits)),
-                (take_m(bestI), jnp.full((B,), TB_INS, dtype=I32)),
-                (take_m(bestD), jnp.full((B,), TB_DEL, dtype=I32)),
-                (
-                    jnp.broadcast_to(xclip_score, (B,)).astype(I32),
-                    jnp.full((B,), TB_XCLIP_PREFIX, dtype=I32),
-                ),
-                (take_m(yclip_row), jnp.full((B,), TB_YCLIP_PREFIX, dtype=I32)),
-            ],
-        )
-        S_col = jnp.where(is_row_m, S_m[:, None], S_col)
-        s_bits = jnp.where(is_row_m, s_bits_m[:, None], s_bits)
-
-        # --- i_bits (post-hoc, elementwise) ---
-        i_ext = jnp.concatenate(
-            [jnp.full((B, 1), MIN, dtype=I32), bestI[:, :-1] + ge], axis=1
-        )
-        i_open = jnp.concatenate(
-            [jnp.full((B, 1), MIN, dtype=I32), s_tilde[:, :-1] + go], axis=1
-        )
-        prev_sbits = jnp.concatenate(
-            [jnp.full((B, 1), TB_START, dtype=I32), s_bits[:, :-1]], axis=1
-        )
-        # note: row 1's comparison uses s_tilde[0] = S0j and prev s_bits=...
-        prev_sbits = prev_sbits.at[:, 1].set(s_bits_0)
-        i_bits = jnp.where(i_ext > i_open, TB_INS, prev_sbits)
-        i_bits = jnp.where(row_ge1, i_bits, TB_START)
-
-        # write row 0 into column arrays
-        S_col = S_col.at[:, 0].set(S0j)
-        s_bits = s_bits.at[:, 0].set(s_bits_0)
-        bestD = bestD.at[:, 0].set(jnp.broadcast_to(D0j, (B,)))
-        bestI = bestI.at[:, 0].set(MIN)
-        d_bits = d_bits.at[:, 0].set(jnp.broadcast_to(d_bits_0, (B,)).astype(I32))
-
-        # --- Sn / Ly tracking (rows 1..m) ---
-        upd_sn_rows = (S_col + ycs > Sn) & row_ge1 & (rows <= mlens_c)
-        upd_sn_rows = upd_sn_rows & active[:, None]
-        Sn_new = jnp.where(upd_sn_rows, S_col + ycs, Sn)
-        Ly_new = jnp.where(upd_sn_rows, (nlens - j)[:, None], Ly)
-
-        tb_col = _pack(i_bits, d_bits, s_bits)
-
-        # freeze state for pairs past their last column
         keep = active[:, None]
         new_carry = (
             jnp.where(keep, S_col, S_prev),
@@ -353,14 +377,24 @@ def _align_batch_device(
         )
         return new_carry, (tb_col, Lx_j)
 
-    carry0 = (S0, D0, s_bits0, jnp.full((B, M + 1), MIN, dtype=I32), Sn0, Ly0, tb_col0)
+    carry0 = (
+        S0, D0, s_bits0, jnp.full((B, M + 1), MIN, dtype=I32), Sn0, Ly0,
+        tb_col0,
+    )
     js = jnp.arange(1, N + 1, dtype=I32)
     xs = (js, jnp.moveaxis(subs, 2, 0), jnp.moveaxis(yb, 1, 0))
     (S_f, D_f, sbits_f, I_f, Sn_f, Ly_f, tb_f), (tb_cols, Lx_cols) = lax.scan(
         column_step, carry0, xs
     )
+    return S_f, I_f, Sn_f, Ly_f, tb_f, tb_cols, Lx_cols
 
-    # ---------------- post-loop suffix fixups at j = n ----------------
+
+def _suffix_fixups(
+    S_f, I_f, Sn_f, tb_f,
+    B, M, rows, row_ge1, mlens, mlens_c, is_row_m, pens,
+):
+    """Post-loop suffix fixups at j = n (reference :809-843)."""
+    go, ge, xcp, xcs, ycp, ycs = pens
     i_bits_f, d_bits_f, s_bits_f = _unpack(tb_f)
 
     # fixup 1: yclip-suffix improvements + xclip-suffix re-accumulation
@@ -431,30 +465,18 @@ def _align_batch_device(
 
     tb_col_fixed = _pack(ib_fixed, d_bits_f, sb_fixed)
     score = jnp.take_along_axis(S_fixed, mlens_c, axis=1)[:, 0]
+    return score, tb_col_fixed, Lx_n, lx_n_set
 
-    if not with_traceback:
-        return {"score": score}
 
-    # ---------------- assemble traceback matrix ----------------
-    # (B, M+1, N+1): init column + scanned columns, then fixed column at n_i
-    tb_full = jnp.concatenate(
-        [tb_col0[:, :, None], jnp.moveaxis(tb_cols, 0, 2)], axis=2
-    )
-    bidx = jnp.arange(B)
-    tb_full = tb_full.at[bidx[:, None], jnp.arange(M + 1)[None, :], nlens[:, None]].set(
-        tb_col_fixed
-    )
-    Lx_full = jnp.concatenate([Lx0[:, None], jnp.moveaxis(Lx_cols, 0, 1)], axis=1)
-    Lx_full = Lx_full.at[bidx, nlens].set(
-        jnp.where(lx_n_set, Lx_n, Lx_full[bidx, nlens])
-    )
+def _walk(tb_full, Lx_full, Ly_f, mlens, nlens, B, M, N):
+    """Batched lockstep traceback walk; one big gather per step.
 
-    # ---------------- batched traceback walk ----------------
+    The next step's layer is resolved from the cell gathered at that step
+    (use_s), or carried from this cell's I/D bits.
+    """
     T_steps = M + N + 8
     tb_flat = tb_full.reshape(B, (M + 1) * (N + 1))
 
-    # one gather per step: the next step's layer is resolved from the cell
-    # gathered at that step (use_s), or carried from this cell's I/D bits
     def walk_step(state, _):
         i, j, carried, use_s, xstart, ystart, xend, yend, done = state
         cell = jnp.take_along_axis(
@@ -528,9 +550,7 @@ def _align_batch_device(
     (fi, fj, _, _, xstart, ystart, xend, yend, done), (op_codes, op_lens) = lax.scan(
         walk_step, state0, None, length=T_steps
     )
-
     return {
-        "score": score,
         "op_codes": op_codes,  # (T, B) in reverse order (end -> start)
         "op_lens": op_lens,
         "xstart": xstart,
@@ -539,6 +559,82 @@ def _align_batch_device(
         "yend": yend,
         "walk_done": done,
     }
+
+
+def _postlude(
+    scan_out, tb_col0, Lx0,
+    B, M, N, rows, row_ge1, mlens, nlens, mlens_c, is_row_m, pens,
+    with_traceback,
+):
+    """Fixups + traceback assembly + walk, shared by both scan engines."""
+    S_f, I_f, Sn_f, Ly_f, tb_f, tb_cols, Lx_cols = scan_out
+    score, tb_col_fixed, Lx_n, lx_n_set = _suffix_fixups(
+        S_f, I_f, Sn_f, tb_f,
+        B, M, rows, row_ge1, mlens, mlens_c, is_row_m, pens,
+    )
+    if not with_traceback:
+        return {"score": score}
+
+    # (B, M+1, N+1): init column + scanned columns, then fixed column at n_i
+    tb_full = jnp.concatenate(
+        [tb_col0[:, :, None], jnp.moveaxis(tb_cols, 0, 2)], axis=2
+    )
+    bidx = jnp.arange(B)
+    tb_full = tb_full.at[
+        bidx[:, None], jnp.arange(M + 1)[None, :], nlens[:, None]
+    ].set(tb_col_fixed)
+    Lx_full = jnp.concatenate([Lx0[:, None], jnp.moveaxis(Lx_cols, 0, 1)], axis=1)
+    Lx_full = Lx_full.at[bidx, nlens].set(
+        jnp.where(lx_n_set, Lx_n, Lx_full[bidx, nlens])
+    )
+
+    out = _walk(tb_full, Lx_full, Ly_f, mlens, nlens, B, M, N)
+    out["score"] = score
+    return out
+
+
+def _geometry(B, M, mlens):
+    rows = lax.broadcasted_iota(I32, (B, M + 1), 1)  # i index per row
+    row_ge1 = rows >= 1
+    mlens_c = mlens[:, None]
+    is_row_m = (rows == mlens_c) & (mlens_c >= 1)
+    return rows, row_ge1, mlens_c, is_row_m
+
+
+@partial(jax.jit, static_argnames=("with_traceback",))
+def _align_batch_device(
+    xb,  # (B, M) uint8 padded query batch
+    yb,  # (B, N) uint8 padded reference batch
+    mlens,  # (B,) int32
+    nlens,  # (B,) int32
+    lut,  # (256, 256) int32 substitution LUT
+    penalties,  # (6,) int32: go, ge, xcp, xcs, ycp, ycs
+    with_traceback: bool = True,
+):
+    B, M = xb.shape
+    N = yb.shape[1]
+    pens = tuple(penalties[k] for k in range(6))
+    go, ge, xcp, xcs, ycp, ycs = pens
+
+    rows, row_ge1, mlens_c, is_row_m = _geometry(B, M, mlens)
+    yclip_row = ycp + go + ge * (rows - 1)  # (B, M+1), valid rows >= 1
+
+    subs = _subs_einsum(xb, yb, lut)
+
+    S0, D0, s_bits0, Sn0, Ly0, tb_col0, Lx0 = _init_column(
+        B, M, rows, row_ge1, mlens, nlens, mlens_c, is_row_m, pens
+    )
+
+    scan_out = _scan_columns_xla(
+        xb, yb, subs, S0, D0, s_bits0, Sn0, Ly0, tb_col0,
+        B, M, N, rows, row_ge1, mlens, nlens, mlens_c, is_row_m,
+        yclip_row, pens,
+    )
+    return _postlude(
+        scan_out, tb_col0, Lx0,
+        B, M, N, rows, row_ge1, mlens, nlens, mlens_c, is_row_m, pens,
+        with_traceback,
+    )
 
 
 _OP_BY_CODE = {
@@ -581,14 +677,7 @@ class BatchAligner:
         self.scoring = scoring
         self._lut = jnp.asarray(scoring.dense_lut())
 
-    def _run(
-        self,
-        xs: Sequence[bytes],
-        ys: Sequence[bytes],
-        clips: Tuple[int, int, int, int],
-        mode: AlignmentMode,
-        filter_clips: bool,
-    ) -> List[Alignment]:
+    def _pad(self, xs, ys):
         xs = [to_bytes(x) for x in xs]
         ys = [to_bytes(y) for y in ys]
         B = len(xs)
@@ -602,6 +691,18 @@ class BatchAligner:
             yb[k, : len(y)] = np.frombuffer(y, dtype=np.uint8)
         mlens = np.array([len(x) for x in xs], dtype=np.int32)
         nlens = np.array([len(y) for y in ys], dtype=np.int32)
+        return xb, yb, mlens, nlens
+
+    def _run(
+        self,
+        xs: Sequence[bytes],
+        ys: Sequence[bytes],
+        clips: Tuple[int, int, int, int],
+        mode: AlignmentMode,
+        filter_clips: bool,
+    ) -> List[Alignment]:
+        xb, yb, mlens, nlens = self._pad(xs, ys)
+        B = len(mlens)
         go, ge = self.scoring.gap_open, self.scoring.gap_extend
         pen = np.array([go, ge, *clips], dtype=np.int32)
 
@@ -674,18 +775,7 @@ class BatchAligner:
                 self.scoring.yclip_suffix,
             ),
         }[mode]
-        xs = [to_bytes(x) for x in xs]
-        ys = [to_bytes(y) for y in ys]
-        B = len(xs)
-        M = max(len(x) for x in xs)
-        N = max(len(y) for y in ys)
-        xb = np.zeros((B, M), dtype=np.uint8)
-        yb = np.zeros((B, N), dtype=np.uint8)
-        for k, (x, y) in enumerate(zip(xs, ys)):
-            xb[k, : len(x)] = np.frombuffer(x, dtype=np.uint8)
-            yb[k, : len(y)] = np.frombuffer(y, dtype=np.uint8)
-        mlens = np.array([len(x) for x in xs], dtype=np.int32)
-        nlens = np.array([len(y) for y in ys], dtype=np.int32)
+        xb, yb, mlens, nlens = self._pad(xs, ys)
         pen = np.array(
             [self.scoring.gap_open, self.scoring.gap_extend, *clips],
             dtype=np.int32,
