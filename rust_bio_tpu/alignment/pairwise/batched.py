@@ -103,6 +103,23 @@ def _priority_max(init_val, init_bits, candidates):
 _SENTINEL = np.int32(np.iinfo(np.int32).min)
 
 
+def _cummax1(u):
+    """Running max along axis 1 via log-step shifted maxima.
+
+    Equivalent to ``lax.cummax(u, axis=1)``; written with shifts so the
+    same code lowers under Mosaic (Pallas) as well as XLA.
+    """
+    B, m = u.shape
+    k = 1
+    while k < m:
+        shifted = jnp.concatenate(
+            [jnp.full((B, k), _SENTINEL, u.dtype), u[:, :-k]], axis=1
+        )
+        u = jnp.maximum(u, shifted)
+        k *= 2
+    return u
+
+
 def _first_argmax_acc(vals, mask):
     """Running strict-max accumulator over axis 1 starting at MIN_SCORE.
 
@@ -112,10 +129,14 @@ def _first_argmax_acc(vals, mask):
     Mirrors the reference's sequential ``if v > acc`` tracking.
     """
     masked = jnp.where(mask, vals, _SENTINEL)
-    best = jnp.max(masked, axis=1)
+    best = jnp.max(masked, axis=1, keepdims=True)  # (B, 1)
     updated = best > MIN
-    hit = masked == best[:, None]
-    first = jnp.argmax(hit, axis=1).astype(I32)
+    hit = masked == best
+    cols = lax.broadcasted_iota(I32, masked.shape, 1)
+    big = jnp.int32(np.iinfo(np.int32).max)
+    first = jnp.min(
+        jnp.where(hit, cols, big), axis=1, keepdims=True
+    ).astype(I32)
     return best, first, updated
 
 
@@ -169,17 +190,17 @@ def _init_column(B, M, rows, row_ge1, mlens, nlens, mlens_c, is_row_m, pens):
     accA, firstA, updA = _first_argmax_acc(
         S0_pre + xcs, row_ge1 & (rows <= mlens_c - 1)
     )
-    Lx0 = jnp.where(updA, mlens - firstA, 0).astype(I32)
+    Lx0 = jnp.where(updA, mlens_c - firstA, 0).astype(I32)[:, 0]
     S_row_m, s_bits_row_m = _priority_max(
         jnp.where(updA, accA, MIN),
-        jnp.full((B,), TB_XCLIP_SUFFIX, dtype=I32),
+        jnp.full((B, 1), TB_XCLIP_SUFFIX, dtype=I32),
         [
-            (jnp.take_along_axis(I0, mlens_c, axis=1)[:, 0], TB_INS),
-            (jnp.full((B,), xcp, dtype=I32), TB_XCLIP_PREFIX),
+            (jnp.take_along_axis(I0, mlens_c, axis=1), TB_INS),
+            (jnp.full((B, 1), xcp, dtype=I32), TB_XCLIP_PREFIX),
         ],
     )
-    S0 = jnp.where(is_row_m, S_row_m[:, None], S0_pre)
-    s_bits0 = jnp.where(is_row_m, s_bits_row_m[:, None], s_bits0_pre)
+    S0 = jnp.where(is_row_m, S_row_m, S0_pre)
+    s_bits0 = jnp.where(is_row_m, s_bits_row_m, s_bits0_pre)
     # row 0
     S0 = S0.at[:, 0].set(0)
     s_bits0 = s_bits0.at[:, 0].set(TB_START)
@@ -210,8 +231,9 @@ def _column_body(
     too — it operates purely on jnp values).
     """
     go, ge, xcp, xcs, ycp, ycs = pens
-    active = (j <= nlens)  # (B,)
-    is_last = (j == nlens)
+    nlens_c = nlens[:, None] if nlens.ndim == 1 else nlens  # (B, 1)
+    active = (j <= nlens_c)  # (B, 1)
+    is_last = (j == nlens_c)
 
     # --- i = 0 boundary ---
     d_gap = go + ge * (j - 1)
@@ -224,15 +246,21 @@ def _column_body(
     d_gt = D0j > ycp
     S0j = jnp.where(d_gt, D0j, ycp)
     s_bits_0 = jnp.where(d_gt, TB_DEL, TB_YCLIP_PREFIX)
-    S0j = jnp.broadcast_to(S0j, (B,))
-    s_bits_0 = jnp.broadcast_to(s_bits_0, (B,)).astype(I32)
+    S0j = jnp.broadcast_to(S0j, (B, 1))
+    s_bits_0 = jnp.broadcast_to(s_bits_0, (B, 1)).astype(I32)
 
-    take_sn = is_last & (Sn[:, 0] > S0j)
-    S0j = jnp.where(take_sn, Sn[:, 0], S0j)
+    Sn0v = Sn[:, 0:1]  # (B, 1)
+    take_sn = is_last & (Sn0v > S0j)
+    S0j = jnp.where(take_sn, Sn0v, S0j)
     s_bits_0 = jnp.where(take_sn, TB_YCLIP_SUFFIX, s_bits_0)
-    upd_sn0 = (~take_sn) & (S0j + ycs > Sn[:, 0])
-    Sn = Sn.at[:, 0].set(jnp.where(upd_sn0 & active, S0j + ycs, Sn[:, 0]))
-    Ly = Ly.at[:, 0].set(jnp.where(upd_sn0 & active, nlens - j, Ly[:, 0]))
+    upd_sn0 = (~take_sn) & (S0j + ycs > Sn0v)
+    row0 = rows == 0
+    Sn = jnp.where(
+        row0, jnp.where(upd_sn0 & active, S0j + ycs, Sn0v), Sn
+    )
+    Ly = jnp.where(
+        row0, jnp.where(upd_sn0 & active, nlens_c - j, Ly[:, 0:1]), Ly
+    )
 
     # --- rows 1..M elementwise candidates ---
     m_score = jnp.concatenate(
@@ -261,7 +289,7 @@ def _column_body(
         ),
     )
     s_tilde = jnp.where(row_ge1, s_tilde, MIN)
-    s_tilde = s_tilde.at[:, 0].set(S0j)
+    s_tilde = jnp.where(row0, S0j, s_tilde)
 
     # --- I via (max,+) prefix scan over rows ---
     # I[i] = max(I[i-1] + ge, S~[i-1] + go), I[0] = MIN
@@ -269,7 +297,7 @@ def _column_body(
         [jnp.full((B, 1), MIN, dtype=I32), s_tilde[:, :-1] + go], axis=1
     )
     U = T - rows * ge
-    bestI = lax.cummax(U, axis=1) + rows * ge
+    bestI = _cummax1(U) + rows * ge
     bestI = jnp.where(row_ge1, bestI, MIN)
 
     # --- full-priority S selection (rows 1..M, pre row-m) ---
@@ -292,28 +320,28 @@ def _column_body(
     accA, firstA, updA = _first_argmax_acc(
         S_col + xcs, row_ge1 & (rows <= mlens_c - 1)
     )
-    Lx_j = jnp.where(updA & active, mlens - firstA, 0).astype(I32)
+    Lx_j = jnp.where(updA & active, mlens_c - firstA, 0).astype(I32)  # (B, 1)
     # masked reduction instead of take_along_axis: per-step gathers are
     # slow on TPU, a lane-masked max over the row axis is a vector op
     take_m = lambda a: jnp.max(
-        jnp.where(is_row_m, a, _SENTINEL), axis=1
+        jnp.where(is_row_m, a, _SENTINEL), axis=1, keepdims=True
     )
     S_m, s_bits_m = _priority_max(
         jnp.where(updA, accA, MIN),
-        jnp.full((B,), TB_XCLIP_SUFFIX, dtype=I32),
+        jnp.full((B, 1), TB_XCLIP_SUFFIX, dtype=I32),
         [
             (take_m(m_score), take_m(m_bits)),
-            (take_m(bestI), jnp.full((B,), TB_INS, dtype=I32)),
-            (take_m(bestD), jnp.full((B,), TB_DEL, dtype=I32)),
+            (take_m(bestI), jnp.full((B, 1), TB_INS, dtype=I32)),
+            (take_m(bestD), jnp.full((B, 1), TB_DEL, dtype=I32)),
             (
-                jnp.broadcast_to(xclip_score, (B,)).astype(I32),
-                jnp.full((B,), TB_XCLIP_PREFIX, dtype=I32),
+                jnp.broadcast_to(xclip_score, (B, 1)).astype(I32),
+                jnp.full((B, 1), TB_XCLIP_PREFIX, dtype=I32),
             ),
-            (take_m(yclip_row), jnp.full((B,), TB_YCLIP_PREFIX, dtype=I32)),
+            (take_m(yclip_row), jnp.full((B, 1), TB_YCLIP_PREFIX, dtype=I32)),
         ],
     )
-    S_col = jnp.where(is_row_m, S_m[:, None], S_col)
-    s_bits = jnp.where(is_row_m, s_bits_m[:, None], s_bits)
+    S_col = jnp.where(is_row_m, S_m, S_col)
+    s_bits = jnp.where(is_row_m, s_bits_m, s_bits)
 
     # --- i_bits (post-hoc, elementwise) ---
     i_ext = jnp.concatenate(
@@ -326,22 +354,24 @@ def _column_body(
         [jnp.full((B, 1), TB_START, dtype=I32), s_bits[:, :-1]], axis=1
     )
     # note: row 1's comparison uses s_tilde[0] = S0j and prev s_bits=...
-    prev_sbits = jnp.where(rows == 1, s_bits_0[:, None], prev_sbits)
+    prev_sbits = jnp.where(rows == 1, s_bits_0, prev_sbits)
     i_bits = jnp.where(i_ext > i_open, TB_INS, prev_sbits)
     i_bits = jnp.where(row_ge1, i_bits, TB_START)
 
     # write row 0 into column arrays
-    S_col = S_col.at[:, 0].set(S0j)
-    s_bits = s_bits.at[:, 0].set(s_bits_0)
-    bestD = bestD.at[:, 0].set(jnp.broadcast_to(D0j, (B,)))
-    bestI = bestI.at[:, 0].set(MIN)
-    d_bits = d_bits.at[:, 0].set(jnp.broadcast_to(d_bits_0, (B,)).astype(I32))
+    S_col = jnp.where(row0, S0j, S_col)
+    s_bits = jnp.where(row0, s_bits_0, s_bits)
+    bestD = jnp.where(row0, jnp.broadcast_to(D0j, (B, 1)), bestD)
+    bestI = jnp.where(row0, MIN, bestI)
+    d_bits = jnp.where(
+        row0, jnp.broadcast_to(d_bits_0, (B, 1)).astype(I32), d_bits
+    )
 
     # --- Sn / Ly tracking (rows 1..m) ---
     upd_sn_rows = (S_col + ycs > Sn) & row_ge1 & (rows <= mlens_c)
-    upd_sn_rows = upd_sn_rows & active[:, None]
+    upd_sn_rows = upd_sn_rows & active
     Sn_new = jnp.where(upd_sn_rows, S_col + ycs, Sn)
-    Ly_new = jnp.where(upd_sn_rows, (nlens - j)[:, None], Ly)
+    Ly_new = jnp.where(upd_sn_rows, nlens_c - j, Ly)
 
     tb_col = _pack(i_bits, d_bits, s_bits)
     return S_col, bestD, s_bits, bestI, Sn_new, Ly_new, tb_col, Lx_j, active
@@ -365,7 +395,7 @@ def _scan_columns_xla(
             B, M, rows, row_ge1, mlens, nlens, mlens_c, is_row_m,
             yclip_row, pens,
         )
-        keep = active[:, None]
+        keep = active  # (B, 1)
         new_carry = (
             jnp.where(keep, S_col, S_prev),
             jnp.where(keep, bestD, D_prev),
@@ -375,7 +405,7 @@ def _scan_columns_xla(
             Ly_new,
             jnp.where(keep, tb_col, tb_prev),
         )
-        return new_carry, (tb_col, Lx_j)
+        return new_carry, (tb_col, Lx_j[:, 0])
 
     carry0 = (
         S0, D0, s_bits0, jnp.full((B, M + 1), MIN, dtype=I32), Sn0, Ly0,
@@ -637,6 +667,44 @@ def _align_batch_device(
     )
 
 
+@partial(jax.jit, static_argnames=("with_traceback",))
+def _align_batch_device_mp(
+    xb, yb, mlens, nlens, penalties8, with_traceback: bool = True
+):
+    """MatchParams fast path: the column scan runs as a Pallas kernel with
+    VMEM-resident DP state (ops/sw_pallas.scan_columns_pallas_mp); prelude
+    and postlude are shared with the XLA engine, so results are identical.
+
+    ``penalties8``: (8,) int32 = (go, ge, xcp, xcs, ycp, ycs, match, mismatch).
+    """
+    from rust_bio_tpu.ops.sw_pallas import scan_columns_pallas_mp
+
+    B, M = xb.shape
+    N = yb.shape[1]
+    pens = tuple(penalties8[k] for k in range(6))
+
+    rows, row_ge1, mlens_c, is_row_m = _geometry(B, M, mlens)
+
+    S0, D0, s_bits0, Sn0, Ly0, tb_col0, Lx0 = _init_column(
+        B, M, rows, row_ge1, mlens, nlens, mlens_c, is_row_m, pens
+    )
+
+    # eq laid out column-major directly (no big transposes)
+    eq_nbm = (
+        jnp.swapaxes(yb, 0, 1)[:, :, None] == xb[None, :, :]
+    ).astype(jnp.uint8)  # (N, B, M)
+
+    scan_out = scan_columns_pallas_mp(
+        eq_nbm, S0, D0, s_bits0, Sn0, Ly0, tb_col0,
+        mlens, nlens, penalties8,
+    )
+    return _postlude(
+        scan_out, tb_col0, Lx0,
+        B, M, N, rows, row_ge1, mlens, nlens, mlens_c, is_row_m, pens,
+        with_traceback,
+    )
+
+
 _OP_BY_CODE = {
     TB_INS: Ins,
     TB_DEL: Del,
@@ -677,6 +745,39 @@ class BatchAligner:
         self.scoring = scoring
         self._lut = jnp.asarray(scoring.dense_lut())
 
+    def _dispatch(self, xb, yb, mlens, nlens, pen, with_traceback):
+        """Pick the scan engine: the Pallas MatchParams kernel when the
+        scoring is constant match/mismatch (and shapes allow), else XLA."""
+        B, M = xb.shape
+        mp = self.scoring.match_fn
+        if (
+            isinstance(mp, MatchParams)
+            and 2 <= M < 4096
+            and B % 8 == 0
+        ):
+            pen8 = np.concatenate(
+                [pen, np.array([mp.match_score, mp.mismatch_score], np.int32)]
+            )
+            from rust_bio_tpu.ops import sw_pallas  # noqa: F401 (kernel import)
+
+            return _align_batch_device_mp(
+                jnp.asarray(xb),
+                jnp.asarray(yb),
+                jnp.asarray(mlens),
+                jnp.asarray(nlens),
+                jnp.asarray(pen8),
+                with_traceback=with_traceback,
+            )
+        return _align_batch_device(
+            jnp.asarray(xb),
+            jnp.asarray(yb),
+            jnp.asarray(mlens),
+            jnp.asarray(nlens),
+            self._lut,
+            jnp.asarray(pen),
+            with_traceback=with_traceback,
+        )
+
     def _pad(self, xs, ys):
         xs = [to_bytes(x) for x in xs]
         ys = [to_bytes(y) for y in ys]
@@ -706,14 +807,7 @@ class BatchAligner:
         go, ge = self.scoring.gap_open, self.scoring.gap_extend
         pen = np.array([go, ge, *clips], dtype=np.int32)
 
-        out = _align_batch_device(
-            jnp.asarray(xb),
-            jnp.asarray(yb),
-            jnp.asarray(mlens),
-            jnp.asarray(nlens),
-            self._lut,
-            jnp.asarray(pen),
-        )
+        out = self._dispatch(xb, yb, mlens, nlens, pen, with_traceback=True)
         out = jax.tree.map(np.asarray, out)
 
         results = []
@@ -780,13 +874,5 @@ class BatchAligner:
             [self.scoring.gap_open, self.scoring.gap_extend, *clips],
             dtype=np.int32,
         )
-        out = _align_batch_device(
-            jnp.asarray(xb),
-            jnp.asarray(yb),
-            jnp.asarray(mlens),
-            jnp.asarray(nlens),
-            self._lut,
-            jnp.asarray(pen),
-            with_traceback=False,
-        )
+        out = self._dispatch(xb, yb, mlens, nlens, pen, with_traceback=False)
         return np.asarray(out["score"])

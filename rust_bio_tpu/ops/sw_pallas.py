@@ -267,3 +267,194 @@ def sw_scores_global_matchparams(
         nlens.reshape(1, B),
     )
     return out[0]
+
+
+# ---------------------------------------------------------------------------
+# Full column-scan engine with traceback (general clip semantics)
+# ---------------------------------------------------------------------------
+#
+# Drop-in replacement for ``batched._scan_columns_xla`` when scoring is
+# constant match/mismatch: the 7-array DP state stays in VMEM scratch across
+# the whole column loop; each grid step writes one packed uint16 traceback
+# column to HBM. Per-column Lx values ride in the (otherwise unused) high
+# nibbles of traceback lanes 0..2, avoiding an awkwardly-shaped extra output.
+# The column recurrence is ``batched._column_body`` itself — the exact code
+# the XLA engine runs — so the two engines are bit-identical by construction.
+
+
+def _kernel_scan_full_mp(
+    pen_ref,
+    eq_ref,
+    mlens_ref,
+    nlens_ref,
+    s0_ref,
+    d0_ref,
+    sb0_ref,
+    sn0_ref,
+    ly0_ref,
+    tb0_ref,
+    tb_out,
+    sf_out,
+    if_out,
+    snf_out,
+    lyf_out,
+    tbf_out,
+    S,
+    D,
+    SB,
+    I,
+    SN,
+    LY,
+    TBK,
+):
+    from rust_bio_tpu.alignment.pairwise.batched import _column_body
+
+    j0 = pl.program_id(1)
+    pens = tuple(pen_ref[k] for k in range(6))
+    go, ge, xcp, xcs, ycp, ycs = pens
+    ma = pen_ref[6]
+    mi = pen_ref[7]
+
+    BB, Mp1 = S.shape
+    M = Mp1 - 1
+    rows = jax.lax.broadcasted_iota(I32, (BB, Mp1), 1)
+    row_ge1 = rows >= 1
+    mlens_c = mlens_ref[:, 0:1]  # (BB, 1)
+    nlens_c = nlens_ref[:, 0:1]
+    is_row_m = (rows == mlens_c) & (mlens_c >= 1)
+    yclip_row = ycp + go + ge * (rows - 1)
+
+    @pl.when(j0 == 0)
+    def _load_init():
+        S[:] = s0_ref[:]
+        D[:] = d0_ref[:]
+        SB[:] = sb0_ref[:]
+        I[:] = jnp.full((BB, Mp1), np.int32(-858_993_459), I32)
+        SN[:] = sn0_ref[:]
+        LY[:] = ly0_ref[:]
+        TBK[:] = tb0_ref[:]
+
+    j = (j0 + 1).astype(I32)
+    eq_i = eq_ref[:].astype(I32)  # (BB, M) 0/1
+    eq_col = eq_i > 0
+    # arithmetic select: where(mask, dyn_scalar, dyn_scalar) trips a Mosaic
+    # relayout bug (mask forced to a replicated layout), so blend instead
+    subs_col = mi + (ma - mi) * eq_i
+
+    (
+        S_col, bestD, s_bits, bestI, Sn_new, Ly_new, tb_col, Lx_j, active
+    ) = _column_body(
+        S[:], D[:], SB[:], I[:], SN[:], LY[:],
+        j, subs_col, eq_col,
+        BB, M, rows, row_ge1, mlens_c, nlens_c, mlens_c, is_row_m,
+        yclip_row, pens,
+    )
+
+    keep = active  # (BB, 1)
+    S[:] = jnp.where(keep, S_col, S[:])
+    D[:] = jnp.where(keep, bestD, D[:])
+    SB[:] = jnp.where(keep, s_bits, SB[:])
+    I[:] = jnp.where(keep, bestI, I[:])
+    SN[:] = Sn_new
+    LY[:] = Ly_new
+    TBK[:] = jnp.where(keep, tb_col.astype(I32), TBK[:])
+
+    # pack Lx_j (12 bits) into the unused high nibbles of lanes 0..2
+    lx = Lx_j.astype(I32)  # (BB, 1)
+    nib = (
+        jnp.where(rows == 0, (lx & 0xF) << 12, 0)
+        | jnp.where(rows == 1, ((lx >> 4) & 0xF) << 12, 0)
+        | jnp.where(rows == 2, ((lx >> 8) & 0xF) << 12, 0)
+    )
+    tb_out[:] = tb_col | nib.astype(jnp.uint16)
+
+    sf_out[:] = S[:]
+    if_out[:] = I[:]
+    snf_out[:] = SN[:]
+    lyf_out[:] = LY[:]
+    tbf_out[:] = TBK[:]
+
+
+def scan_columns_pallas_mp(
+    eq_nbm,  # (N, B, M) uint8: eq[j, b, i] = (x[b,i] == y[b,j])
+    S0, D0, s_bits0, Sn0, Ly0, tb_col0,
+    mlens, nlens, pens8,
+    block_b: int = 0,
+):
+    """Pallas column-scan; returns the same tuple as _scan_columns_xla."""
+    N, B, M = eq_nbm.shape
+    if block_b == 0:  # largest power-of-two block that divides B
+        for cand in (256, 128, 64, 32, 16, 8):
+            if B % cand == 0:
+                block_b = cand
+                break
+    assert block_b and B % block_b == 0 and block_b % 8 == 0
+    assert M >= 2 and M < 4096, "Lx nibble packing needs 2 <= M < 4096"
+    Mp1 = M + 1
+    nb = B // block_b
+    grid = (nb, N)
+    # flatten the (column, batch-block) structure into plain 2D row blocks
+    # (Mosaic relayouts of singleton-leading-dim blocks are buggy)
+    eq2 = eq_nbm.reshape(N * B, M)
+    lens_pad = jnp.concatenate(
+        [mlens.reshape(B, 1), nlens.reshape(B, 1)], axis=1
+    )
+    lens8 = jnp.pad(lens_pad, ((0, 0), (0, 6)))  # (B, 8): lanes 0=m, 1=n
+    bspec = lambda: pl.BlockSpec((block_b, Mp1), lambda b, j: (b, 0))
+    out = pl.pallas_call(
+        _kernel_scan_full_mp,
+        interpret=jax.default_backend() == "cpu",
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_b, M), lambda b, j, nb=nb: (j * nb + b, 0)),
+            pl.BlockSpec((block_b, 8), lambda b, j: (b, 0)),
+            pl.BlockSpec((block_b, 8), lambda b, j: (b, 0)),
+            bspec(),
+            bspec(),
+            bspec(),
+            bspec(),
+            bspec(),
+            bspec(),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_b, Mp1), lambda b, j, nb=nb: (j * nb + b, 0)),
+            bspec(),
+            bspec(),
+            bspec(),
+            bspec(),
+            bspec(),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N * B, Mp1), jnp.uint16),
+            jax.ShapeDtypeStruct((B, Mp1), jnp.int32),
+            jax.ShapeDtypeStruct((B, Mp1), jnp.int32),
+            jax.ShapeDtypeStruct((B, Mp1), jnp.int32),
+            jax.ShapeDtypeStruct((B, Mp1), jnp.int32),
+            jax.ShapeDtypeStruct((B, Mp1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_b, Mp1), jnp.int32) for _ in range(7)
+        ],
+    )(
+        jnp.asarray(pens8, jnp.int32),
+        eq2,
+        lens8,
+        lens8[:, 1:2] * jnp.ones((1, 8), jnp.int32),  # nlens in lane 0
+        S0,
+        D0,
+        s_bits0,
+        Sn0,
+        Ly0,
+        tb_col0.astype(jnp.int32),
+    )
+    tb_cols2, S_f, I_f, Sn_f, Ly_f, tbf = out
+    tb_cols = tb_cols2.reshape(N, B, Mp1)
+    tb_f = tbf.astype(jnp.uint16)
+    tbc = tb_cols.astype(jnp.int32)
+    Lx_cols = (
+        ((tbc[:, :, 0] >> 12) & 0xF)
+        | (((tbc[:, :, 1] >> 12) & 0xF) << 4)
+        | (((tbc[:, :, 2] >> 12) & 0xF) << 8)
+    )  # (N, B)
+    return S_f, I_f, Sn_f, Ly_f, tb_f, tb_cols, Lx_cols
