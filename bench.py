@@ -72,6 +72,15 @@ def _fm_queries_per_s() -> float:
 
 
 def main() -> None:
+    import jax
+
+    # persistent compile cache: protects repeated bench runs from the slow
+    # (remote) TPU compile path
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from rust_bio_tpu.alignment.pairwise.batched import _align_batch_device

@@ -92,19 +92,49 @@ class ShardedAligner:
 
 
 class ShardedFMIndex:
-    """Replicated FM-index searched over a sharded pattern batch.
+    """FM-index searched over a sharded pattern batch.
 
-    The packed rank arrays (DeviceFMIndex) are replicated on every device;
-    the pattern batch is sharded on 'data'. For genomes exceeding one
-    device's HBM the Occ table would instead be sharded on 'model' with
-    partial-interval exchange — the mesh axes are already laid out for it.
+    ``index_sharding="replicated"`` (default): the packed rank arrays are
+    replicated on every device and the pattern batch shards on 'data' —
+    the right layout while the genome fits one device's HBM.
+
+    ``index_sharding="occ_sharded"``: the bit-plane and checkpoint arrays
+    shard along the word axis over the 'model' mesh axis (each device holds
+    a contiguous slice of the BWT's packed words). Rank queries then gather
+    across shards — XLA partitions the gather and inserts the ICI exchange.
+    This is the >HBM-genome layout (SURVEY §5.8 option b).
     """
 
-    def __init__(self, device_index, mesh=None) -> None:
+    def __init__(self, device_index, mesh=None, index_sharding="replicated"):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         self.index = device_index
         self.mesh = mesh if mesh is not None else parallel.make_mesh()
         repl = parallel.replicated_sharding(self.mesh)
-        for name in ("bits", "ckpt", "less", "sym_of", "bwt_bytes"):
+        if index_sharding == "occ_sharded":
+            # shard the packed word axis; pad so it divides the axis size
+            n_model = self.mesh.shape["model"]
+            n_data = self.mesh.shape["data"]
+            axis = "model" if n_model > 1 else "data"
+            nshard = n_model if n_model > 1 else n_data
+            bits = np.asarray(self.index.bits)
+            ckpt = np.asarray(self.index.ckpt)
+            nw = bits.shape[1]
+            pad = (-nw) % nshard
+            if pad:
+                bits = np.pad(bits, ((0, 0), (0, pad)))
+                # checkpoint padding must stay monotone for sound reads
+                ckpt = np.pad(ckpt, ((0, 0), (0, pad)), mode="edge")
+            shard = NamedSharding(self.mesh, P(None, axis))
+            self.index.bits = jax.device_put(jnp.asarray(bits), shard)
+            self.index.ckpt = jax.device_put(jnp.asarray(ckpt), shard)
+        else:
+            for name in ("bits", "ckpt"):
+                setattr(
+                    self.index, name,
+                    jax.device_put(getattr(self.index, name), repl),
+                )
+        for name in ("less", "sym_of", "bwt_bytes"):
             setattr(
                 self.index, name, jax.device_put(getattr(self.index, name), repl)
             )

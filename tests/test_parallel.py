@@ -78,3 +78,27 @@ def test_sharded_fmindex_matches_host():
         assert res.kind == expect.kind
         if res.interval is not None:
             assert res.interval == expect.interval
+
+
+def test_occ_sharded_fmindex_matches_host():
+    rng = np.random.default_rng(2)
+    text = rng.choice(list(b"ACGT"), size=600).astype("uint8").tobytes() + b"$"
+    alphabet = dna.n_alphabet()
+    sa = suffix_array(text)
+    b = bwt(text, sa)
+    fm = FMIndex(b, less(b, alphabet), Occ(b, 32, alphabet))
+    dev = DeviceFMIndex(b, alphabet)
+    sharded = ShardedFMIndex(
+        dev, parallel.make_mesh(n_data=2, n_model=4), index_sharding="occ_sharded"
+    )
+    patterns = []
+    for _ in range(16):
+        ln = int(rng.integers(1, 18))
+        start = int(rng.integers(0, len(text) - ln - 1))
+        patterns.append(text[start : start + ln])
+    got = sharded.backward_search_batch(patterns)
+    for pat, res in zip(patterns, got):
+        expect = fm.backward_search(pat)
+        assert res.kind == expect.kind
+        if res.interval is not None:
+            assert res.interval == expect.interval
