@@ -870,6 +870,29 @@ class BatchAligner:
             ),
         }[mode]
         xb, yb, mlens, nlens = self._pad(xs, ys)
+        B, M = xb.shape
+        mp = self.scoring.match_fn
+        if mode == "global" and isinstance(mp, MatchParams):
+            # VMEM-resident Pallas score kernel (~3x the scan engines);
+            # pad the batch to a lane-aligned multiple with empty lanes
+            from rust_bio_tpu.ops.sw_pallas import sw_scores_global_matchparams
+
+            pad = (-B) % 128
+            if pad:
+                xb = np.concatenate([xb, np.zeros((pad, M), np.uint8)])
+                yb = np.concatenate(
+                    [yb, np.zeros((pad, yb.shape[1]), np.uint8)]
+                )
+                mlens = np.concatenate([mlens, np.ones(pad, np.int32)])
+                nlens = np.concatenate([nlens, np.ones(pad, np.int32)])
+            out = sw_scores_global_matchparams(
+                jnp.asarray(xb), jnp.asarray(yb),
+                jnp.asarray(mlens), jnp.asarray(nlens),
+                mp.match_score, mp.mismatch_score,
+                self.scoring.gap_open, self.scoring.gap_extend,
+                block_b=128,
+            )
+            return np.asarray(out)[:B]
         pen = np.array(
             [self.scoring.gap_open, self.scoring.gap_extend, *clips],
             dtype=np.int32,
