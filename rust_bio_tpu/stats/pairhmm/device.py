@@ -27,14 +27,17 @@ import numpy as np
 
 F32 = jnp.float32
 NEG_INF = -3.0e38  # f32-safe -inf surrogate (finite to avoid nan in adds)
+NEG_INF64 = -1.0e308
 
 
 def _lae(a, b):
     """logaddexp that tolerates the NEG_INF surrogate."""
+    neg = NEG_INF if a.dtype == jnp.float32 else NEG_INF64
+    clamp = -87.0 if a.dtype == jnp.float32 else -700.0
     hi = jnp.maximum(a, b)
     lo = jnp.minimum(a, b)
-    out = hi + jnp.log1p(jnp.exp(jnp.maximum(lo - hi, -87.0)))
-    return jnp.where(lo <= NEG_INF / 2, hi, out)
+    out = hi + jnp.log1p(jnp.exp(jnp.maximum(lo - hi, clamp)))
+    return jnp.where(lo <= neg / 2, hi, out)
 
 
 def _lae3(a, b, c):
@@ -54,7 +57,12 @@ class BatchPairHMM:
         prob_gap_y: float,
         prob_gap_x_extend: float,
         prob_gap_y_extend: float,
+        dtype=jnp.float32,
     ) -> None:
+        # f32 is the throughput mode (~1e-3 agreement with the f64 oracle);
+        # pass jnp.float64 (with jax_enable_x64) for score-exact runs
+        self.dtype = dtype
+        self._neg = NEG_INF if dtype == jnp.float32 else NEG_INF64
         def ln1m(p):
             return float(np.log1p(-np.exp(p))) if p != float("-inf") else 0.0
 
@@ -81,8 +89,10 @@ class BatchPairHMM:
         """
         B, M = xs.shape
         N = ys.shape[1]
-        g = {k: jnp.float32(v) for k, v in self.g.items()}
-        ep = jnp.broadcast_to(jnp.asarray(emit_probs, F32), (B, 3))
+        FT = self.dtype
+        NEG = self._neg
+        g = {k: jnp.asarray(v, FT) for k, v in self.g.items()}
+        ep = jnp.broadcast_to(jnp.asarray(emit_probs, FT), (B, 3))
         p_match, p_mismatch, p_gap_emit = ep[:, 0], ep[:, 1], ep[:, 2]
 
         j_ = jnp.arange(N + 1, dtype=jnp.int32)  # 0..N
@@ -93,7 +103,7 @@ class BatchPairHMM:
             active = i < xlens  # (B,)
 
             if semiglobal:
-                bound = jnp.where(i == 0, jnp.float32(np.log(2.0)), 0.0)
+                bound = jnp.where(i == 0, jnp.asarray(np.log(2.0), FT), jnp.asarray(0.0, FT))
                 fm_prev = fm_prev.at[:, 0].set(
                     jnp.where(active, bound, fm_prev[:, 0])
                 )
@@ -109,7 +119,7 @@ class BatchPairHMM:
                 g["no_gap_y_extend"] + fy_prev[:, :-1],
             )
             fm_curr = jnp.concatenate(
-                [jnp.full((B, 1), NEG_INF, F32), emit_xy + m_in], axis=1
+                [jnp.full((B, 1), NEG, FT), emit_xy + m_in], axis=1
             )
 
             # X state (gap in y, consumes x): prev column same j
@@ -118,7 +128,7 @@ class BatchPairHMM:
                 g["gap_y_extend"] + fx_prev[:, 1:],
             )
             fx_curr = jnp.concatenate(
-                [jnp.full((B, 1), NEG_INF, F32), p_gap_emit[:, None] + fx_in],
+                [jnp.full((B, 1), NEG, FT), p_gap_emit[:, None] + fx_in],
                 axis=1,
             )
 
@@ -136,7 +146,7 @@ class BatchPairHMM:
 
             As, _ = jax.lax.associative_scan(combine, (A, Bc), axis=1)
             fy_curr = jnp.concatenate(
-                [jnp.full((B, 1), NEG_INF, F32), As], axis=1
+                [jnp.full((B, 1), NEG, FT), As], axis=1
             )
 
             # freeze lanes past their length
@@ -157,10 +167,10 @@ class BatchPairHMM:
 
             return (fm_n, fx_n, fy_n, acc), None
 
-        fm0 = jnp.full((B, N + 1), NEG_INF, F32).at[:, 0].set(0.0)
-        fx0 = jnp.full((B, N + 1), NEG_INF, F32)
-        fy0 = jnp.full((B, N + 1), NEG_INF, F32)
-        acc0 = jnp.full((B,), NEG_INF, F32)
+        fm0 = jnp.full((B, N + 1), NEG, FT).at[:, 0].set(0.0)
+        fx0 = jnp.full((B, N + 1), NEG, FT)
+        fy0 = jnp.full((B, N + 1), NEG, FT)
+        acc0 = jnp.full((B,), NEG, FT)
 
         (fm, fx, fy, acc), _ = jax.lax.scan(
             row,
@@ -206,7 +216,7 @@ class BatchPairHMM:
             jnp.asarray(ys),
             jnp.asarray(xlens, dtype=jnp.int32),
             jnp.asarray(ylens, dtype=jnp.int32),
-            jnp.asarray(emit_probs, dtype=F32),
+            jnp.asarray(emit_probs, dtype=self.dtype),
             None,
             bool(semiglobal),
         )

@@ -243,3 +243,27 @@ def test_device_matches_oracle(semiglobal):
             assert got[b] < -80, b
         else:
             assert got[b] == pytest.approx(want, rel=1e-3, abs=1e-3), b
+
+
+def test_device_f64_close_to_oracle():
+    import jax
+
+    with jax.enable_x64(True):
+        import jax.numpy as jnp
+
+        dev = BatchPairHMM(
+            prob_gap_x=math.log(PROB_ILLUMINA_INS),
+            prob_gap_y=math.log(PROB_ILLUMINA_DEL),
+            prob_gap_x_extend=float("-inf"),
+            prob_gap_y_extend=float("-inf"),
+            dtype=jnp.float64,
+        )
+        x = b"AGCTCGATCGATCGATC"
+        y = b"AGCTCGATCTGATCGATCT"
+        xs = np.frombuffer(x, np.uint8)[None, :]
+        ys = np.frombuffer(y, np.uint8)[None, :]
+        got = dev.prob_related_batch(xs, ys, EMIT)[0]
+        want = _prob(x, y, Global())
+        # f64 device agrees with the f64 scalar oracle to near machine eps
+        # (the oracle's fastexp approximation dominates the residual)
+        assert got == pytest.approx(want, rel=1e-6)
