@@ -1,0 +1,3 @@
+"""End-to-end production pipelines built from the framework's kernels."""
+
+from rust_bio_tpu.pipelines.read_mapper import MappedRead, ReadMapper  # noqa: F401
