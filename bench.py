@@ -83,8 +83,10 @@ def main() -> None:
         pass
     import jax.numpy as jnp
 
-    from rust_bio_tpu.alignment.pairwise.batched import _align_batch_device
-    from rust_bio_tpu.alignment.pairwise.scoring import MIN_SCORE, Scoring
+    from rust_bio_tpu.alignment.pairwise.batched import (
+        _align_batch_device_global_mp,
+    )
+    from rust_bio_tpu.alignment.pairwise.scoring import MIN_SCORE
 
     B, M, N = 8192, 150, 150
     rng = np.random.default_rng(7)
@@ -93,14 +95,17 @@ def main() -> None:
     mlens = jnp.full((B,), M, dtype=jnp.int32)
     nlens = jnp.full((B,), N, dtype=jnp.int32)
 
-    scoring = Scoring.from_scores(-5, -1, 2, -2)
-    lut = jnp.asarray(scoring.dense_lut())
-    pen = jnp.asarray(
-        np.array([-5, -1, MIN_SCORE, MIN_SCORE, MIN_SCORE, MIN_SCORE], np.int32)
+    pen8 = jnp.asarray(
+        np.array(
+            [-5, -1, MIN_SCORE, MIN_SCORE, MIN_SCORE, MIN_SCORE, 2, -2],
+            np.int32,
+        )
     )
 
     def run():
-        out = _align_batch_device(xb, yb, mlens, nlens, lut, pen)
+        # full-traceback global alignment on the transposed Pallas engine
+        # (the same path BatchAligner.global_ dispatches to)
+        out = _align_batch_device_global_mp(xb, yb, mlens, nlens, pen8)
         # np.asarray forces a full device->host sync (block_until_ready is
         # not reliable through the axon tunnel)
         return int(np.asarray(out["score"]).sum())

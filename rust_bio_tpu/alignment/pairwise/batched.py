@@ -498,57 +498,91 @@ def _suffix_fixups(
     return score, tb_col_fixed, Lx_n, lx_n_set
 
 
-def _walk(tb_full, Lx_full, Ly_f, mlens, nlens, B, M, N):
+def _walk(tb_full, Lx_full, Ly_f, mlens, nlens, B, M, N, no_clips=False):
     """Batched lockstep traceback walk; one big gather per step.
 
     The next step's layer is resolved from the cell gathered at that step
     (use_s), or carried from this cell's I/D bits.
+
+    When ``M, N < 1024`` the clip lengths ride along in the cell word
+    (bits 12..21 = Lx(j), 22..31 = Ly(i)), so each step is a single uint32
+    gather instead of three (cell, Lx, Ly) — per-step gathers dominate the
+    walk on TPU. Larger problems fall back to the three-gather form.
+    ``no_clips`` (global mode): clip layers cannot occur, so the cell word
+    is gathered as plain uint16 and all clip logic drops out.
     """
     T_steps = M + N + 8
-    tb_flat = tb_full.reshape(B, (M + 1) * (N + 1))
+    packed = M < 1024 and N < 1024 and not no_clips
+    if no_clips:
+        tb_flat = tb_full.reshape(B, (M + 1) * (N + 1))
+    elif packed:
+        tb32 = (
+            (tb_full.astype(jnp.uint32) & 0xFFF)
+            | (Lx_full.astype(jnp.uint32) << 12)[:, None, :]
+            | (Ly_f.astype(jnp.uint32) << 22)[:, :, None]
+        )
+        tb_flat = tb32.reshape(B, (M + 1) * (N + 1))
+    else:
+        tb_flat = tb_full.reshape(B, (M + 1) * (N + 1))
 
     def walk_step(state, _):
         i, j, carried, use_s, xstart, ystart, xend, yend, done = state
         cell = jnp.take_along_axis(
             tb_flat, (i * (N + 1) + j)[:, None], axis=1
         )[:, 0]
-        ib, db, sb = _unpack(cell)
+        if no_clips:
+            ib, db, sb = _unpack(cell)
+        elif packed:
+            # unpack in uint32 (bit 31 may be set); cast only small fields
+            ib = (cell & 0xF).astype(I32)
+            db = ((cell >> 4) & 0xF).astype(I32)
+            sb = ((cell >> 8) & 0xF).astype(I32)
+            lx = ((cell >> 12) & 0x3FF).astype(I32)
+            ly = (cell >> 22).astype(I32)
+        else:
+            ib, db, sb = _unpack(cell)
+            lx = jnp.take_along_axis(Lx_full, j[:, None], axis=1)[:, 0]
+            ly = jnp.take_along_axis(Ly_f, i[:, None], axis=1)[:, 0]
         layer = jnp.where(use_s, sb, carried)
-        lx = jnp.take_along_axis(Lx_full, j[:, None], axis=1)[:, 0]
-        ly = jnp.take_along_axis(Ly_f, i[:, None], axis=1)[:, 0]
 
         is_ins = layer == TB_INS
         is_del = layer == TB_DEL
         is_mm = (layer == TB_MATCH) | (layer == TB_SUBST)
-        is_xp = layer == TB_XCLIP_PREFIX
-        is_xs = layer == TB_XCLIP_SUFFIX
-        is_yp = layer == TB_YCLIP_PREFIX
-        is_ys = layer == TB_YCLIP_SUFFIX
+        if no_clips:
+            op_len = jnp.zeros_like(i)
+            op_code = jnp.where(done, 0, layer)
+            new_i = jnp.where(done, i, i - (is_ins | is_mm) * 1)
+            new_j = jnp.where(done, j, j - (is_del | is_mm) * 1)
+        else:
+            is_xp = layer == TB_XCLIP_PREFIX
+            is_xs = layer == TB_XCLIP_SUFFIX
+            is_yp = layer == TB_YCLIP_PREFIX
+            is_ys = layer == TB_YCLIP_SUFFIX
 
-        op_len = (
-            is_xp * i + is_xs * lx + is_yp * j + is_ys * ly
-        )
-        op_code = jnp.where(done, 0, layer)
+            op_len = (
+                is_xp * i + is_xs * lx + is_yp * j + is_ys * ly
+            )
+            op_code = jnp.where(done, 0, layer)
 
-        new_i = (
-            i
-            - (is_ins | is_mm) * 1
-            - is_xs * lx
-            + is_xp * (-i)  # i -> 0
-        )
-        new_j = (
-            j
-            - (is_del | is_mm) * 1
-            - is_ys * ly
-            + is_yp * (-j)  # j -> 0
-        )
-        new_i = jnp.where(done, i, new_i)
-        new_j = jnp.where(done, j, new_j)
+            new_i = (
+                i
+                - (is_ins | is_mm) * 1
+                - is_xs * lx
+                + is_xp * (-i)  # i -> 0
+            )
+            new_j = (
+                j
+                - (is_del | is_mm) * 1
+                - is_ys * ly
+                + is_yp * (-j)  # j -> 0
+            )
+            new_i = jnp.where(done, i, new_i)
+            new_j = jnp.where(done, j, new_j)
 
-        xstart = jnp.where(is_xp & ~done, i, xstart)
-        xend = jnp.where(is_xs & ~done, new_i, xend)
-        ystart = jnp.where(is_yp & ~done, j, ystart)
-        yend = jnp.where(is_ys & ~done, new_j, yend)
+            xstart = jnp.where(is_xp & ~done, i, xstart)
+            xend = jnp.where(is_xs & ~done, new_i, xend)
+            ystart = jnp.where(is_yp & ~done, j, ystart)
+            yend = jnp.where(is_ys & ~done, new_j, yend)
 
         new_done = done | (layer == TB_START)
         next_carried = jnp.where(is_ins, ib, db)
@@ -581,8 +615,8 @@ def _walk(tb_full, Lx_full, Ly_f, mlens, nlens, B, M, N):
         walk_step, state0, None, length=T_steps
     )
     return {
-        "op_codes": op_codes,  # (T, B) in reverse order (end -> start)
-        "op_lens": op_lens,
+        "op_codes": op_codes.astype(jnp.uint8),  # (T, B), end -> start
+        "op_lens": op_lens.astype(jnp.uint16),  # clip lengths < 65536
         "xstart": xstart,
         "ystart": ystart,
         "xend": xend,
@@ -705,6 +739,96 @@ def _align_batch_device_mp(
     )
 
 
+def _walk_global(tb_xb, mlens, nlens, B, M, N):
+    """Clip-free lockstep walk over the kernel-native column-major layout.
+
+    ``tb_xb``: ((Np+1) * (M+1), B) uint16 — row ``j*(M+1)+i`` is cell
+    (i, j); column j's raw cells are already the lane's true final column
+    at j = nlens (no suffix fixups exist in global mode), so no scatter or
+    transpose is needed between the scan kernel and the walk.
+    """
+    Mp1 = M + 1
+    T_steps = M + N + 8
+
+    def walk_step(state, _):
+        i, j, carried, use_s, done = state
+        cell = jnp.take_along_axis(
+            tb_xb, (j * Mp1 + i)[None, :], axis=0
+        )[0]
+        ib, db, sb = _unpack(cell)
+        layer = jnp.where(use_s, sb, carried)
+
+        is_ins = layer == TB_INS
+        is_del = layer == TB_DEL
+        is_mm = (layer == TB_MATCH) | (layer == TB_SUBST)
+        op_code = jnp.where(done, 0, layer)
+        new_i = jnp.where(done, i, i - (is_ins | is_mm) * 1)
+        new_j = jnp.where(done, j, j - (is_del | is_mm) * 1)
+
+        new_done = done | (layer == TB_START)
+        next_carried = jnp.where(is_ins, ib, db)
+        next_use_s = ~(is_ins | is_del) | new_done
+        next_carried = jnp.where(new_done, TB_START, next_carried)
+        return (new_i, new_j, next_carried, next_use_s, new_done), op_code
+
+    state0 = (
+        mlens,
+        nlens,
+        jnp.full(B, TB_START, I32),
+        jnp.ones(B, bool),
+        jnp.zeros(B, bool),
+    )
+    (fi, fj, _, _, done), op_codes = lax.scan(
+        walk_step, state0, None, length=T_steps
+    )
+    op_codes = op_codes.astype(jnp.uint8)  # 4x smaller host transfer
+    return {
+        "op_codes": op_codes,  # (T, B) end -> start
+        "op_lens": jnp.zeros_like(op_codes, dtype=jnp.uint16),
+        "xstart": jnp.zeros(B, I32),
+        "ystart": jnp.zeros(B, I32),
+        "xend": mlens,
+        "yend": nlens,
+        "walk_done": done,
+    }
+
+
+@partial(jax.jit, static_argnames=("with_traceback",))
+def _align_batch_device_global_mp(
+    xb, yb, mlens, nlens, penalties8, with_traceback: bool = True
+):
+    """Global-mode MatchParams fastest path: the transposed Pallas kernel
+    (ops/sw_pallas.scan_global_pallas_mp) computes scores + traceback cells
+    with DP rows on sublanes; suffix fixups and clip bookkeeping are
+    provably dead in global mode, so the postlude is just the clip-free
+    walk over the kernel-native layout (no transposes, no scatters).
+    Bit-identical to the general engines (property-tested).
+    """
+    from rust_bio_tpu.ops.sw_pallas import scan_global_pallas_mp
+
+    B, M = xb.shape
+    N = yb.shape[1]
+    pens = tuple(penalties8[k] for k in range(6))
+
+    score, tb_cols, _tbk = scan_global_pallas_mp(
+        xb, yb, mlens, nlens, penalties8
+    )  # tb_cols: (Np, M+1, B), columns 1..N valid
+    if not with_traceback:
+        return {"score": score}
+
+    rows, row_ge1, mlens_c, is_row_m = _geometry(B, M, mlens)
+    *_, tb_col0, _Lx0 = _init_column(
+        B, M, rows, row_ge1, mlens, nlens, mlens_c, is_row_m, pens
+    )
+    tb_xb = jnp.concatenate(
+        [jnp.transpose(tb_col0, (1, 0))[None], tb_cols], axis=0
+    ).reshape(-1, B)  # ((Np+1)*(M+1), B)
+
+    out = _walk_global(tb_xb, mlens, nlens, B, M, N)
+    out["score"] = score
+    return out
+
+
 _OP_BY_CODE = {
     TB_INS: Ins,
     TB_DEL: Del,
@@ -760,6 +884,16 @@ class BatchAligner:
             )
             from rust_bio_tpu.ops import sw_pallas  # noqa: F401 (kernel import)
 
+            if all(int(c) == MIN_SCORE for c in pen[2:6]):
+                # global mode: clip machinery is dead -> transposed kernel
+                return _align_batch_device_global_mp(
+                    jnp.asarray(xb),
+                    jnp.asarray(yb),
+                    jnp.asarray(mlens),
+                    jnp.asarray(nlens),
+                    jnp.asarray(pen8),
+                    with_traceback=with_traceback,
+                )
             return _align_batch_device_mp(
                 jnp.asarray(xb),
                 jnp.asarray(yb),

@@ -59,3 +59,71 @@ def test_pallas_subs_tensor_kernel_matches_oracle():
     )
     want = _oracle_scores(scoring, xb, yb, mlens, nlens)
     np.testing.assert_array_equal(got, want)
+
+
+def test_full_scan_engine_chunked_matches_scalar(monkeypatch):
+    """Full traceback engine through the chunked Pallas scan, multi-chunk
+    path forced (K < N), vs the scalar aligner."""
+    import random
+
+    from rust_bio_tpu.ops import sw_pallas
+    from rust_bio_tpu.alignment.pairwise.scalar import Aligner
+
+    real_pick = sw_pallas._pick_block
+    monkeypatch.setattr(
+        sw_pallas, "_pick_block",
+        lambda B, M, N: (real_pick(B, M, N)[0], max(1, N // 3)),
+    )
+
+    rng = random.Random(21)
+    sc = Scoring.from_scores(-5, -1, 2, -2)
+    ba = BatchAligner(sc)
+    sa = Aligner.with_scoring(sc)
+    B = 16
+    xs = [
+        bytes(rng.choice(b"ACGT") for _ in range(rng.randint(1, 20)))
+        for _ in range(B)
+    ]
+    ys = [
+        bytes(rng.choice(b"ACGT") for _ in range(rng.randint(1, 25)))
+        for _ in range(B)
+    ]
+    for mode in ("global_", "semiglobal", "local"):
+        got = getattr(ba, mode)(xs, ys)
+        for k, (x, y) in enumerate(zip(xs, ys)):
+            want = getattr(sa, mode)(x, y)
+            assert got[k].score == want.score, (mode, k)
+            assert got[k].operations == want.operations, (mode, k)
+
+
+@pytest.mark.parametrize("go,ge", [(-5, -1), (-2, -2), (-1, -1)])
+def test_global_transposed_kernel_matches_scalar(monkeypatch, go, ge):
+    """Transposed global-mode kernel vs scalar aligner: scores, ops, and
+    tie-breaks (go == ge exercises the open-vs-extend tie), multi-chunk."""
+    import random
+
+    from rust_bio_tpu.ops import sw_pallas
+    from rust_bio_tpu.alignment.pairwise.scalar import Aligner
+
+    real_pick = sw_pallas._pick_block_global
+    monkeypatch.setattr(
+        sw_pallas, "_pick_block_global",
+        lambda B, M, N: (real_pick(B, M, N)[0], max(1, N // 4)),
+    )
+
+    rng = random.Random(go * 100 + ge)
+    sc = Scoring.from_scores(go, ge, 2, -3)
+    ba = BatchAligner(sc)
+    sa = Aligner.with_scoring(sc)
+    xs, ys = [], []
+    for _ in range(24):
+        xs.append(bytes(rng.choice(b"ACGT") for _ in range(rng.randint(0, 18))))
+        ys.append(bytes(rng.choice(b"ACGT") for _ in range(rng.randint(0, 22))))
+    got = ba.global_(xs, ys)
+    for k, (x, y) in enumerate(zip(xs, ys)):
+        want = sa.global_(x, y)
+        assert got[k].score == want.score, (k, x, y)
+        assert got[k].operations == want.operations, (k, x, y)
+        assert (got[k].xstart, got[k].xend, got[k].ystart, got[k].yend) == (
+            want.xstart, want.xend, want.ystart, want.yend
+        ), (k, x, y)
