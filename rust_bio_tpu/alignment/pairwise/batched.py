@@ -525,8 +525,14 @@ def _walk(tb_full, Lx_full, Ly_f, mlens, nlens, B, M, N, no_clips=False):
     else:
         tb_flat = tb_full.reshape(B, (M + 1) * (N + 1))
 
-    def walk_step(state, _):
-        i, j, carried, use_s, xstart, ystart, xend, yend, done = state
+    def cond(state):
+        return (state[0] < T_steps) & ~jnp.all(state[-1])
+
+    def walk_step(state):
+        (
+            t, i, j, carried, use_s, xstart, ystart, xend, yend, done,
+            buf_c, buf_l,
+        ) = state
         cell = jnp.take_along_axis(
             tb_flat, (i * (N + 1) + j)[:, None], axis=1
         )[:, 0]
@@ -588,7 +594,14 @@ def _walk(tb_full, Lx_full, Ly_f, mlens, nlens, B, M, N, no_clips=False):
         next_carried = jnp.where(is_ins, ib, db)
         next_use_s = ~(is_ins | is_del) | new_done
         next_carried = jnp.where(new_done, TB_START, next_carried)
+        buf_c = lax.dynamic_update_slice_in_dim(
+            buf_c, op_code.astype(jnp.uint8)[None], t, axis=0
+        )
+        buf_l = lax.dynamic_update_slice_in_dim(
+            buf_l, op_len.astype(jnp.uint16)[None], t, axis=0
+        )
         return (
+            t + 1,
             new_i,
             new_j,
             next_carried,
@@ -598,9 +611,14 @@ def _walk(tb_full, Lx_full, Ly_f, mlens, nlens, B, M, N, no_clips=False):
             xend,
             yend,
             new_done,
-        ), (op_code, op_len)
+            buf_c,
+            buf_l,
+        )
 
+    # early-exit while_loop: typical paths are far shorter than M+N;
+    # finished lanes emit op 0 padding which the decoder stops at
     state0 = (
+        jnp.int32(0),
         mlens,
         nlens,
         jnp.full(B, TB_START, I32),
@@ -610,13 +628,15 @@ def _walk(tb_full, Lx_full, Ly_f, mlens, nlens, B, M, N, no_clips=False):
         mlens,
         nlens,
         jnp.zeros(B, bool),
+        jnp.zeros((T_steps, B), jnp.uint8),
+        jnp.zeros((T_steps, B), jnp.uint16),
     )
-    (fi, fj, _, _, xstart, ystart, xend, yend, done), (op_codes, op_lens) = lax.scan(
-        walk_step, state0, None, length=T_steps
-    )
+    (
+        _, fi, fj, _, _, xstart, ystart, xend, yend, done, op_codes, op_lens
+    ) = lax.while_loop(cond, walk_step, state0)
     return {
-        "op_codes": op_codes.astype(jnp.uint8),  # (T, B), end -> start
-        "op_lens": op_lens.astype(jnp.uint16),  # clip lengths < 65536
+        "op_codes": op_codes,  # (T, B), end -> start
+        "op_lens": op_lens,  # clip lengths < 65536
         "xstart": xstart,
         "ystart": ystart,
         "xend": xend,
@@ -750,8 +770,12 @@ def _walk_global(tb_xb, mlens, nlens, B, M, N):
     Mp1 = M + 1
     T_steps = M + N + 8
 
-    def walk_step(state, _):
-        i, j, carried, use_s, done = state
+    def cond(state):
+        t, i, j, carried, use_s, done, buf = state
+        return (t < T_steps) & ~jnp.all(done)
+
+    def walk_step(state):
+        t, i, j, carried, use_s, done, buf = state
         cell = jnp.take_along_axis(
             tb_xb, (j * Mp1 + i)[None, :], axis=0
         )[0]
@@ -761,7 +785,7 @@ def _walk_global(tb_xb, mlens, nlens, B, M, N):
         is_ins = layer == TB_INS
         is_del = layer == TB_DEL
         is_mm = (layer == TB_MATCH) | (layer == TB_SUBST)
-        op_code = jnp.where(done, 0, layer)
+        op_code = jnp.where(done, 0, layer).astype(jnp.uint8)
         new_i = jnp.where(done, i, i - (is_ins | is_mm) * 1)
         new_j = jnp.where(done, j, j - (is_del | is_mm) * 1)
 
@@ -769,19 +793,22 @@ def _walk_global(tb_xb, mlens, nlens, B, M, N):
         next_carried = jnp.where(is_ins, ib, db)
         next_use_s = ~(is_ins | is_del) | new_done
         next_carried = jnp.where(new_done, TB_START, next_carried)
-        return (new_i, new_j, next_carried, next_use_s, new_done), op_code
+        buf = lax.dynamic_update_slice_in_dim(buf, op_code[None], t, axis=0)
+        return (t + 1, new_i, new_j, next_carried, next_use_s, new_done, buf)
 
+    # early-exit while_loop: typical paths are far shorter than M+N
+    # (high-identity reads walk ~max(m, n) steps); lanes that finish emit
+    # op 0 padding which the decoder stops at
     state0 = (
+        jnp.int32(0),
         mlens,
         nlens,
         jnp.full(B, TB_START, I32),
         jnp.ones(B, bool),
         jnp.zeros(B, bool),
+        jnp.zeros((T_steps, B), jnp.uint8),
     )
-    (fi, fj, _, _, done), op_codes = lax.scan(
-        walk_step, state0, None, length=T_steps
-    )
-    op_codes = op_codes.astype(jnp.uint8)  # 4x smaller host transfer
+    _, fi, fj, _, _, done, op_codes = lax.while_loop(cond, walk_step, state0)
     return {
         "op_codes": op_codes,  # (T, B) end -> start
         "op_lens": jnp.zeros_like(op_codes, dtype=jnp.uint16),
