@@ -771,11 +771,11 @@ def _walk_global(tb_xb, mlens, nlens, B, M, N):
     T_steps = M + N + 8
 
     def cond(state):
-        t, i, j, carried, use_s, done, buf = state
+        t, i, j, carried, use_s, done, buf_c, buf_l = state
         return (t < T_steps) & ~jnp.all(done)
 
     def walk_step(state):
-        t, i, j, carried, use_s, done, buf = state
+        t, i, j, carried, use_s, done, buf_c, buf_l = state
         cell = jnp.take_along_axis(
             tb_xb, (j * Mp1 + i)[None, :], axis=0
         )[0]
@@ -785,16 +785,30 @@ def _walk_global(tb_xb, mlens, nlens, B, M, N):
         is_ins = layer == TB_INS
         is_del = layer == TB_DEL
         is_mm = (layer == TB_MATCH) | (layer == TB_SUBST)
+        # same-op diagonal run length from the cell's spare nibble: jump
+        # up to 15 Match/Subst cells in one gather (valid only when the
+        # layer was taken via use_s — mid-gap reads must step singly)
+        run = jnp.maximum((cell.astype(I32) >> 12) & 0xF, 1)
+        r = jnp.where(is_mm & use_s, run, 1)
         op_code = jnp.where(done, 0, layer).astype(jnp.uint8)
-        new_i = jnp.where(done, i, i - (is_ins | is_mm) * 1)
-        new_j = jnp.where(done, j, j - (is_del | is_mm) * 1)
+        op_len = jnp.where(done | ~is_mm, 0, r).astype(jnp.uint16)
+        new_i = jnp.where(done, i, i - (is_ins * 1 + is_mm * r))
+        new_j = jnp.where(done, j, j - (is_del * 1 + is_mm * r))
 
         new_done = done | (layer == TB_START)
         next_carried = jnp.where(is_ins, ib, db)
         next_use_s = ~(is_ins | is_del) | new_done
         next_carried = jnp.where(new_done, TB_START, next_carried)
-        buf = lax.dynamic_update_slice_in_dim(buf, op_code[None], t, axis=0)
-        return (t + 1, new_i, new_j, next_carried, next_use_s, new_done, buf)
+        buf_c = lax.dynamic_update_slice_in_dim(
+            buf_c, op_code[None], t, axis=0
+        )
+        buf_l = lax.dynamic_update_slice_in_dim(
+            buf_l, op_len[None], t, axis=0
+        )
+        return (
+            t + 1, new_i, new_j, next_carried, next_use_s, new_done,
+            buf_c, buf_l,
+        )
 
     # early-exit while_loop: typical paths are far shorter than M+N
     # (high-identity reads walk ~max(m, n) steps); lanes that finish emit
@@ -807,11 +821,14 @@ def _walk_global(tb_xb, mlens, nlens, B, M, N):
         jnp.ones(B, bool),
         jnp.zeros(B, bool),
         jnp.zeros((T_steps, B), jnp.uint8),
+        jnp.zeros((T_steps, B), jnp.uint16),
     )
-    _, fi, fj, _, _, done, op_codes = lax.while_loop(cond, walk_step, state0)
+    _, fi, fj, _, _, done, op_codes, op_lens = lax.while_loop(
+        cond, walk_step, state0
+    )
     return {
         "op_codes": op_codes,  # (T, B) end -> start
-        "op_lens": jnp.zeros_like(op_codes, dtype=jnp.uint16),
+        "op_lens": op_lens,  # run lengths for Match/Subst jumps (0 = 1)
         "xstart": jnp.zeros(B, I32),
         "ystart": jnp.zeros(B, I32),
         "xend": mlens,
@@ -870,7 +887,9 @@ def _decode_ops(codes: np.ndarray, lens: np.ndarray) -> List[AlignmentOperation]
         if c == 0:
             break
         if c in _OP_BY_CODE:
-            ops.append(_OP_BY_CODE[c])
+            # l > 1 on Match/Subst = a same-op diagonal run jumped in one
+            # walk step (run nibble); expand to l copies
+            ops.extend([_OP_BY_CODE[c]] * max(1, int(l)))
         elif c in (TB_XCLIP_PREFIX, TB_XCLIP_SUFFIX):
             ops.append(Xclip(int(l)))
         elif c in (TB_YCLIP_PREFIX, TB_YCLIP_SUFFIX):

@@ -541,6 +541,7 @@ def _kernel_scan_global_mp(
     D,
     SB,
     TBK,
+    R,
 ):
     c = pl.program_id(1)
     n_chunks = pl.num_programs(1)
@@ -568,9 +569,10 @@ def _kernel_scan_global_mp(
         SB[:] = sb0
         ib0 = jnp.where(rows == 1, TB_START, jnp.where(row0, TB_START, TB_INS))
         TBK[:] = ib0 | (TB_START << 4) | (sb0 << 8)
+        R[:] = jnp.zeros((Mp1, BB), I32)
 
     def column(k, st):
-        S_p, D_p, SB_p, TBK_p = st
+        S_p, D_p, SB_p, TBK_p, R_p = st
         j = (c * K + k + 1).astype(I32)
         valid = j <= n_total
 
@@ -627,7 +629,19 @@ def _kernel_scan_global_mp(
         i_bits = jnp.where(i_ext > T, TB_INS, prev_sbits)
         i_bits = jnp.where(row0, TB_START, i_bits)
 
-        tb_col = (i_bits | (d_bits << 4) | (s_bits << 8)).astype(jnp.uint16)
+        # same-op diagonal run length (walk jumps min(run, 15) cells per
+        # gather): run(i,j) = 1 + run(i-1,j-1) while s_bits stays equal
+        is_mm = (s_bits == TB_SUBST) | (s_bits == TB_MATCH)
+        same = s_bits == jnp.concatenate(
+            [jnp.full((1, BB), -1, I32), SB_p[:-1]], axis=0
+        )
+        r_diag = jnp.concatenate([jnp.zeros((1, BB), I32), R_p[:-1]], axis=0)
+        run = jnp.where(is_mm, 1 + jnp.where(same, r_diag, 0), 0)
+        run_nib = jnp.minimum(run, 15)
+
+        tb_col = (
+            i_bits | (d_bits << 4) | (s_bits << 8) | (run_nib << 12)
+        ).astype(jnp.uint16)
         tb_out[k] = tb_col
 
         keep = valid & (j <= nlens)  # (1, BB) broadcasts over rows
@@ -636,10 +650,11 @@ def _kernel_scan_global_mp(
             jnp.where(keep, bestD, D_p),
             jnp.where(keep, s_bits, SB_p),
             jnp.where(keep, tb_col.astype(I32), TBK_p),
+            jnp.where(keep, run, R_p),
         )
 
-    st = jax.lax.fori_loop(0, K, column, (S[:], D[:], SB[:], TBK[:]))
-    S[:], D[:], SB[:], TBK[:] = st
+    st = jax.lax.fori_loop(0, K, column, (S[:], D[:], SB[:], TBK[:], R[:]))
+    S[:], D[:], SB[:], TBK[:], R[:] = st
 
     @pl.when(c == n_chunks - 1)
     def _finish():
@@ -711,7 +726,7 @@ def scan_global_pallas_mp(xb, yb, mlens, nlens, pens8):
             jax.ShapeDtypeStruct((Mp1, B), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Mp1, block_b), jnp.int32) for _ in range(4)
+            pltpu.VMEM((Mp1, block_b), jnp.int32) for _ in range(5)
         ],
     )(
         pen,
