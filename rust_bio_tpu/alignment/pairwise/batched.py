@@ -837,6 +837,133 @@ def _walk_global(tb_xb, mlens, nlens, B, M, N):
     }
 
 
+def _walk_semiclip(tb_xb, tbfix, mlens, nlens, B, M, N):
+    """Lockstep walk for x-clip-free modes (semiglobal family).
+
+    ``tb_xb``: kernel-native column-major cells as in ``_walk_global``;
+    ``tbfix`` (B, M+1) int32: the suffix-FIXED final column, 12-bit cell |
+    (Ly(i) << 12) — selected whenever the walk sits at j == nlens (the raw
+    final column in ``tb_xb`` predates the fixups). Only y-clip layers can
+    occur (x-clips are MIN_SCORE by contract).
+    """
+    Mp1 = M + 1
+    T_steps = M + N + 8
+
+    def cond(state):
+        return (state[0] < T_steps) & ~jnp.all(state[7])
+
+    def walk_step(state):
+        t, i, j, carried, use_s, ystart, yend, done, buf_c, buf_l = state
+        cm = jnp.take_along_axis(
+            tb_xb, (j * Mp1 + i)[None, :], axis=0
+        )[0].astype(I32)
+        cf = jnp.take_along_axis(tbfix, i[:, None], axis=1)[:, 0]
+        use_fix = j == nlens
+        cell = jnp.where(use_fix, cf & 0xFFF, cm & 0xFFF)
+        ib = cell & 0xF
+        db = (cell >> 4) & 0xF
+        sb = (cell >> 8) & 0xF
+        ly = cf >> 12  # meaningful only at j == nlens
+        layer = jnp.where(use_s, sb, carried)
+
+        is_ins = layer == TB_INS
+        is_del = layer == TB_DEL
+        is_mm = (layer == TB_MATCH) | (layer == TB_SUBST)
+        is_yp = layer == TB_YCLIP_PREFIX
+        is_ys = layer == TB_YCLIP_SUFFIX
+        run = jnp.maximum((cm >> 12) & 0xF, 1)
+        r = jnp.where(is_mm & use_s & ~use_fix, run, 1)
+
+        op_code = jnp.where(done, 0, layer).astype(jnp.uint8)
+        op_len = jnp.where(
+            done, 0, is_mm * r + is_yp * j + is_ys * ly
+        ).astype(jnp.uint16)
+        new_i = jnp.where(done, i, i - (is_ins * 1 + is_mm * r))
+        new_j = jnp.where(
+            done, j, j - (is_del * 1 + is_mm * r + is_ys * ly + is_yp * j)
+        )
+        ystart = jnp.where(is_yp & ~done, j, ystart)
+        yend = jnp.where(is_ys & ~done, new_j, yend)
+
+        new_done = done | (layer == TB_START)
+        next_carried = jnp.where(is_ins, ib, db)
+        next_use_s = ~(is_ins | is_del) | new_done
+        next_carried = jnp.where(new_done, TB_START, next_carried)
+        buf_c = lax.dynamic_update_slice_in_dim(
+            buf_c, op_code[None], t, axis=0
+        )
+        buf_l = lax.dynamic_update_slice_in_dim(
+            buf_l, op_len[None], t, axis=0
+        )
+        return (
+            t + 1, new_i, new_j, next_carried, next_use_s, ystart, yend,
+            new_done, buf_c, buf_l,
+        )
+
+    state0 = (
+        jnp.int32(0),
+        mlens,
+        nlens,
+        jnp.full(B, TB_START, I32),
+        jnp.ones(B, bool),
+        jnp.zeros(B, I32),
+        nlens,
+        jnp.zeros(B, bool),
+        jnp.zeros((T_steps, B), jnp.uint8),
+        jnp.zeros((T_steps, B), jnp.uint16),
+    )
+    (
+        _, fi, fj, _, _, ystart, yend, done, op_codes, op_lens
+    ) = lax.while_loop(cond, walk_step, state0)
+    return {
+        "op_codes": op_codes,
+        "op_lens": op_lens,
+        "xstart": jnp.zeros(B, I32),
+        "ystart": ystart,
+        "xend": mlens,
+        "yend": yend,
+        "walk_done": done,
+    }
+
+
+@partial(jax.jit, static_argnames=("with_traceback",))
+def _align_batch_device_semiglobal_mp(
+    xb, yb, mlens, nlens, penalties8, with_traceback: bool = True
+):
+    """Semiglobal-family MatchParams fast path (x-clips MIN, y-clips
+    dynamic): transposed Pallas scan + the shared XLA suffix fixups on the
+    small transposed finals + the y-clip walk. Bit-identical to the
+    general engines (property-tested)."""
+    from rust_bio_tpu.ops.sw_pallas import scan_semiglobal_pallas_mp
+
+    B, M = xb.shape
+    N = yb.shape[1]
+    pens = tuple(penalties8[k] for k in range(6))
+
+    tb_cols, S_f, I_f, Sn_f, Ly_f, tbk = scan_semiglobal_pallas_mp(
+        xb, yb, mlens, nlens, penalties8
+    )
+    rows, row_ge1, mlens_c, is_row_m = _geometry(B, M, mlens)
+    score, tb_col_fixed, _Lx_n, _lx_set = _suffix_fixups(
+        S_f, I_f, Sn_f, tbk.astype(jnp.uint16),
+        B, M, rows, row_ge1, mlens, mlens_c, is_row_m, pens,
+    )
+    if not with_traceback:
+        return {"score": score}
+
+    *_, tb_col0, _Lx0 = _init_column(
+        B, M, rows, row_ge1, mlens, nlens, mlens_c, is_row_m, pens
+    )
+    tb_xb = jnp.concatenate(
+        [jnp.transpose(tb_col0, (1, 0))[None], tb_cols], axis=0
+    ).reshape(-1, B)
+    tbfix = (tb_col_fixed.astype(I32) & 0xFFF) | (Ly_f << 12)
+
+    out = _walk_semiclip(tb_xb, tbfix, mlens, nlens, B, M, N)
+    out["score"] = score
+    return out
+
+
 @partial(jax.jit, static_argnames=("with_traceback",))
 def _align_batch_device_global_mp(
     xb, yb, mlens, nlens, penalties8, with_traceback: bool = True
@@ -933,6 +1060,17 @@ class BatchAligner:
             if all(int(c) == MIN_SCORE for c in pen[2:6]):
                 # global mode: clip machinery is dead -> transposed kernel
                 return _align_batch_device_global_mp(
+                    jnp.asarray(xb),
+                    jnp.asarray(yb),
+                    jnp.asarray(mlens),
+                    jnp.asarray(nlens),
+                    jnp.asarray(pen8),
+                    with_traceback=with_traceback,
+                )
+            if int(pen[2]) == MIN_SCORE and int(pen[3]) == MIN_SCORE:
+                # x-clips disabled (semiglobal family): transposed kernel
+                # with live y-clip machinery
+                return _align_batch_device_semiglobal_mp(
                     jnp.asarray(xb),
                     jnp.asarray(yb),
                     jnp.asarray(mlens),

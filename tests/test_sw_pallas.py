@@ -127,3 +127,47 @@ def test_global_transposed_kernel_matches_scalar(monkeypatch, go, ge):
         assert (got[k].xstart, got[k].xend, got[k].ystart, got[k].yend) == (
             want.xstart, want.xend, want.ystart, want.yend
         ), (k, x, y)
+
+
+@pytest.mark.parametrize("go,ge", [(-5, -1), (-2, -2)])
+def test_semiglobal_transposed_kernel_matches_scalar(monkeypatch, go, ge):
+    """Transposed semiglobal kernel (live y-clips + suffix fixups + y-clip
+    walk) vs the scalar aligner, multi-chunk forced."""
+    import random
+
+    from rust_bio_tpu.ops import sw_pallas
+    from rust_bio_tpu.alignment.pairwise.scalar import Aligner
+
+    real_pick = sw_pallas._pick_block_global
+    monkeypatch.setattr(
+        sw_pallas, "_pick_block_global",
+        lambda B, M, N, n_state=30: (
+            real_pick(B, M, N, n_state)[0], max(1, N // 4)
+        ),
+    )
+
+    rng = random.Random(go * 31 + ge)
+    sc = Scoring.from_scores(go, ge, 2, -3)
+    ba = BatchAligner(sc)
+    sa = Aligner.with_scoring(sc)
+    xs, ys = [], []
+    for _ in range(24):
+        m = rng.randint(0, 16)
+        x = bytes(rng.choice(b"ACGT") for _ in range(m))
+        # half the lanes: y contains x-ish (the semiglobal sweet spot)
+        if rng.random() < 0.5:
+            pre = bytes(rng.choice(b"ACGT") for _ in range(rng.randint(0, 8)))
+            suf = bytes(rng.choice(b"ACGT") for _ in range(rng.randint(0, 8)))
+            y = pre + x + suf
+        else:
+            y = bytes(rng.choice(b"ACGT") for _ in range(rng.randint(0, 24)))
+        xs.append(x)
+        ys.append(y)
+    got = ba.semiglobal(xs, ys)
+    for k, (x, y) in enumerate(zip(xs, ys)):
+        want = sa.semiglobal(x, y)
+        assert got[k].score == want.score, (k, x, y)
+        assert got[k].operations == want.operations, (k, x, y)
+        assert (got[k].xstart, got[k].xend, got[k].ystart, got[k].yend) == (
+            want.xstart, want.xend, want.ystart, want.yend
+        ), (k, x, y)
