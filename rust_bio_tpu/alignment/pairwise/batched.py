@@ -1047,6 +1047,21 @@ class BatchAligner:
         scoring is constant match/mismatch (and shapes allow), else XLA."""
         B, M = xb.shape
         mp = self.scoring.match_fn
+        if isinstance(mp, MatchParams) and 2 <= M < 4096 and B % 8:
+            # pad the batch to a lane-aligned multiple with 1-char dummy
+            # lanes so every batch size reaches the Pallas engines
+            padb = -B % 8
+            out = self._dispatch(
+                np.pad(xb, ((0, padb), (0, 0))),
+                np.pad(yb, ((0, padb), (0, 0))),
+                np.pad(mlens, (0, padb), constant_values=1),
+                np.pad(nlens, (0, padb), constant_values=1),
+                pen,
+                with_traceback,
+            )
+            return {
+                k: v[:, :B] if v.ndim == 2 else v[:B] for k, v in out.items()
+            }
         if (
             isinstance(mp, MatchParams)
             and 2 <= M < 4096
