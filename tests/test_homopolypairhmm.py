@@ -297,3 +297,90 @@ def test_banded_matches_unbanded():
     p = SINGLE_GAPS_NO_HOPS.prob_related(em, Semiglobal(), None)
     p_banded = SINGLE_GAPS_NO_HOPS.prob_related(em, Semiglobal(), 2)
     assert p == pytest.approx(p_banded, abs=1e-3)
+
+
+# ---- device kernel vs scalar oracle ----
+
+import numpy as np
+
+
+def _emit_vec():
+    p_match = math.log1p(-math.exp(PROB_SUBSTITUTION))
+    p_mismatch = math.log(PROB_ILLUMINA_SUBST / 3.0)
+    return [p_match, p_mismatch, p_match, p_match]
+
+
+def _device(gp, hp, dtype=None):
+    import jax.numpy as jnp
+
+    from rust_bio_tpu.stats.pairhmm.homopoly_device import BatchHomopolyPairHMM
+
+    return BatchHomopolyPairHMM(
+        prob_gap_x=gp.prob_gap_x(),
+        prob_gap_y=gp.prob_gap_y(),
+        prob_gap_x_extend=gp.prob_gap_x_extend(),
+        prob_gap_y_extend=gp.prob_gap_y_extend(),
+        prob_hop_x=hp.prob_hop_x(),
+        prob_hop_y=hp.prob_hop_y(),
+        prob_hop_x_extend=hp.prob_hop_x_extend(),
+        prob_hop_y_extend=hp.prob_hop_y_extend(),
+        dtype=dtype or jnp.float32,
+    )
+
+
+@pytest.mark.parametrize("semiglobal", [False, True])
+@pytest.mark.parametrize(
+    "gp,hp,hmm",
+    [
+        (SingleGapParams(), NoHopParams(), SINGLE_GAPS_NO_HOPS),
+        (NoGapParams(), WithHopParams(), NO_GAPS_WITH_HOPS),
+        (ExtendGapParams(), NoHopParams(), EXTEND_GAPS_NO_HOPS),
+    ],
+    ids=["single-gaps", "hops", "extend-gaps"],
+)
+def test_device_matches_oracle(semiglobal, gp, hp, hmm):
+    rng = np.random.default_rng(17)
+    B = 6
+    xs_list, ys_list = [], []
+    for _ in range(B):
+        m = int(rng.integers(2, 14))
+        n = int(rng.integers(2, 18))
+        x = rng.choice(list(b"ACGT"), size=m).astype("uint8")
+        if rng.random() < 0.6 and n >= m:
+            y = np.concatenate(
+                [x, rng.choice(list(b"ACGT"), size=n - m).astype("uint8")]
+            )
+        else:
+            y = rng.choice(list(b"ACGT"), size=n).astype("uint8")
+        # sprinkle homopolymer runs to exercise hop states
+        if rng.random() < 0.5:
+            x[1:3] = x[0]
+        xs_list.append(x)
+        ys_list.append(y)
+
+    M = max(len(x) for x in xs_list)
+    N = max(len(y) for y in ys_list)
+    xs = np.zeros((B, M), np.uint8)
+    ys = np.zeros((B, N), np.uint8)
+    xlens = np.array([len(x) for x in xs_list], np.int32)
+    ylens = np.array([len(y) for y in ys_list], np.int32)
+    for i in range(B):
+        xs[i, : xlens[i]] = xs_list[i]
+        ys[i, : ylens[i]] = ys_list[i]
+
+    dev = _device(gp, hp)
+    got = dev.prob_related_batch(
+        xs, ys, _emit_vec(), semiglobal=semiglobal, xlens=xlens, ylens=ylens
+    )
+
+    mode = Semiglobal() if semiglobal else Global()
+    for b in range(B):
+        want = float(
+            hmm.prob_related(
+                EmParams(bytes(xs_list[b]), bytes(ys_list[b])), mode, None
+            )
+        )
+        if want == float("-inf") or want < -80:
+            assert got[b] < -75, (b, want, got[b])
+        else:
+            assert got[b] == pytest.approx(want, rel=2e-3, abs=2e-3), b
