@@ -17,8 +17,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from rust_bio_tpu import parallel
-from rust_bio_tpu.alignment.pairwise.batched import _align_batch_device
+from rust_bio_tpu.alignment.pairwise.batched import (
+    BatchAligner,
+    _align_batch_device,
+)
 from rust_bio_tpu.alignment.pairwise.scoring import MIN_SCORE, Scoring
+from rust_bio_tpu.pipelines.read_mapper import ReadMapper
 
 
 def _pad_to_multiple(arrs, lens, multiple: int):
@@ -179,3 +183,73 @@ class ShardedFMIndex:
             else:
                 out.append(BackwardSearchResult.absent())
         return out
+
+
+class ShardedBatchAligner(BatchAligner):
+    """``BatchAligner`` whose batches execute sharded over the mesh's
+    'data' axis — full tracebacks and reference-exact decode included.
+
+    The general XLA engine partitions cleanly under ``jit`` with
+    ``NamedSharding`` inputs (Pallas kernels do not auto-partition, so the
+    dispatch pins the XLA path); lanes are padded to a multiple of the
+    data-axis size and sliced back after the walk.
+    """
+
+    def __init__(self, scoring: Scoring, mesh=None) -> None:
+        super().__init__(scoring)
+        self.mesh = mesh if mesh is not None else parallel.make_mesh()
+        self._lut_repl = jax.device_put(
+            jnp.asarray(scoring.dense_lut()),
+            parallel.replicated_sharding(self.mesh),
+        )
+
+    def _dispatch(self, xb, yb, mlens, nlens, pen, with_traceback):
+        n_data = self.mesh.shape["data"]
+        xb = np.asarray(xb, dtype=np.uint8)
+        yb = np.asarray(yb, dtype=np.uint8)
+        mlens = np.asarray(mlens, dtype=np.int32)
+        nlens = np.asarray(nlens, dtype=np.int32)
+        xb, mlens, B = _pad_to_multiple(xb, mlens, n_data)
+        yb, nlens, _ = _pad_to_multiple(yb, nlens, n_data)
+        xb_d, yb_d, ml_d, nl_d = parallel.shard_batch(
+            self.mesh, xb, yb, mlens, nlens
+        )
+        pen_d = jax.device_put(
+            jnp.asarray(pen), parallel.replicated_sharding(self.mesh)
+        )
+        out = _align_batch_device(
+            xb_d, yb_d, ml_d, nl_d, self._lut_repl, pen_d,
+            with_traceback=with_traceback,
+        )
+        return {
+            k: v[:, :B] if v.ndim == 2 else v[:B] for k, v in out.items()
+        }
+
+
+class ShardedReadMapper(ReadMapper):
+    """Seed-and-extend read mapper running data-parallel over a mesh.
+
+    The FM-index rank arrays are replicated per device (genome fits HBM);
+    seed batches and extension batches shard on the 'data' axis. Host code
+    (window slicing, result assembly) is unchanged from ``ReadMapper`` —
+    this is the multi-chip production configuration of SURVEY §2.7.
+    """
+
+    def __init__(self, genome, mesh=None, **kwargs) -> None:
+        super().__init__(genome, **kwargs)
+        self.mesh = mesh if mesh is not None else parallel.make_mesh()
+        # device_put the index arrays with replicated sharding in place
+        self.sharded_index = ShardedFMIndex(self.index, self.mesh)
+        self.aligner = ShardedBatchAligner(self.scoring, self.mesh)
+
+    def map_batch(self, reads, ids=None):
+        # seeds go through the sharded search; locate/extension reuse the
+        # (now replicated-sharded) index via the parent implementation
+        orig = self.index.backward_search_batch
+        self.index.backward_search_batch = (
+            self.sharded_index.backward_search_batch
+        )
+        try:
+            return super().map_batch(reads, ids)
+        finally:
+            self.index.backward_search_batch = orig

@@ -102,3 +102,29 @@ def test_occ_sharded_fmindex_matches_host():
         assert res.kind == expect.kind
         if res.interval is not None:
             assert res.interval == expect.interval
+
+
+def test_sharded_read_mapper_matches_single_device():
+    from rust_bio_tpu import parallel
+    from rust_bio_tpu.parallel.pipeline import ShardedReadMapper
+    from rust_bio_tpu.pipelines import ReadMapper
+    from rust_bio_tpu.alphabets import dna
+
+    rng = np.random.default_rng(23)
+    genome = rng.choice(list(b"ACGT"), size=3000).astype("uint8").tobytes()
+    mesh = parallel.make_mesh()
+    smapper = ShardedReadMapper(genome, mesh=mesh, seed_len=20, flank=8)
+    mapper = ReadMapper(genome, seed_len=20, flank=8)
+
+    starts = [int(s) for s in rng.integers(0, len(genome) - 80, size=10)]
+    reads = [genome[s : s + 80] for s in starts[:7]]
+    reads += [dna.revcomp(genome[s : s + 80]) for s in starts[7:]]
+    junk = rng.choice(list(b"ACGT"), size=80).astype("uint8").tobytes()
+    reads.append(junk)
+
+    got = smapper.map_batch(reads)
+    want = mapper.map_batch(reads)
+    for g, w in zip(got, want):
+        assert (g.pos, g.strand, g.score, g.cigar) == (
+            w.pos, w.strand, w.score, w.cigar
+        )
