@@ -40,3 +40,29 @@ def test_fastexp_jax_bit_parity_with_numpy():
     with jax.enable_x64(True):
         b = np.asarray(fastexp_jax(xs))
     np.testing.assert_array_equal(a, b)
+
+
+def test_profiling_stats_and_checked():
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest as _pytest
+
+    from rust_bio_tpu.utils.profiling import Stats, annotate, checked
+
+    st = Stats()
+    st.record(reads=100, seconds=0.5)
+    st.record(reads=300, seconds=1.5)
+    s = st.summary()
+    assert s["reads"] == 400 and s["batches"] == 2
+    assert s["reads_per_s"] == _pytest.approx(200.0)
+
+    with annotate("region"):
+        pass
+
+    def bad(x):
+        return jnp.log(x)  # NaN for negative input
+
+    good = checked(bad)
+    assert np.isfinite(float(good(jnp.asarray(2.0))))
+    with _pytest.raises(Exception):
+        checked(lambda x: jnp.sqrt(x) / jnp.int32(0) if False else jnp.asarray([1.0, 2.0])[jnp.int32(5)])(jnp.asarray(0.0))
