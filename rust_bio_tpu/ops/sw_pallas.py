@@ -558,6 +558,7 @@ def _kernel_scan_global_mp(
     mlens = mlens_ref[:]  # (1, BB)
     nlens = nlens_ref[:]
     xt = xt_ref[:]  # (M, BB)
+    rge = rows * ge  # hoisted loop invariant
 
     @pl.when(c == 0)
     def _init():
@@ -577,14 +578,14 @@ def _kernel_scan_global_mp(
         valid = j <= n_total
 
         y_col = yt_ref[c * K + k]  # (BB,) -> broadcast row
-        eq = xt == y_col[None, :]  # (M, BB)
-        subs = mi + (ma - mi) * eq.astype(I32)
+        eq = (xt == y_col[None, :]).astype(I32)  # (M, BB) 0/1
+        subs = mi + (ma - mi) * eq
 
         neg_row = jnp.full((1, BB), MIN_I32, I32)
         m_val = jnp.concatenate([neg_row, S_p[:-1] + subs], axis=0)
+        # TB_MATCH = TB_SUBST + 1: bits are 3 + eq (cheaper than select)
         m_bits = jnp.concatenate(
-            [jnp.full((1, BB), TB_START, I32),
-             jnp.where(eq, TB_MATCH, TB_SUBST)],
+            [jnp.full((1, BB), TB_START, I32), TB_SUBST + eq],
             axis=0,
         )
 
@@ -605,8 +606,8 @@ def _kernel_scan_global_mp(
 
         # I via (max,+) prefix scan; T doubles as the open candidate i_open
         T = jnp.concatenate([neg_row, s_tilde[:-1] + go], axis=0)
-        U = T - rows * ge
-        bestI = _cummax_rows(U) + rows * ge
+        U = T - rge
+        bestI = _cummax_rows(U) + rge
         i_ext = jnp.concatenate([neg_row, bestI[:-1] + ge], axis=0)
 
         # S selection, reference priority: Match/Subst > Ins > Del
@@ -798,6 +799,7 @@ def _kernel_scan_semiglobal_mp(
     nlens = nlens_ref[:]
     in_x = row_ge1 & (rows <= mlens)
     xt = xt_ref[:]  # (M, BB)
+    rge = rows * ge  # hoisted loop invariant
     yclip_row = ycp + go + ge * (rows - 1)
 
     @pl.when(c == 0)
@@ -824,14 +826,13 @@ def _kernel_scan_semiglobal_mp(
         is_last = j == nlens
 
         y_col = yt_ref[c * K + k]
-        eq = xt == y_col[None, :]
-        subs = mi + (ma - mi) * eq.astype(I32)
+        eq = (xt == y_col[None, :]).astype(I32)  # (M, BB) 0/1
+        subs = mi + (ma - mi) * eq
 
         neg_row = jnp.full((1, BB), MIN_I32, I32)
         m_val = jnp.concatenate([neg_row, S_p[:-1] + subs], axis=0)
         m_bits = jnp.concatenate(
-            [jnp.full((1, BB), TB_START, I32),
-             jnp.where(eq, TB_MATCH, TB_SUBST)],
+            [jnp.full((1, BB), TB_START, I32), TB_SUBST + eq],
             axis=0,
         )
 
@@ -871,8 +872,8 @@ def _kernel_scan_semiglobal_mp(
         s_tilde = jnp.where(row0, S0j, s_tilde)
 
         T = jnp.concatenate([neg_row, s_tilde[:-1] + go], axis=0)
-        U = T - rows * ge
-        bestI = _cummax_rows(U) + rows * ge
+        U = T - rge
+        bestI = _cummax_rows(U) + rge
         i_ext = jnp.concatenate([neg_row, bestI[:-1] + ge], axis=0)
 
         # priority: Match/Subst > Ins > Del > Yclip-prefix
