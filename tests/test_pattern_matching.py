@@ -141,3 +141,39 @@ def test_exact_matchers_agree():
         assert list(BNDM(patt).find_all(text)) == naive
         assert list(BOM(patt).find_all(text)) == naive
         assert list(Horspool(patt).find_all(text)) == naive
+
+
+class TestBatchShiftAnd:
+    def test_matches_scalar_shift_and(self):
+        import numpy as np
+
+        from rust_bio_tpu.pattern_matching.device_search import BatchShiftAnd
+        from rust_bio_tpu.pattern_matching.shift_and import ShiftAnd
+
+        rng = np.random.default_rng(31)
+        text = rng.choice(list(b"ACGT"), size=5000).astype("uint8").tobytes()
+        pats = [
+            b"GCGCGTACACACCGCCCG"[:k] for k in (4, 7, 12, 18)
+        ] + [text[100:118], text[4000:4009], b"AAAA", b"ACGTACGT"]
+        dev = BatchShiftAnd(pats)
+        got = dev.find_all(text, chunk=256)
+        for b, p in enumerate(pats):
+            want = list(ShiftAnd(p).find_all(text))
+            assert got[b].tolist() == want, p
+
+    def test_chunk_boundaries(self):
+        from rust_bio_tpu.pattern_matching.device_search import BatchShiftAnd
+
+        text = b"A" * 100
+        dev = BatchShiftAnd([b"AAAA"])
+        # overlapping matches straddling every chunk boundary
+        got = dev.find_all(text, chunk=16)[0]
+        assert got.tolist() == list(range(97))
+
+    def test_empty_and_absent(self):
+        from rust_bio_tpu.pattern_matching.device_search import BatchShiftAnd
+
+        dev = BatchShiftAnd([b"TTTT", b"ACGT"])
+        assert [v.tolist() for v in dev.find_all(b"")] == [[], []]
+        got = dev.find_all(b"ACGCACGC" * 10)
+        assert got[0].tolist() == [] and got[1].tolist() == []
