@@ -1,0 +1,191 @@
+"""Batched HMM inference on TPU (discrete emissions).
+
+TPU-native redesign of the reference's sequential viterbi/forward/backward
+(hmm/mod.rs:375-519): B observation sequences advance in lockstep through
+one ``lax.scan`` over time; the per-step state update is an (S, S)
+transition matrix contraction, so for realistic state counts the work
+lands on the VPU/MXU instead of Python loops. Variable sequence lengths
+are handled with freeze masks; outputs match the host oracle
+(``stats.hmm.viterbi/forward/backward``) to float tolerance and the
+Viterbi path exactly (argmax ties broken toward the lowest state index,
+like ``np.argmax``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+F32 = jnp.float32
+NEG = -3.0e38
+
+
+def _lae(a, b):
+    hi = jnp.maximum(a, b)
+    lo = jnp.minimum(a, b)
+    out = hi + jnp.log1p(jnp.exp(jnp.maximum(lo - hi, -87.0)))
+    return jnp.where(lo <= NEG / 2, hi, out)
+
+
+def _lse_last(x):
+    """ln-sum-exp over the last axis, NEG-surrogate safe."""
+    hi = jnp.max(x, axis=-1, keepdims=True)
+    s = jnp.sum(jnp.exp(jnp.maximum(x - hi, -87.0)), axis=-1)
+    out = hi[..., 0] + jnp.log(s)
+    return jnp.where(hi[..., 0] <= NEG / 2, hi[..., 0], out)
+
+
+class BatchDiscreteHMM:
+    """Batched inference for one discrete-emission HMM over B sequences.
+
+    ``transition`` (S, S), ``observation`` (S, V), ``initial`` (S,): log
+    probabilities (ln(0) may be -inf; converted to a finite surrogate).
+    """
+
+    def __init__(self, transition, observation, initial, end=None) -> None:
+        def fin(a):
+            a = np.asarray(a, np.float64)
+            return jnp.asarray(np.where(np.isneginf(a), NEG, a), F32)
+
+        self.A = fin(transition)  # (S, S) ln P(from -> to)
+        self.Bm = fin(observation)  # (S, V)
+        self.pi = fin(initial)  # (S,)
+        S = self.A.shape[0]
+        self.end = fin(end) if end is not None else jnp.zeros(S, F32)
+
+    @partial(jax.jit, static_argnums=0)
+    def _viterbi(self, obs, lens):
+        A, Bm, pi = self.A, self.Bm, self.pi
+        B, T = obs.shape
+        S = A.shape[0]
+
+        def step(carry, xs):
+            v, t = carry, xs[0]
+            o = xs[1]  # (B,)
+            e = Bm[:, o].T  # (B, S) emission of this obs per state
+            # cand[b, k, j] = v[b, k] + A[k, j]
+            cand = v[:, :, None] + A[None, :, :]
+            best = jnp.max(cand, axis=1) + e  # (B, S)
+            frm = jnp.argmax(cand, axis=1)  # (B, S)
+            active = (t < lens)[:, None]
+            v_new = jnp.where(active, best, v)
+            return v_new, (jnp.where(active, frm, -1), v_new)
+
+        e0 = Bm[:, obs[:, 0]].T
+        v0 = pi[None, :] + e0
+        v_fin, (frms, vals) = jax.lax.scan(
+            step,
+            v0,
+            (jnp.arange(1, T, dtype=jnp.int32), jnp.swapaxes(obs[:, 1:], 0, 1)),
+        )
+        v_end = v_fin + self.end[None, :]
+        last = jnp.argmax(v_end, axis=1)  # (B,)
+        prob = jnp.take_along_axis(v_end, last[:, None], 1)[:, 0]
+
+        # backtrack (reverse scan over the stored argmax tables)
+        def back(curr, xs):
+            frm, t = xs
+            prev = jnp.take_along_axis(frm, curr[:, None], axis=1)[:, 0]
+            take = t < lens  # frame t -> t-1 transition exists
+            prev = jnp.where(take, prev, curr)
+            return prev, prev
+
+        # iterate times T-1..1; emit state at t-1
+        _, path_rev = jax.lax.scan(
+            back,
+            last,
+            (frms[::-1], jnp.arange(T - 1, 0, -1, dtype=jnp.int32)),
+        )
+        path = jnp.concatenate(
+            [path_rev[::-1], last[None, :]], axis=0
+        )  # (T, B) states
+        return jnp.swapaxes(path, 0, 1), prob
+
+    @partial(jax.jit, static_argnums=0)
+    def _forward(self, obs, lens):
+        A, Bm, pi = self.A, self.Bm, self.pi
+        B, T = obs.shape
+
+        def step(v, xs):
+            t, o = xs
+            e = Bm[:, o].T
+            # lse over source k of v[b, k] + A[k, j]
+            cand = jnp.swapaxes(v[:, :, None] + A[None, :, :], 1, 2)
+            nxt = _lse_last(cand) + e  # (B, S)
+            active = (t < lens)[:, None]
+            v = jnp.where(active, nxt, v)
+            return v, v
+
+        v0 = pi[None, :] + Bm[:, obs[:, 0]].T
+        v_fin, vs = jax.lax.scan(
+            step,
+            v0,
+            (jnp.arange(1, T, dtype=jnp.int32), jnp.swapaxes(obs[:, 1:], 0, 1)),
+        )
+        tot = _lse_last(v_fin + self.end[None, :])
+        vals = jnp.concatenate([v0[None], vs], axis=0)  # (T, B, S)
+        return jnp.swapaxes(vals, 0, 1), tot
+
+    @partial(jax.jit, static_argnums=0)
+    def _backward(self, obs, lens):
+        A, Bm = self.A, self.Bm
+        B, T = obs.shape
+        S = A.shape[0]
+
+        # b[t, k] = lse_j A[k, j] + e_j(o[t+1]) + b[t+1, j]
+        def step(v, xs):
+            t, o = xs  # o = obs at time t+1
+            e = Bm[:, o].T  # (B, S)
+            nxt = _lse_last(A[None, :, :] + (e + v)[:, None, :])  # (B, S)
+            # sequences shorter than t+2 have not started: keep v
+            active = ((t + 1) < lens)[:, None]
+            return jnp.where(active, nxt, v), None
+
+        # run on reversed padded time; for per-lane lengths, align obs so
+        # the recursion only fires while t+1 < len (padding is frozen)
+        v = jnp.zeros((B, S), F32)  # ln(1) at the last position
+        vals = [v]
+        ts = jnp.arange(T - 2, -1, -1, dtype=jnp.int32)
+
+        def scan_step(v, t):
+            o = obs[jnp.arange(B), jnp.minimum(t + 1, lens - 1)]
+            nv, _ = step(v, (t, o))
+            return nv, nv
+
+        v_fin, vs = jax.lax.scan(scan_step, v, ts)
+        vals = jnp.concatenate([jnp.zeros((1, B, S), F32), vs], axis=0)
+        tot = _lse_last(
+            v_fin + self.pi[None, :] + Bm[:, obs[:, 0]].T
+        )
+        return jnp.swapaxes(vals, 0, 1), tot  # rows in reverse time order
+
+    def _pad(self, seqs):
+        B = len(seqs)
+        T = max(len(s) for s in seqs)
+        obs = np.zeros((B, T), np.int32)
+        lens = np.zeros(B, np.int32)
+        for i, s in enumerate(seqs):
+            obs[i, : len(s)] = np.asarray(s, np.int32)
+            lens[i] = len(s)
+        return jnp.asarray(obs), jnp.asarray(lens)
+
+    def viterbi_batch(self, seqs) -> Tuple[np.ndarray, np.ndarray]:
+        """(paths (B, T) int32 [padded tail repeats the last state],
+        log-probs (B,))."""
+        obs, lens = self._pad(seqs)
+        paths, prob = self._viterbi(obs, lens)
+        return np.asarray(paths), np.asarray(prob, np.float64)
+
+    def forward_batch(self, seqs) -> Tuple[np.ndarray, np.ndarray]:
+        obs, lens = self._pad(seqs)
+        vals, tot = self._forward(obs, lens)
+        return np.asarray(vals, np.float64), np.asarray(tot, np.float64)
+
+    def backward_batch(self, seqs) -> Tuple[np.ndarray, np.ndarray]:
+        obs, lens = self._pad(seqs)
+        vals, tot = self._backward(obs, lens)
+        return np.asarray(vals, np.float64), np.asarray(tot, np.float64)

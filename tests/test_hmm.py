@@ -117,3 +117,45 @@ def test_baum_welch_training_improves_likelihood():
     hmm.train_baum_welch([ICES], n_iter=5)
     _, p1 = forward(hmm, ICES)
     assert float(p1) >= float(p0) - 1e-9
+
+
+# ---- device batch kernels vs host oracle ----
+
+def test_batch_device_matches_host():
+    import numpy as np
+
+    from rust_bio_tpu.stats import hmm as H
+    from rust_bio_tpu.stats.hmm.device import BatchDiscreteHMM
+
+    rng = np.random.default_rng(41)
+    S, V = 3, 4
+    A = rng.dirichlet(np.ones(S), size=S)
+    Bm = rng.dirichlet(np.ones(V), size=S)
+    pi = rng.dirichlet(np.ones(S))
+    model = H.DiscreteEmissionModel.with_float(A, Bm, pi)
+    dev = BatchDiscreteHMM(np.log(A), np.log(Bm), np.log(pi))
+
+    seqs = [
+        list(rng.integers(0, V, size=int(rng.integers(1, 12))))
+        for _ in range(9)
+    ]
+    paths, vprob = dev.viterbi_batch(seqs)
+    fvals, ftot = dev.forward_batch(seqs)
+    bvals, btot = dev.backward_batch(seqs)
+    T = paths.shape[1]
+
+    for b, s in enumerate(seqs):
+        L = len(s)
+        w_path, w_prob = H.viterbi(model, s)
+        assert paths[b, :L].tolist() == w_path, (b, s)
+        assert vprob[b] == pytest.approx(float(w_prob), rel=1e-4, abs=1e-4)
+
+        w_fvals, w_ftot = H.forward(model, s)
+        np.testing.assert_allclose(fvals[b, :L], w_fvals, rtol=1e-4, atol=1e-4)
+        assert ftot[b] == pytest.approx(float(w_ftot), rel=1e-4, abs=1e-4)
+
+        w_bvals, w_btot = H.backward(model, s)
+        np.testing.assert_allclose(
+            bvals[b, T - L :], w_bvals, rtol=1e-4, atol=1e-4
+        )
+        assert btot[b] == pytest.approx(float(w_btot), rel=1e-4, abs=1e-4)
