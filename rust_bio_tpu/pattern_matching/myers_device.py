@@ -175,3 +175,129 @@ class BatchMyers:
         best = masked.min(axis=0)
         first = masked.argmin(axis=0)
         return np.stack([first, best], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Chunk-parallel approximate search over ONE long text
+# ---------------------------------------------------------------------------
+#
+# An approximate match with <= k edits ending at text position t spans at
+# most m + k text characters, so the text splits into C chunks with
+# ``max_m + k - 1`` characters of left overlap and every chunk runs a
+# FRESH automaton in its own vector lane: sequential depth becomes the
+# chunk length instead of the text length. Sentinel padding on the left
+# edge is exact: an alignment consuming s sentinels (s substitutions)
+# costs the same as deleting those pattern characters instead. The
+# per-step peq lookup is a rank-compacted select (a 256-row gather
+# scalarizes on TPU); non-pattern text bytes share one "other" rank whose
+# row is the wildcard mask, and the sentinel rank has an all-zero row so
+# padding can never match (not even wildcards).
+
+
+class ChunkedMyers:
+    """B patterns searched in one shared text, chunk-parallel."""
+
+    def __init__(self, patterns: Sequence, wildcards: Optional[bytes] = None):
+        self.inner = BatchMyers(patterns, wildcards)
+        peq = np.asarray(self.inner.peq)  # (B, 256, W)
+        pats = [to_bytes(p) for p in patterns]
+        syms = sorted(set(b for p in pats for b in p))
+        unseen = next((s for s in range(256) if s not in set(syms)), None)
+        assert unseen is not None, "need at least one unused byte value"
+        self.sym_of = np.zeros(256, np.int32)  # rank 0 = "other byte"
+        for r, s in enumerate(syms):
+            self.sym_of[s] = r + 1
+        S = len(syms) + 2  # + other(0) + sentinel(S-1)
+        B, _, W = peq.shape
+        small = np.zeros((S, B, W), np.uint32)
+        small[0] = peq[:, unseen]  # wildcard mask (zeros if no wildcards)
+        for r, s in enumerate(syms):
+            small[r + 1] = peq[:, s]
+        self.peq_small = jnp.asarray(small)  # sentinel row stays zero
+        self.S = S
+        self.sent = S - 1
+        self.maxm = int(np.asarray(self.inner.ms).max())
+
+    def _windows(self, text: bytes, k: int, chunk: int):
+        T = len(text)
+        ov = self.maxm + k - 1
+        C = max(1, -(-T // chunk))
+        Wn = chunk + ov
+        ranks = self.sym_of[np.frombuffer(text, np.uint8)]
+        padded = np.full(ov + C * chunk, self.sent, np.int32)
+        padded[ov : ov + T] = ranks
+        idx = (np.arange(C)[:, None] * chunk) + np.arange(Wn)[None, :]
+        return padded[idx], C, Wn, T, ov
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _kernel(self, win_ranks):
+        """win_ranks (C, Wn) -> per-step distances (Wn, C, B) int32."""
+        inner = self.inner
+        B, W = inner.B, inner.W
+        C = win_ranks.shape[0]
+
+        def step(carry, col):
+            pv, mv, dist = carry  # (C, B, W) x2, (C, B)
+            eq = jnp.zeros((C, B, W), U32)
+            for s in range(self.S - 1):  # sentinel row is all-zero
+                eq = jnp.where(
+                    (col == s)[:, None, None], self.peq_small[s][None], eq
+                )
+            eqw = [eq[:, :, w] for w in range(W)]
+            pvw = [pv[:, :, w] for w in range(W)]
+            mvw = [mv[:, :, w] for w in range(W)]
+
+            xv = [e | m for e, m in zip(eqw, mvw)]
+            anded = [e & p for e, p in zip(eqw, pvw)]
+            summed = _add_words(anded, pvw)
+            xh = [(s_ ^ p) | e for s_, p, e in zip(summed, pvw, eqw)]
+            ph = [m | ~(x | p) for m, x, p in zip(mvw, xh, pvw)]
+            mh = [p & x for p, x in zip(pvw, xh)]
+
+            phb = jnp.zeros((C, B), bool)
+            mhb = jnp.zeros((C, B), bool)
+            for w in range(W):
+                phb = phb | ((ph[w] & inner.bound[None, :, w]) != 0)
+                mhb = mhb | ((mh[w] & inner.bound[None, :, w]) != 0)
+            dist = dist + phb.astype(I32) - mhb.astype(I32)
+
+            ph = _shl1(ph)
+            mh = _shl1(mh)
+            pv_n = [m | ~(x | p) for m, x, p in zip(mh, xv, ph)]
+            mv_n = [p & x for p, x in zip(ph, xv)]
+            return (
+                jnp.stack(pv_n, axis=2),
+                jnp.stack(mv_n, axis=2),
+                dist,
+            ), dist
+
+        pv0 = jnp.full((C, B, W), _MASK32, dtype=U32)
+        mv0 = jnp.zeros((C, B, W), dtype=U32)
+        d0 = jnp.broadcast_to(inner.ms[None, :], (C, B))
+        _, dists = jax.lax.scan(
+            step, (pv0, mv0, d0), jnp.swapaxes(win_ranks, 0, 1)
+        )
+        return dists  # (Wn, C, B)
+
+    def find_all_end(
+        self, text, max_dist: int, chunk: int = 128
+    ) -> List[List[Tuple[int, int]]]:
+        """Per pattern: sorted (end, dist) hits with dist <= max_dist —
+        identical to the reference ``find_all_end`` on the whole text."""
+        text = to_bytes(text)
+        B = self.inner.B
+        if len(text) == 0:
+            return [[] for _ in range(B)]
+        win, C, Wn, T, ov = self._windows(text, max_dist, chunk)
+        dists = np.asarray(self._kernel(jnp.asarray(win)))  # (Wn, C, B)
+        out: List[List[Tuple[int, int]]] = []
+        ts = np.arange(Wn)
+        for b in range(B):
+            d = dists[:, :, b]  # (Wn, C)
+            tt, cc = np.nonzero(d <= max_dist)
+            ends = cc * chunk + (tt - ov)
+            keep = (tt >= ov) & (ends < T)
+            ee, dd = ends[keep], d[tt[keep], cc[keep]]
+            order = np.argsort(ee, kind="stable")
+            out.append([(int(e), int(v)) for e, v in zip(ee[order], dd[order])])
+        return out

@@ -51,3 +51,35 @@ def test_batch_bench_doctest_case():
     hits = bm.find_all_end_batch([text] * 4, 2)
     for h in hits:
         assert h == [(11, 2), (12, 2)]
+
+
+def test_chunked_matches_host_find_all_end():
+    import numpy as np
+
+    from rust_bio_tpu.pattern_matching.myers import Myers
+    from rust_bio_tpu.pattern_matching.myers_device import ChunkedMyers
+
+    rng = np.random.default_rng(53)
+    text = rng.choice(list(b"ACGT"), size=3000).astype("uint8").tobytes()
+    pats = [b"GCGCGTACACACCGCCCG", text[500:515], b"ACGTACGTACGT", text[2900:2940]]
+    k = 2
+    dev = ChunkedMyers(pats)
+    got = dev.find_all_end(text, k, chunk=64)
+    for b, p in enumerate(pats):
+        want = list(Myers(p).find_all_end(text, k))
+        assert got[b] == want, p
+
+
+def test_chunked_long_pattern_multiword():
+    import numpy as np
+
+    from rust_bio_tpu.pattern_matching.myers import Myers
+    from rust_bio_tpu.pattern_matching.myers_device import ChunkedMyers
+
+    rng = np.random.default_rng(54)
+    text = rng.choice(list(b"ACGT"), size=800).astype("uint8").tobytes()
+    pat = text[100:170]  # 70-mer -> 3 words
+    dev = ChunkedMyers([pat])
+    got = dev.find_all_end(text, 3, chunk=96)
+    want = list(Myers(pat).find_all_end(text, 3))
+    assert got[0] == want
