@@ -171,3 +171,29 @@ def test_yclip_suffix_custom():
     aligner = Aligner(scoring, b"CG")
     aln = aligner.custom(b"GAAAA").alignment()
     assert aln.operations == [XclipOp(0), MatchOp((0, 1)), YclipOp(1, 5)]
+
+
+def test_batch_poa_global_scores_match_host():
+    import numpy as np
+
+    from rust_bio_tpu.alignment.poa import Aligner
+    from rust_bio_tpu.alignment.poa_batch import BatchPoa
+    from rust_bio_tpu.alignment.pairwise.scoring import Scoring
+
+    sc = Scoring.from_scores(-4, -4, 3, -2)
+    # build a branched graph by threading several sequences through it
+    al = Aligner(sc, b"TTCCGGTTTAA")
+    for s in (b"TTGGCCTTTAA", b"TTCCGGAATTTAA", b"TTCCGTTTAA"):
+        al.global_(s).add_to_graph()
+    bp = BatchPoa(sc, al)
+
+    rng = np.random.default_rng(61)
+    queries = [
+        b"TTCCGGTTTAA", b"TTGGCCTTTAA", b"AAAAAAA", b"TTCCG",
+        bytes(rng.choice(list(b"ACGT")) for _ in range(9)),
+        bytes(rng.choice(list(b"ACGT")) for _ in range(14)),
+    ]
+    got = bp.global_scores(queries)
+    for k, q in enumerate(queries):
+        want = al.global_(q).alignment().score
+        assert int(got[k]) == want, q
