@@ -242,14 +242,14 @@ class ShardedReadMapper(ReadMapper):
         self.sharded_index = ShardedFMIndex(self.index, self.mesh)
         self.aligner = ShardedBatchAligner(self.scoring, self.mesh)
 
-    def map_batch(self, reads, ids=None):
-        # seeds go through the sharded search; locate/extension reuse the
-        # (now replicated-sharded) index via the parent implementation
-        orig = self.index.backward_search_batch
-        self.index.backward_search_batch = (
-            self.sharded_index.backward_search_batch
-        )
-        try:
-            return super().map_batch(reads, ids)
-        finally:
-            self.index.backward_search_batch = orig
+    def _seed_search(self, pats, plens):
+        # shard the seed batch on the 'data' axis (index is replicated)
+        n_data = self.mesh.shape["data"]
+        N = pats.shape[0]
+        padn = -N % n_data
+        if padn:
+            pats = np.pad(pats, ((0, padn), (0, 0)))
+            plens = np.pad(plens, (0, padn), constant_values=1)
+        pats_d, plens_d = parallel.shard_batch(self.mesh, pats, plens)
+        status, lower, _u, _m = self.index._search_kernel(pats_d, plens_d)
+        return np.asarray(status)[:N], np.asarray(lower)[:N]

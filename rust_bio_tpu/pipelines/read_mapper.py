@@ -69,8 +69,20 @@ class ReadMapper:
         self.seed_tries = seed_tries
         self.flank = flank
 
+    def _seed_search(self, pats: np.ndarray, plens: np.ndarray):
+        """(status, lower) arrays for a (N, L) seed batch; the sharded
+        mapper overrides this with a mesh-sharded execution."""
+        import jax.numpy as jnp
+
+        status, lower, _u, _m = self.index._search_kernel(
+            jnp.asarray(pats), jnp.asarray(plens)
+        )
+        return np.asarray(status), np.asarray(lower)
+
     def map_batch(self, reads: Sequence, ids: Optional[Sequence[str]] = None
                   ) -> List[MappedRead]:
+        from rust_bio_tpu.data_structures.fm_device import COMPLETE
+
         seqs = [to_bytes(r) if not hasattr(r, "seq") else bytes(r.seq) for r in reads]
         if ids is None:
             ids = [
@@ -79,48 +91,62 @@ class ReadMapper:
         B = len(seqs)
         L = self.seed_len
 
-        # both-strand seed batch: for each read, seed_tries windows fwd + rev
-        seed_pats: List[bytes] = []
-        seed_meta: List[tuple] = []  # (read_idx, strand, offset_in_oriented_read)
-        for i, seq in enumerate(seqs):
-            rc = dna.revcomp(seq)
-            for oriented, strand in ((seq, "+"), (rc, "-")):
-                n = len(oriented)
-                if n <= L:
-                    starts = [0]
-                else:
-                    starts = sorted(
-                        set(np.linspace(0, n - L, self.seed_tries).astype(int))
-                    )
-                for s in starts:
-                    seed_pats.append(oriented[s : s + L])
-                    seed_meta.append((i, strand, int(s)))
+        # both-strand seed batch, vectorized: K windows spread over each
+        # oriented read (fwd lanes then rev lanes), one fancy-index gather
+        K = self.seed_tries
+        rcs = [dna.revcomp(s) for s in seqs]
+        Lr = max(max((len(s) for s in seqs), default=1), L)
+        ob = np.zeros((2 * B, Lr), np.uint8)
+        olens = np.ones(2 * B, np.int64)
+        for i, (s, rc) in enumerate(zip(seqs, rcs)):
+            ob[i, : len(s)] = np.frombuffer(s, np.uint8)
+            ob[B + i, : len(rc)] = np.frombuffer(rc, np.uint8)
+            olens[i] = olens[B + i] = max(len(s), 1)
+        span = np.maximum(olens - L, 0)  # (2B,)
+        ks = np.arange(K)
+        starts = (span[:, None] * ks[None, :]) // max(K - 1, 1)  # (2B, K)
+        win_idx = starts[:, :, None] + np.arange(L)[None, None, :]
+        win_idx = np.minimum(win_idx, Lr - 1)
+        pats = ob[np.arange(2 * B)[:, None, None], win_idx]  # (2B, K, L)
+        plens = np.minimum(np.broadcast_to(olens[:, None], (2 * B, K)), L)
 
-        results = self.index.backward_search_batch(seed_pats)
-
-        # choose the first complete seed per read; collect locate rows
-        chosen = {}
-        rows = []
-        for (i, strand, off), res in zip(seed_meta, results):
-            if i in chosen:
-                continue
-            if res.kind == BackwardSearchKind.Complete:
-                chosen[i] = (strand, off, len(rows))
-                rows.append(res.interval.lower)
-        positions = (
-            self.index.locate_batch(np.asarray(rows, dtype=np.int32))
-            if rows
-            else np.zeros(0, np.int64)
+        status, lower = self._seed_search(
+            pats.reshape(2 * B * K, L), plens.reshape(-1).astype(np.int32)
         )
+        status = status.reshape(2, B, K)
+        lower = lower.reshape(2, B, K)
+        starts2 = starts.reshape(2, B, K)
+
+        # first complete seed per read: forward strand seeds win over
+        # reverse, earlier windows over later (matches the scan order)
+        comp = status == COMPLETE  # (2, B, K)
+        comp2 = np.moveaxis(comp, 1, 0).reshape(B, 2 * K)  # (B, [fwd K, rev K])
+        has = comp2.any(axis=1)
+        first = np.argmax(comp2, axis=1)  # (B,)
+        sidx = (first >= K).astype(np.int64)  # strand index
+        kidx = first % K
+        bsel = np.arange(B)
+        sel_lower = lower[sidx, bsel, kidx]
+        sel_off = starts2[sidx, bsel, kidx]
+
+        rows = sel_lower[has].astype(np.int32)
+        positions_all = np.full(B, -1, np.int64)
+        if rows.size:
+            positions_all[has] = self.index.locate_batch(rows)
+        chosen = {
+            int(i): ("-" if sidx[i] else "+", int(sel_off[i]), None)
+            for i in np.nonzero(has)[0]
+        }
+        positions_of = {int(i): int(positions_all[i]) for i in np.nonzero(has)[0]}
 
         # build extension batch
         xs, ys, metas = [], [], []
         for i, seq in enumerate(seqs):
             if i not in chosen:
                 continue
-            strand, off, row_idx = chosen[i]
-            seed_pos = int(positions[row_idx])
-            oriented = seq if strand == "+" else dna.revcomp(seq)
+            strand, off, _ = chosen[i]
+            seed_pos = positions_of[i]
+            oriented = seq if strand == "+" else rcs[i]
             win_start = max(seed_pos - off - self.flank, 0)
             win_end = min(
                 seed_pos - off + len(oriented) + self.flank, len(self.genome)
