@@ -81,6 +81,7 @@ class DeviceFMIndex:
 
         self.bits = jnp.asarray(bits)
         self.ckpt = jnp.asarray(ckpt)
+        self._refresh_fused()
         self.less = jnp.asarray(less.astype(np.int32))
         self.sym_of = jnp.asarray(sym_of)
         self.bwt_sym = jnp.asarray(sym_of[b])  # (n,) int32 symbol indices
@@ -98,6 +99,20 @@ class DeviceFMIndex:
             self.sa_sample = None
 
     # ------------------------------------------------------------------
+    def _refresh_fused(self, device_put_sharding=None):
+        """(Re)build the fused (S, nwords, 2) bits|ckpt array the rank
+        gather reads — one gather fetches both the packed word and its
+        checkpoint count. Call after replacing bits/ckpt (sharding,
+        deserialization)."""
+        fused = jnp.stack(
+            [jax.lax.bitcast_convert_type(jnp.asarray(self.bits), I32),
+             jnp.asarray(self.ckpt)],
+            axis=-1,
+        )
+        if device_put_sharding is not None:
+            fused = jax.device_put(fused, device_put_sharding)
+        self._fused = fused
+
     def _rank(self, r, sym):
         """Batched rank: occurrences of symbol-index ``sym`` in bwt[..r+1].
 
@@ -107,13 +122,14 @@ class DeviceFMIndex:
         sym = jnp.asarray(sym, I32)
         w = jnp.maximum(r, 0) >> 5
         bitpos = jnp.maximum(r, 0) & 31
-        word = self.bits[sym, w]
+        pair = self._fused[sym, w]  # (..., 2): packed word | checkpoint
+        word = jax.lax.bitcast_convert_type(pair[..., 0], jnp.uint32)
         mask = jnp.where(
             bitpos == 31,
             jnp.uint32(0xFFFFFFFF),
             (jnp.uint32(1) << (bitpos + 1).astype(jnp.uint32)) - jnp.uint32(1),
         )
-        cnt = self.ckpt[sym, w] + jax.lax.population_count(word & mask).astype(I32)
+        cnt = pair[..., 1] + jax.lax.population_count(word & mask).astype(I32)
         return jnp.where(r < 0, 0, cnt)
 
     def occ(self, r, a):
@@ -144,12 +160,16 @@ class DeviceFMIndex:
 
             pl_n = jnp.where(active, l, pl)
             pr_n = jnp.where(active, r, pr)
-            occ_r = jnp.where(valid_sym, self._rank(r, jnp.maximum(sym, 0)), 0)
+            # both bounds in ONE fused rank gather (per-step gathers are
+            # the cost on TPU)
+            sym_m = jnp.maximum(sym, 0)
+            occ2 = self._rank(
+                jnp.concatenate([r, l - 1]), jnp.concatenate([sym_m, sym_m])
+            )
+            occ_r = jnp.where(valid_sym, occ2[:B], 0)
             # underflow guard (issue #606): occ_r == 0 -> stop, no match here
             fail0 = occ_r == 0
-            occ_lm1 = jnp.where(
-                (l > 0) & valid_sym, self._rank(l - 1, jnp.maximum(sym, 0)), 0
-            )
+            occ_lm1 = jnp.where((l > 0) & valid_sym, occ2[B:], 0)
             l_new = less_a + occ_lm1
             r_new = less_a + occ_r - 1
             fail1 = l_new > r_new

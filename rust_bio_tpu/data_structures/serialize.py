@@ -78,6 +78,7 @@ def load_fm_index(path, verify: bool = True):
     idx.symbols = list(meta["symbols"])
     idx.bits = jnp.asarray(arrays["bits"])
     idx.ckpt = jnp.asarray(arrays["ckpt"])
+    idx._refresh_fused()
     idx.less = jnp.asarray(arrays["less"])
     idx.sym_of = jnp.asarray(arrays["sym_of"])
     idx.bwt_bytes = jnp.asarray(arrays["bwt_bytes"])

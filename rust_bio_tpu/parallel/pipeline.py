@@ -132,12 +132,16 @@ class ShardedFMIndex:
             shard = NamedSharding(self.mesh, P(None, axis))
             self.index.bits = jax.device_put(jnp.asarray(bits), shard)
             self.index.ckpt = jax.device_put(jnp.asarray(ckpt), shard)
+            self.index._refresh_fused(
+                NamedSharding(self.mesh, P(None, axis, None))
+            )
         else:
             for name in ("bits", "ckpt"):
                 setattr(
                     self.index, name,
                     jax.device_put(getattr(self.index, name), repl),
                 )
+            self.index._refresh_fused(repl)
         for name in ("less", "sym_of", "bwt_bytes"):
             setattr(
                 self.index, name, jax.device_put(getattr(self.index, name), repl)
