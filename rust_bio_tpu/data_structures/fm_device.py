@@ -85,6 +85,11 @@ class DeviceFMIndex:
         self.less = jnp.asarray(less.astype(np.int32))
         self.sym_of = jnp.asarray(sym_of)
         self.bwt_sym = jnp.asarray(sym_of[b])  # (n,) int32 symbol indices
+        # less re-keyed by symbol rank (tiny; replaces a byte-table gather
+        # in the locate walk)
+        self.less_sym = jnp.asarray(
+            less[np.asarray(symbols, np.int64)].astype(np.int32)
+        )
         self.bwt_bytes = jnp.asarray(b)
         # lexicographically smallest symbol == the sentinel (by construction
         # the text's final sentinel is the smallest; suffix_array.rs:431-441)
@@ -241,27 +246,25 @@ class DeviceFMIndex:
         """
         assert self.sa_sample is not None, "index built without suffix array"
         s = self.s
-        sentinel = self.sentinel
-
-        def is_done(pos, done):
-            # sampled row, or the sentinel BWT row: for a single final
-            # sentinel that row's SA value is 0, which is the reference's
-            # extra_rows patch (suffix_array.rs:166-175) specialized.
-            return done | ((pos % s) == 0) | (self.bwt_bytes[pos] == sentinel)
+        S = len(self.symbols)
 
         def cond(carry):
-            pos, _, done = carry
-            return ~jnp.all(is_done(pos, done))
+            return ~jnp.all(carry[2])
 
         def body(carry):
             pos, offset, done = carry
-            done = is_done(pos, done)
-            c = self.bwt_bytes[pos].astype(I32)
-            sym = self.sym_of[c]
-            nxt = self.less[c] + self._rank(pos - 1, jnp.maximum(sym, 0))
-            pos2 = jnp.where(done, pos, nxt)
-            offset2 = jnp.where(done, offset, offset + 1)
-            return pos2, offset2, done
+            # one symbol gather per step; the sentinel row is sym == 0
+            # (smallest symbol), which is the reference's extra_rows patch
+            # (suffix_array.rs:166-175) specialized to one final sentinel
+            sym = self.bwt_sym[pos]
+            done2 = done | ((pos % s) == 0) | (sym == 0)
+            less_v = jnp.zeros_like(pos)
+            for si in range(S):  # tiny-table select, not a gather
+                less_v = jnp.where(sym == si, self.less_sym[si], less_v)
+            nxt = less_v + self._rank(pos - 1, jnp.maximum(sym, 0))
+            pos2 = jnp.where(done2, pos, nxt)
+            offset2 = jnp.where(done2, offset, offset + 1)
+            return pos2, offset2, done2
 
         pos0 = jnp.asarray(rows, I32)
         B = pos0.shape[0]

@@ -80,6 +80,10 @@ def load_fm_index(path, verify: bool = True):
     idx.ckpt = jnp.asarray(arrays["ckpt"])
     idx._refresh_fused()
     idx.less = jnp.asarray(arrays["less"])
+    idx.less_sym = jnp.asarray(
+        np.asarray(arrays["less"])[np.asarray(meta["symbols"], np.int64)]
+        .astype(np.int32)
+    )
     idx.sym_of = jnp.asarray(arrays["sym_of"])
     idx.bwt_bytes = jnp.asarray(arrays["bwt_bytes"])
     idx.bwt_sym = jnp.asarray(
