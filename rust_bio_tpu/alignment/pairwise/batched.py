@@ -965,6 +965,53 @@ def _align_batch_device_semiglobal_mp(
 
 
 @partial(jax.jit, static_argnames=("with_traceback",))
+def _align_batch_device_global_lut(
+    xb, yb, mlens, nlens, lut, penalties, with_traceback: bool = True
+):
+    """Global-mode fast path for ARBITRARY substitution scorings
+    (BLOSUM/PAM/custom LUTs): the substitution tensor comes from the
+    rank-compacted one-hot einsum on the MXU, packed as ``subs*2 | eq``
+    and streamed into the transposed Pallas kernel; postlude identical to
+    the MatchParams global path."""
+    from rust_bio_tpu.ops.sw_pallas import scan_global_pallas_subs
+
+    B, M = xb.shape
+    N = yb.shape[1]
+    pens = tuple(penalties[k] for k in range(6))
+
+    # einsum emitted directly in the kernel's (N, M, B) stream order
+    syms = jnp.unique(
+        jnp.concatenate([xb.ravel(), yb.ravel()]), size=32, fill_value=0
+    )
+    small = lut[syms.astype(I32)[:, None], syms.astype(I32)[None, :]]
+    ox = (xb[:, :, None] == syms[None, None, :]).astype(jnp.float32)
+    oy = (yb[:, :, None] == syms[None, None, :]).astype(jnp.float32)
+    subs_nmb = jnp.einsum(
+        "bms,st,bnt->nmb", ox, small.astype(jnp.float32), oy,
+        preferred_element_type=jnp.float32,
+    ).astype(I32)
+    eq_nmb = (
+        jnp.swapaxes(yb, 0, 1)[:, None, :] == jnp.swapaxes(xb, 0, 1)[None, :, :]
+    ).astype(I32)
+    subs2 = subs_nmb * 2 + eq_nmb
+
+    score, tb_cols, _tbk = scan_global_pallas_subs(subs2, mlens, nlens, penalties)
+    if not with_traceback:
+        return {"score": score}
+
+    rows, row_ge1, mlens_c, is_row_m = _geometry(B, M, mlens)
+    *_, tb_col0, _Lx0 = _init_column(
+        B, M, rows, row_ge1, mlens, nlens, mlens_c, is_row_m, pens
+    )
+    tb_xb = jnp.concatenate(
+        [jnp.transpose(tb_col0, (1, 0))[None], tb_cols], axis=0
+    ).reshape(-1, B)
+    out = _walk_global(tb_xb, mlens, nlens, B, M, N)
+    out["score"] = score
+    return out
+
+
+@partial(jax.jit, static_argnames=("with_traceback",))
 def _align_batch_device_global_mp(
     xb, yb, mlens, nlens, penalties8, with_traceback: bool = True
 ):
@@ -1047,7 +1094,11 @@ class BatchAligner:
         scoring is constant match/mismatch (and shapes allow), else XLA."""
         B, M = xb.shape
         mp = self.scoring.match_fn
-        if isinstance(mp, MatchParams) and 2 <= M < 4096 and B % 8:
+        is_global = all(int(c) == MIN_SCORE for c in pen[2:6])
+        eligible = 2 <= M < 4096 and (
+            isinstance(mp, MatchParams) or is_global
+        )
+        if eligible and B % 8:
             # pad the batch to a lane-aligned multiple with 1-char dummy
             # lanes so every batch size reaches the Pallas engines
             padb = -B % 8
@@ -1099,6 +1150,20 @@ class BatchAligner:
                 jnp.asarray(mlens),
                 jnp.asarray(nlens),
                 jnp.asarray(pen8),
+                with_traceback=with_traceback,
+            )
+        if eligible and is_global and B % 8 == 0:
+            # arbitrary LUT scoring (BLOSUM/PAM/callable), global mode:
+            # streamed-substitution transposed kernel
+            from rust_bio_tpu.ops import sw_pallas  # noqa: F401
+
+            return _align_batch_device_global_lut(
+                jnp.asarray(xb),
+                jnp.asarray(yb),
+                jnp.asarray(mlens),
+                jnp.asarray(nlens),
+                self._lut,
+                jnp.asarray(pen),
                 with_traceback=with_traceback,
             )
         return _align_batch_device(

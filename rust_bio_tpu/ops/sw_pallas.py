@@ -665,11 +665,15 @@ def _kernel_scan_global_mp(
         tbk_out[:] = TBK[:]
 
 
-def _pick_block_global(B: int, M: int, N: int, n_state: int = 30):
+def _pick_block_global(
+    B: int, M: int, N: int, n_state: int = 30, stream_bytes: int = 0
+):
     """(block_b, K) for the transposed kernels (VMEM model).
 
     ``n_state``: rough count of live (Mp1, bb) i32 arrays (scratch + loop
-    temporaries); the semiglobal kernel carries more state than global."""
+    temporaries); the semiglobal kernel carries more state than global.
+    ``stream_bytes``: per-element size of a per-column streamed input
+    (0 for the in-kernel-eq kernels whose sequences are fixed blocks)."""
     budget = 13 * 2**20
     sub = -(-(M + 1) // 8) * 8  # sublane-padded Mp1
     best = None
@@ -678,7 +682,8 @@ def _pick_block_global(B: int, M: int, N: int, n_state: int = 30):
             continue
         lanes = -(-bb // 128) * 128
         fixed = n_state * sub * lanes * 4 + (M + N + 8) * lanes * 8
-        perk = 2 * sub * lanes * 2  # tb u16, double-buffered
+        # tb u16 + optional streamed input, each double-buffered
+        perk = 2 * sub * lanes * (2 + stream_bytes)
         if budget - fixed < perk:
             continue
         K = min(N, (budget - fixed) // perk)
@@ -1000,3 +1005,187 @@ def scan_semiglobal_pallas_mp(xb, yb, mlens, nlens, pens8):
     tb_cols, S_f, I_f, Sn_f, Ly_f, tbk = out
     tp = lambda a: jnp.transpose(a, (1, 0))
     return tb_cols, tp(S_f), tp(I_f), tp(Sn_f), tp(Ly_f), tp(tbk)
+
+
+# ---------------------------------------------------------------------------
+# Global-mode engine, streamed-substitution variant (arbitrary LUT scoring)
+# ---------------------------------------------------------------------------
+#
+# Same transposed DP as ``_kernel_scan_global_mp`` but the substitution
+# scores arrive as a streamed tensor instead of in-kernel equality — this
+# serves BLOSUM/PAM and every other ``MatchFunc`` (the host computes the
+# (B, M, N) subs tensor with the rank-compacted one-hot einsum on the MXU).
+# Each streamed element packs ``subs * 2 | eq`` so the kernel recovers both
+# the score (arithmetic shift) and the Match/Subst traceback bit.
+
+
+def _kernel_scan_global_subs(
+    pen_ref,
+    subs_ref,  # (K, M, BB) int32: subs*2 | eq, columns c*K..c*K+K-1
+    mlens_ref,
+    nlens_ref,
+    tb_out,  # (K, Mp1, BB) uint16
+    score_out,
+    tbk_out,
+    S,
+    D,
+    SB,
+    TBK,
+    R,
+):
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    go = pen_ref[0]
+    ge = pen_ref[1]
+    n_total = pen_ref[4]
+
+    K = tb_out.shape[0]
+    Mp1, BB = S.shape
+    rows = jax.lax.broadcasted_iota(I32, (Mp1, BB), 0)
+    row0 = rows == 0
+    mlens = mlens_ref[:]
+    nlens = nlens_ref[:]
+    rge = rows * ge
+
+    @pl.when(c == 0)
+    def _init():
+        S[:] = jnp.where(row0, 0, go + ge * (rows - 1))
+        D[:] = jnp.full((Mp1, BB), MIN_I32, I32)
+        sb0 = jnp.where(row0, TB_START, TB_INS)
+        SB[:] = sb0
+        ib0 = jnp.where(rows <= 1, TB_START, TB_INS)
+        TBK[:] = ib0 | (TB_START << 4) | (sb0 << 8)
+        R[:] = jnp.zeros((Mp1, BB), I32)
+
+    def column(k, st):
+        S_p, D_p, SB_p, TBK_p, R_p = st
+        j = (c * K + k + 1).astype(I32)
+        valid = j <= n_total
+
+        packed = subs_ref[k]  # (M, BB): subs*2 | eq
+        eq = packed & 1
+        subs = packed >> 1  # arithmetic shift restores negative scores
+
+        neg_row = jnp.full((1, BB), MIN_I32, I32)
+        m_val = jnp.concatenate([neg_row, S_p[:-1] + subs], axis=0)
+        m_bits = jnp.concatenate(
+            [jnp.full((1, BB), TB_START, I32), TB_SUBST + eq], axis=0
+        )
+
+        d_ext = D_p + ge
+        d_open = S_p + go
+        d_wins = d_ext > d_open
+        bestD = jnp.where(d_wins, d_ext, d_open)
+        d_bits = jnp.where(d_wins, TB_DEL, SB_p)
+        Dj0 = go + ge * (j - 1)
+        bestD = jnp.where(row0, Dj0, bestD)
+        d_bits = jnp.where(
+            row0, jnp.where(j == 1, TB_START, TB_DEL), d_bits
+        )
+
+        s_tilde = jnp.maximum(m_val, bestD)
+        s_tilde = jnp.where(row0, Dj0, s_tilde)
+
+        T = jnp.concatenate([neg_row, s_tilde[:-1] + go], axis=0)
+        U = T - rge
+        bestI = _cummax_rows(U) + rge
+        i_ext = jnp.concatenate([neg_row, bestI[:-1] + ge], axis=0)
+
+        S_col = m_val
+        s_bits = m_bits
+        takeI = bestI > S_col
+        S_col = jnp.where(takeI, bestI, S_col)
+        s_bits = jnp.where(takeI, TB_INS, s_bits)
+        takeD = bestD > S_col
+        S_col = jnp.where(takeD, bestD, S_col)
+        s_bits = jnp.where(takeD, TB_DEL, s_bits)
+        S_col = jnp.where(row0, Dj0, S_col)
+        s_bits = jnp.where(row0, TB_DEL, s_bits)
+
+        prev_sbits = jnp.concatenate(
+            [jnp.full((1, BB), TB_START, I32), s_bits[:-1]], axis=0
+        )
+        i_bits = jnp.where(i_ext > T, TB_INS, prev_sbits)
+        i_bits = jnp.where(row0, TB_START, i_bits)
+
+        is_mm = (s_bits == TB_SUBST) | (s_bits == TB_MATCH)
+        same = s_bits == jnp.concatenate(
+            [jnp.full((1, BB), -1, I32), SB_p[:-1]], axis=0
+        )
+        r_diag = jnp.concatenate([jnp.zeros((1, BB), I32), R_p[:-1]], axis=0)
+        run = jnp.where(is_mm, 1 + jnp.where(same, r_diag, 0), 0)
+        run_nib = jnp.minimum(run, 15)
+
+        tb_col = (
+            i_bits | (d_bits << 4) | (s_bits << 8) | (run_nib << 12)
+        ).astype(jnp.uint16)
+        tb_out[k] = tb_col
+
+        keep = valid & (j <= nlens)
+        return (
+            jnp.where(keep, S_col, S_p),
+            jnp.where(keep, bestD, D_p),
+            jnp.where(keep, s_bits, SB_p),
+            jnp.where(keep, tb_col.astype(I32), TBK_p),
+            jnp.where(keep, run, R_p),
+        )
+
+    st = jax.lax.fori_loop(0, K, column, (S[:], D[:], SB[:], TBK[:], R[:]))
+    S[:], D[:], SB[:], TBK[:], R[:] = st
+
+    @pl.when(c == n_chunks - 1)
+    def _finish():
+        score_out[:] = jnp.max(
+            jnp.where(rows == mlens, S[:], NEG), axis=0, keepdims=True
+        )
+        tbk_out[:] = TBK[:]
+
+
+def scan_global_pallas_subs(subs2_nmb, mlens, nlens, pens6):
+    """Global-mode scan from a streamed packed-subs tensor.
+
+    ``subs2_nmb``: (N, M, B) int32 = subs*2 | eq. Returns the same tuple
+    as ``scan_global_pallas_mp``."""
+    N, M, B = subs2_nmb.shape
+    block_b, K = _pick_block_global(B, M, N, n_state=35, stream_bytes=4)
+    Mp1 = M + 1
+    n_chunks = -(-N // K)
+    Np = n_chunks * K
+    grid = (B // block_b, n_chunks)
+    if Np != N:
+        subs2_nmb = jnp.pad(subs2_nmb, ((0, Np - N), (0, 0), (0, 0)))
+    pen = jnp.concatenate(
+        [jnp.asarray(pens6, I32).reshape(6)[:2],
+         jnp.zeros(2, I32), jnp.array([N], I32)]
+    )
+    out = pl.pallas_call(
+        _kernel_scan_global_subs,
+        interpret=jax.default_backend() == "cpu",
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((K, M, block_b), lambda b, c: (c, 0, b)),
+            pl.BlockSpec((1, block_b), lambda b, c: (0, b)),
+            pl.BlockSpec((1, block_b), lambda b, c: (0, b)),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, Mp1, block_b), lambda b, c: (c, 0, b)),
+            pl.BlockSpec((1, block_b), lambda b, c: (0, b)),
+            pl.BlockSpec((Mp1, block_b), lambda b, c: (0, b)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, Mp1, B), jnp.uint16),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((Mp1, B), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Mp1, block_b), jnp.int32) for _ in range(5)
+        ],
+    )(
+        pen,
+        subs2_nmb,
+        mlens.reshape(1, B),
+        nlens.reshape(1, B),
+    )
+    tb_cols, score, tbk = out
+    return score[0], tb_cols, jnp.transpose(tbk, (1, 0))

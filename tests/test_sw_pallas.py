@@ -171,3 +171,40 @@ def test_semiglobal_transposed_kernel_matches_scalar(monkeypatch, go, ge):
         assert (got[k].xstart, got[k].xend, got[k].ystart, got[k].yend) == (
             want.xstart, want.xend, want.ystart, want.yend
         ), (k, x, y)
+
+
+def test_global_lut_streamed_kernel_blosum(monkeypatch):
+    """Streamed-substitution transposed global kernel with BLOSUM62 vs the
+    scalar aligner, multi-chunk forced."""
+    import random
+
+    from rust_bio_tpu.ops import sw_pallas
+    from rust_bio_tpu.alignment.pairwise.scalar import Aligner
+    from rust_bio_tpu.scores import blosum62
+
+    real_pick = sw_pallas._pick_block_global
+    monkeypatch.setattr(
+        sw_pallas, "_pick_block_global",
+        lambda B, M, N, n_state=30, stream_bytes=0: (
+            real_pick(B, M, N, n_state, stream_bytes)[0], max(1, N // 4)
+        ),
+    )
+
+    rng = random.Random(71)
+    sc = Scoring.new(-8, -2, blosum62)
+    ba = BatchAligner(sc)
+    sa = Aligner.with_scoring(sc)
+    aas = b"ARNDCQEGHILKMFPSTWYV"
+    xs = [
+        bytes(rng.choice(aas) for _ in range(rng.randint(1, 18)))
+        for _ in range(16)
+    ]
+    ys = [
+        bytes(rng.choice(aas) for _ in range(rng.randint(1, 22)))
+        for _ in range(16)
+    ]
+    got = ba.global_(xs, ys)
+    for k, (x, y) in enumerate(zip(xs, ys)):
+        want = sa.global_(x, y)
+        assert got[k].score == want.score, (k, x, y)
+        assert got[k].operations == want.operations, (k, x, y)
