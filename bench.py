@@ -130,6 +130,30 @@ def main() -> None:
         print(f"fm bench failed: {e}", file=sys.stderr)
         fm_rate = None
 
+    def _semiglobal_rate():
+        from rust_bio_tpu.alignment.pairwise.batched import (
+            _align_batch_device_semiglobal_mp,
+        )
+
+        pen8 = jnp.asarray(
+            np.array(
+                [-5, -1, MIN_SCORE, MIN_SCORE, 0, 0, 2, -2], np.int32
+            )
+        )
+        g = np.asarray(yb)  # reuse the 150bp refs as windows
+        args = (xb, yb, mlens, nlens, pen8)
+        np.asarray(_align_batch_device_semiglobal_mp(*args)["score"])
+        t0 = time.perf_counter()
+        for _ in range(3):
+            np.asarray(_align_batch_device_semiglobal_mp(*args)["score"])
+        return B / ((time.perf_counter() - t0) / 3)
+
+    try:
+        sg_rate = round(_semiglobal_rate(), 2)
+    except Exception as e:
+        print(f"semiglobal bench failed: {e}", file=sys.stderr)
+        sg_rate = None
+
     print(
         json.dumps(
             {
@@ -140,6 +164,7 @@ def main() -> None:
                 if cpu_rate == cpu_rate
                 else None,
                 "fm_index_queries_per_s": fm_rate,
+                "semiglobal_alignments_per_s": sg_rate,
             }
         )
     )
