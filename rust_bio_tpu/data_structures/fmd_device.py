@@ -1,0 +1,340 @@
+"""Batched FMD-index SMEM search on TPU (bwa-mem style seeding).
+
+TPU-native redesign of the reference's per-position SMEM algorithm
+(fmindex.rs:367-434): B (pattern, position) queries advance in lockstep.
+The key restructuring: the reference's inner loop over the candidate list
+(``prev``) performs independent backward extensions — only the dedup /
+emission bookkeeping is sequential — so candidates live on a fixed slot
+axis E and every outer step extends ALL candidates of ALL lanes with ONE
+fused rank gather; the last-size dedup and the "first empty extension
+emits" rule become cheap masked prefix logic over the slot axis.
+
+A batched ``backward_ext`` computes occ for all 11 extension-order symbols
+($TGCNAtgcna, fmindex.rs:520-540) of both interval ends in a single fused
+gather, then selects/prefix-sums — exactly the reference's accumulation
+loop, vectorized.
+
+Parity: output SMEMs (BiInterval, start, match length) are identical to
+``FMDIndex.smems`` / ``all_smems`` including duplicate candidate entries
+from the forward-phase break path and emission tie rules (property-tested
+against the host oracle). Lanes that overflow the E-slot or match caps are
+flagged so callers can fall back to the host path (never silently wrong).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rust_bio_tpu.alphabets import dna
+from rust_bio_tpu.data_structures.fmindex import BiInterval, _EXT_ORDER
+from rust_bio_tpu.data_structures.fm_device import DeviceFMIndex
+
+I32 = jnp.int32
+
+
+class DeviceFMDIndex:
+    """FMD-index (T$revcomp(T)$ text) with batched SMEM search.
+
+    ``device_fm``: a ``DeviceFMIndex`` built over the FMD text's BWT.
+    """
+
+    def __init__(self, device_fm: DeviceFMIndex) -> None:
+        self.fm = device_fm
+        sym_of = np.asarray(device_fm.sym_of)
+        ext = np.frombuffer(_EXT_ORDER, np.uint8)
+        self.ext_syms = jnp.asarray(
+            np.maximum(sym_of[ext], 0).astype(np.int32)
+        )
+        self.ext_valid = jnp.asarray(sym_of[ext] >= 0)
+        ext_pos = np.full(256, -1, np.int32)
+        for p, b in enumerate(ext):
+            ext_pos[b] = p
+        self.ext_pos = jnp.asarray(ext_pos)
+        self.comp = jnp.asarray(np.asarray(dna.COMPLEMENT, np.uint8))
+        self.less_b = device_fm.less  # (257,) by byte
+
+    # -- batched bidirectional extensions -------------------------------
+    def _backward_ext(self, lo, lor, sz, a):
+        """All shapes (N,); returns (lo', lor', sz')."""
+        N = lo.shape[0]
+        hi = lo + sz - 1
+        pos2 = jnp.concatenate([lo - 1, hi])
+        r2 = self.fm._rank(pos2[:, None], self.ext_syms[None, :])  # (2N, 11)
+        r2 = jnp.where(self.ext_valid[None, :], r2, 0)
+        o_all = jnp.where(lo[:, None] > 0, r2[:N], 0)
+        s_all = r2[N:] - o_all
+        aidx = self.ext_pos[a.astype(I32)]  # (N,)
+        take = lambda m: jnp.take_along_axis(m, aidx[:, None], axis=1)[:, 0]
+        cums = jnp.cumsum(s_all, axis=1)
+        ssel = take(s_all)
+        lor_new = lor + (take(cums) - ssel)
+        lo_new = self.less_b[a.astype(I32)] + take(o_all)
+        return lo_new, lor_new, ssel
+
+    def _forward_ext(self, lo, lor, sz, a):
+        ca = self.comp[a.astype(I32)]
+        k2, l2, s2 = self._backward_ext(lor, lo, sz, ca)
+        return l2, k2, s2
+
+    # -- batched SMEMs ---------------------------------------------------
+    @partial(jax.jit, static_argnums=(0, 4, 5))
+    def _smems_kernel(self, pats, plens, iis, E: int, MC: int, l_min):
+        B, L = pats.shape
+        bidx = jnp.arange(B)
+
+        # --- phase 1: forward extensions from position i ---------------
+        a0 = pats[bidx, iis].astype(I32)
+        lo = self.less_b[a0]
+        lor = self.less_b[self.comp[a0].astype(I32)]
+        sz = self.less_b[a0 + 1] - lo
+        mlen = (sz != 0).astype(I32)
+
+        slot = lambda dt=I32: jnp.zeros((B, E), dt)
+        st0 = (
+            jnp.int32(1), lo, lor, sz, mlen,
+            slot(), slot(), slot(), slot(),  # slot arrays lo/lor/sz/mlen
+            jnp.zeros(B, I32),  # cnt
+            jnp.ones(B, bool),  # alive
+            jnp.zeros(B, bool),  # overflow
+        )
+
+        def f_cond(st):
+            return (st[0] <= L) & jnp.any(st[10])
+
+        def f_body(st):
+            t, lo, lor, sz, mlen, s_lo, s_lor, s_sz, s_ml, cnt, alive, ovf = st
+            pos = iis + t
+            in_rng = pos < plens
+            a = pats[bidx, jnp.minimum(pos, L - 1)]
+            flo, flor, fsz = self._forward_ext(lo, lor, sz, a)
+            app = alive & in_rng & (sz != fsz)
+            onehot = (jnp.arange(E)[None, :] == cnt[:, None]) & app[:, None]
+            s_lo = jnp.where(onehot, lo[:, None], s_lo)
+            s_lor = jnp.where(onehot, lor[:, None], s_lor)
+            s_sz = jnp.where(onehot, sz[:, None], s_sz)
+            s_ml = jnp.where(onehot, mlen[:, None], s_ml)
+            ovf = ovf | (app & (cnt >= E))
+            cnt = cnt + app
+            cont = alive & in_rng & (fsz != 0)
+            lo = jnp.where(cont, flo, lo)
+            lor = jnp.where(cont, flor, lor)
+            sz = jnp.where(cont, fsz, sz)
+            mlen = mlen + cont
+            return (
+                t + 1, lo, lor, sz, mlen,
+                s_lo, s_lor, s_sz, s_ml, cnt, cont, ovf,
+            )
+
+        st = jax.lax.while_loop(f_cond, f_body, st0)
+        _, lo, lor, sz, mlen, s_lo, s_lor, s_sz, s_ml, cnt, _, ovf = st
+        # final append (reference appends the current interval once more)
+        onehot = jnp.arange(E)[None, :] == cnt[:, None]
+        s_lo = jnp.where(onehot, lo[:, None], s_lo)
+        s_lor = jnp.where(onehot, lor[:, None], s_lor)
+        s_sz = jnp.where(onehot, sz[:, None], s_sz)
+        s_ml = jnp.where(onehot, mlen[:, None], s_ml)
+        ovf = ovf | (cnt >= E)
+        cnt = cnt + 1
+
+        # reverse the slot order (phase 2 consumes newest-first)
+        ridx = jnp.clip(cnt[:, None] - 1 - jnp.arange(E)[None, :], 0, E - 1)
+        gat = lambda m: jnp.take_along_axis(m, ridx, axis=1)
+        s_lo, s_lor, s_sz, s_ml = gat(s_lo), gat(s_lor), gat(s_sz), gat(s_ml)
+        valid = jnp.arange(E)[None, :] < cnt[:, None]
+
+        # --- phase 2: backward sweep k = i-1 .. -1 ----------------------
+        m_slot = lambda: jnp.zeros((B, MC), I32)
+        st0 = (
+            jnp.int32(1),
+            s_lo, s_lor, s_sz, s_ml, valid,
+            plens.astype(I32),  # j
+            m_slot(), m_slot(), m_slot(), m_slot(), m_slot(),  # matches
+            jnp.zeros(B, I32),  # mcnt
+            jnp.ones(B, bool),  # alive
+            ovf,
+        )
+
+        def b_cond(st):
+            return jnp.any(st[13])
+
+        def b_body(st):
+            (
+                tau, s_lo, s_lor, s_sz, s_ml, valid, j,
+                m_lo, m_lor, m_sz, m_st, m_ml, mcnt, alive, ovf,
+            ) = st
+            k = iis - tau
+            a = jnp.where(
+                k == -1,
+                jnp.int32(ord("$")),
+                pats[bidx, jnp.maximum(k, 0)].astype(I32),
+            ).astype(jnp.uint8)
+            # extend every candidate slot of every lane in one fused gather
+            af = jnp.broadcast_to(a[:, None], (B, E)).reshape(-1)
+            elo, elor, esz = self._backward_ext(
+                s_lo.reshape(-1), s_lor.reshape(-1), s_sz.reshape(-1), af
+            )
+            elo = elo.reshape(B, E)
+            elor = elor.reshape(B, E)
+            esz = esz.reshape(B, E)
+
+            # last-size dedup + emission bookkeeping along the slot axis
+            can_app = valid & (esz != 0)
+            appended = jnp.zeros((B, E), bool)
+            last = jnp.full((B,), -1, I32)
+            emitted = jnp.zeros(B, bool)
+            emit_slot = jnp.zeros(B, I32)
+            any_before = jnp.zeros(B, bool)
+            for e in range(E):  # E is small and static; pure vector ops
+                app_e = can_app[:, e] & (esz[:, e] != last)
+                appended = appended.at[:, e].set(app_e)
+                last = jnp.where(app_e, esz[:, e], last)
+                em_e = (
+                    valid[:, e]
+                    & ((esz[:, e] == 0) | (k == -1))
+                    & ~any_before
+                    & ~emitted
+                    & (k < j)
+                    & (s_ml[:, e] >= l_min)
+                )
+                emit_slot = jnp.where(em_e, e, emit_slot)
+                emitted = emitted | em_e
+                any_before = any_before | app_e
+
+            emitted = emitted & alive
+            j = jnp.where(emitted, k, j)
+            take_e = lambda m: jnp.take_along_axis(
+                m, emit_slot[:, None], axis=1
+            )[:, 0]
+            onehot = (jnp.arange(MC)[None, :] == mcnt[:, None]) & emitted[:, None]
+            m_lo = jnp.where(onehot, take_e(s_lo)[:, None], m_lo)
+            m_lor = jnp.where(onehot, take_e(s_lor)[:, None], m_lor)
+            m_sz = jnp.where(onehot, take_e(s_sz)[:, None], m_sz)
+            m_st = jnp.where(onehot, (k + 1)[:, None], m_st)
+            m_ml = jnp.where(onehot, take_e(s_ml)[:, None], m_ml)
+            ovf = ovf | (emitted & (mcnt >= MC))
+            mcnt = mcnt + emitted
+
+            appended = appended & alive[:, None]
+            s_lo = jnp.where(appended, elo, s_lo)
+            s_lor = jnp.where(appended, elor, s_lor)
+            s_sz = jnp.where(appended, esz, s_sz)
+            s_ml = jnp.where(appended, s_ml + 1, s_ml)
+            valid = appended
+            alive = alive & appended.any(axis=1) & (k > -1)
+            return (
+                tau + 1, s_lo, s_lor, s_sz, s_ml, valid, j,
+                m_lo, m_lor, m_sz, m_st, m_ml, mcnt, alive, ovf,
+            )
+
+        st = jax.lax.while_loop(b_cond, b_body, st0)
+        (_, *_rest) = st
+        m_lo, m_lor, m_sz, m_st, m_ml = st[7:12]
+        mcnt, _, ovf = st[12], st[13], st[14]
+        return m_lo, m_lor, m_sz, m_st, m_ml, mcnt, ovf
+
+    def smems_batch(
+        self,
+        patterns: Sequence,
+        positions: Sequence[int],
+        l: int,
+        max_slots: int = 32,
+        max_matches: int = 16,
+        host_oracle=None,
+    ) -> List[List[Tuple[BiInterval, int, int]]]:
+        """Per (pattern, position): the reference's ``smems(pattern, i, l)``.
+
+        Lanes that overflow the device caps fall back to ``host_oracle``
+        (an ``FMDIndex``) when given, else raise.
+        """
+        from rust_bio_tpu.utils.text import to_array
+
+        pats = [to_array(p) for p in patterns]
+        B = len(pats)
+        L = max((len(p) for p in pats), default=1) or 1
+        pb = np.zeros((B, L), np.uint8)
+        plens = np.zeros(B, np.int32)
+        for i, p in enumerate(pats):
+            pb[i, : len(p)] = p
+            plens[i] = len(p)
+        iis = np.asarray(positions, np.int32)
+        m_lo, m_lor, m_sz, m_st, m_ml, mcnt, ovf = (
+            np.asarray(v)
+            for v in self._smems_kernel(
+                jnp.asarray(pb),
+                jnp.asarray(plens),
+                jnp.asarray(iis),
+                max_slots,
+                max_matches,
+                jnp.int32(l),
+            )
+        )
+        out: List[List[Tuple[BiInterval, int, int]]] = []
+        for b in range(B):
+            if ovf[b]:
+                assert host_oracle is not None, (
+                    "device SMEM capacity overflow; pass host_oracle"
+                )
+                out.append(host_oracle.smems(bytes(pats[b]), int(iis[b]), l))
+                continue
+            lane = []
+            for t in range(int(mcnt[b])):
+                lane.append(
+                    (
+                        BiInterval(
+                            int(m_lo[b, t]), int(m_lor[b, t]),
+                            int(m_sz[b, t]), int(m_ml[b, t]),
+                        ),
+                        int(m_st[b, t]),
+                        int(m_ml[b, t]),
+                    )
+                )
+            out.append(lane)
+        return out
+
+
+    def all_smems_batch(
+        self,
+        patterns: Sequence,
+        l: int,
+        max_slots: int = 32,
+        max_matches: int = 16,
+        host_oracle=None,
+    ) -> List[List[Tuple[BiInterval, int, int]]]:
+        """Per pattern: the reference's ``all_smems(pattern, l)``.
+
+        The per-read cursor loop (fmindex.rs:477-495) runs host-side, but
+        each round batches the ACTIVE reads' current positions into one
+        device ``smems_batch`` call — reads at different cursors advance
+        together.
+        """
+        from rust_bio_tpu.utils.text import to_array
+
+        pats = [to_array(p) for p in patterns]
+        B = len(pats)
+        out: List[List[Tuple[BiInterval, int, int]]] = [[] for _ in range(B)]
+        cursor = [0] * B
+        while True:
+            active = [b for b in range(B) if cursor[b] < len(pats[b])]
+            if not active:
+                break
+            got = self.smems_batch(
+                [pats[b] for b in active],
+                [cursor[b] for b in active],
+                l,
+                max_slots=max_slots,
+                max_matches=max_matches,
+                host_oracle=host_oracle,
+            )
+            for b, lane in zip(active, got):
+                nxt = cursor[b] + 1
+                for _, p, ln in lane:
+                    if p + ln > nxt:
+                        nxt = p + ln
+                cursor[b] = nxt
+                out[b].extend(lane)
+        return out

@@ -185,3 +185,78 @@ def test_index_serialization_detects_corruption(tmp_path):
     _np.savez_compressed(path, **arrays)
     with pytest.raises(AssertionError):
         load_fm_index(path)
+
+
+# ---- batched device SMEMs vs host oracle ----
+
+def _build_fmd_pair(seq: bytes):
+    import numpy as np
+
+    from rust_bio_tpu.alphabets import dna as _dna
+    from rust_bio_tpu.data_structures.fm_device import DeviceFMIndex
+    from rust_bio_tpu.data_structures.fmd_device import DeviceFMDIndex
+
+    text = seq + b"$" + _dna.revcomp(seq) + b"$"
+    sa = suffix_array(text)
+    b = bwt(text, sa)
+    alphabet = dna.n_alphabet()
+    fm = FMIndex(b, less(b, alphabet), Occ(b, 3, alphabet))
+    fmd = FMDIndex(fm)
+    alpha2 = dna.n_alphabet()
+    alpha2.insert(ord("$"))
+    dev = DeviceFMDIndex(DeviceFMIndex(b, alpha2, sa=sa))
+    return fmd, dev
+
+
+def test_device_smems_match_host():
+    import numpy as np
+
+    rng = np.random.default_rng(77)
+    seq = rng.choice(list(b"ACGT"), size=500).astype("uint8").tobytes()
+    fmd, dev = _build_fmd_pair(seq)
+
+    pats, poss = [], []
+    for _ in range(12):
+        ln = int(rng.integers(5, 30))
+        if rng.random() < 0.7:
+            s = int(rng.integers(0, len(seq) - ln))
+            p = bytearray(seq[s : s + ln])
+            if rng.random() < 0.5:  # sprinkle a mismatch
+                p[ln // 2] = int(rng.choice(list(b"ACGT")))
+            p = bytes(p)
+        else:
+            p = rng.choice(list(b"ACGT"), size=ln).astype("uint8").tobytes()
+        pats.append(p)
+        poss.append(int(rng.integers(0, ln)))
+
+    for l in (0, 5):
+        got = dev.smems_batch(pats, poss, l, host_oracle=fmd)
+        for b, (p, i) in enumerate(zip(pats, poss)):
+            want = fmd.smems(p, i, l)
+            assert got[b] == want, (b, p, i, l)
+
+
+def test_device_smems_doctest_case():
+    fmd, dev = _build_fmd_pair(b"ATTC")
+    got = dev.smems_batch([b"ATT"], [2], 0, host_oracle=fmd)
+    want = fmd.smems(b"ATT", 2, 0)
+    assert got[0] == want
+
+
+def test_device_all_smems_match_host():
+    import numpy as np
+
+    rng = np.random.default_rng(79)
+    seq = rng.choice(list(b"ACGT"), size=400).astype("uint8").tobytes()
+    fmd, dev = _build_fmd_pair(seq)
+    pats = []
+    for _ in range(8):
+        ln = int(rng.integers(8, 40))
+        s = int(rng.integers(0, len(seq) - ln))
+        p = bytearray(seq[s : s + ln])
+        for _ in range(int(rng.integers(0, 3))):
+            p[int(rng.integers(0, ln))] = int(rng.choice(list(b"ACGT")))
+        pats.append(bytes(p))
+    got = dev.all_smems_batch(pats, 5, host_oracle=fmd)
+    for b, p in enumerate(pats):
+        assert got[b] == fmd.all_smems(p, 5), (b, p)
