@@ -95,11 +95,17 @@ class DeviceFMIndex:
         # the text's final sentinel is the smallest; suffix_array.rs:431-441)
         self.sentinel = int(b.min()) if self.n else 0
 
-        # sampled SA for locate (single-sentinel texts): sa[i] kept if i%s==0
+        # sampled SA for locate: sa[i] kept if i%s==0; sentinel-BWT rows
+        # additionally store their exact SA values (the reference's
+        # extra_rows patch, suffix_array.rs:166-175) so multi-sentinel
+        # texts (e.g. the FMD-index T$revcomp(T)$ layout) locate correctly
         self.s = int(sampling_rate)
         if sa is not None:
             sa = np.asarray(sa, dtype=np.int64)
             self.sa_sample = jnp.asarray(sa[:: self.s].astype(np.int32))
+            sent_rows = np.nonzero(b == (b.min() if self.n else 0))[0]
+            self.sent_rows = jnp.asarray(sent_rows.astype(np.int32))
+            self.sent_vals = jnp.asarray(sa[sent_rows].astype(np.int32))
         else:
             self.sa_sample = None
 
@@ -272,7 +278,15 @@ class DeviceFMIndex:
             cond, body, (pos0, jnp.zeros(B, I32), jnp.zeros(B, bool))
         )
         sampled = (pos % s) == 0
-        base = jnp.where(sampled, self.sa_sample[pos // s], 0)
+        # non-sampled stops are sentinel-BWT rows: exact values from the
+        # extra_rows table (binary search over the few sentinel rows)
+        si = jnp.clip(
+            jnp.searchsorted(self.sent_rows, pos), 0, self.sent_rows.shape[0] - 1
+        )
+        sent_base = jnp.where(
+            self.sent_rows[si] == pos, self.sent_vals[si], 0
+        )
+        base = jnp.where(sampled, self.sa_sample[pos // s], sent_base)
         return base + offset
 
     def locate_batch(self, rows) -> np.ndarray:

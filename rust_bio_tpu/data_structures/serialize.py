@@ -31,6 +31,14 @@ def save_fm_index(path, device_index) -> None:
     arrays = {
         "bits": np.asarray(device_index.bits),
         "ckpt": np.asarray(device_index.ckpt),
+        **(
+            {
+                "sent_rows": np.asarray(device_index.sent_rows),
+                "sent_vals": np.asarray(device_index.sent_vals),
+            }
+            if getattr(device_index, "sa_sample", None) is not None
+            else {}
+        ),
         "less": np.asarray(device_index.less),
         "sym_of": np.asarray(device_index.sym_of),
         "bwt_bytes": np.asarray(device_index.bwt_bytes),
@@ -92,4 +100,7 @@ def load_fm_index(path, verify: bool = True):
     idx.sa_sample = (
         jnp.asarray(arrays["sa_sample"]) if "sa_sample" in arrays else None
     )
+    if "sent_rows" in arrays:
+        idx.sent_rows = jnp.asarray(arrays["sent_rows"])
+        idx.sent_vals = jnp.asarray(arrays["sent_vals"])
     return idx

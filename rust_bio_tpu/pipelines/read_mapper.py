@@ -139,18 +139,28 @@ class ReadMapper:
         }
         positions_of = {int(i): int(positions_all[i]) for i in np.nonzero(has)[0]}
 
-        # build extension batch
-        xs, ys, metas = [], [], []
-        for i, seq in enumerate(seqs):
-            if i not in chosen:
-                continue
+        picks = {}
+        for i in np.nonzero(has)[0]:
+            i = int(i)
             strand, off, _ = chosen[i]
             seed_pos = positions_of[i]
-            oriented = seq if strand == "+" else rcs[i]
+            oriented = seqs[i] if strand == "+" else rcs[i]
             win_start = max(seed_pos - off - self.flank, 0)
             win_end = min(
                 seed_pos - off + len(oriented) + self.flank, len(self.genome)
             )
+            picks[i] = (strand, win_start, win_end)
+        return self._extend(seqs, rcs, ids, picks)
+
+    def _extend(self, seqs, rcs, ids, picks) -> List[MappedRead]:
+        """Batched semiglobal extension + result assembly.
+
+        ``picks``: read index -> (strand, window start, window end).
+        """
+        B = len(seqs)
+        xs, ys, metas = [], [], []
+        for i, (strand, win_start, win_end) in sorted(picks.items()):
+            oriented = seqs[i] if strand == "+" else rcs[i]
             xs.append(oriented)
             ys.append(self.genome[win_start:win_end])
             metas.append((i, strand, win_start))
@@ -170,3 +180,86 @@ class ReadMapper:
                     alignment=aln,
                 )
         return out
+
+
+class SmemReadMapper(ReadMapper):
+    """Read mapper seeded by SMEMs over an FMD index (bwa-mem style).
+
+    The genome is indexed as ``T$revcomp(T)$`` so one index covers both
+    strands; super-maximal exact matches tolerate errors ANYWHERE in the
+    read (the fixed-window seeding of ``ReadMapper`` fails when every
+    window straddles an error). Seeding runs on the batched device SMEM
+    kernel (data_structures/fmd_device.py); extension is the shared
+    batched semiglobal path.
+    """
+
+    def __init__(
+        self,
+        genome,
+        scoring: Optional[Scoring] = None,
+        min_seed_len: int = 19,
+        flank: int = 8,
+        sa_sampling_rate: int = 32,
+    ) -> None:
+        from rust_bio_tpu.data_structures.fmd_device import DeviceFMDIndex
+        from rust_bio_tpu.data_structures.fmindex import FMDIndex, FMIndex
+        from rust_bio_tpu.data_structures.bwt import less as _less, Occ
+
+        self.genome = to_bytes(genome)
+        G = len(self.genome)
+        text = self.genome + b"$" + dna.revcomp(self.genome) + b"$"
+        sa = suffix_array(text)
+        b = bwt(text, sa)
+        alpha = dna.n_alphabet()
+        alpha.insert(ord("$"))
+        self.index = DeviceFMIndex(b, alpha, sa=sa, sampling_rate=sa_sampling_rate)
+        self.fmd = DeviceFMDIndex(self.index)
+        alpha2 = dna.n_alphabet()
+        self.host_fmd = FMDIndex(
+            FMIndex(b, _less(b, alpha2), Occ(b, 16, alpha2))
+        )  # overflow fallback oracle
+        self.G = G
+        self.scoring = scoring or Scoring.from_scores(-5, -1, 2, -2)
+        self.aligner = BatchAligner(self.scoring)
+        self.min_seed_len = min_seed_len
+        self.flank = flank
+
+    def map_batch(self, reads: Sequence, ids: Optional[Sequence[str]] = None
+                  ) -> List[MappedRead]:
+        seqs = [to_bytes(r) if not hasattr(r, "seq") else bytes(r.seq) for r in reads]
+        if ids is None:
+            ids = [getattr(r, "id", str(i)) for i, r in enumerate(reads)]
+        B = len(seqs)
+        rcs = [dna.revcomp(s) for s in seqs]
+
+        smems = self.fmd.all_smems_batch(
+            seqs, self.min_seed_len, host_oracle=self.host_fmd
+        )
+        # best seed per read: longest SMEM (ties: leftmost, like the scan)
+        rows, meta = [], []
+        for i, lane in enumerate(smems):
+            best = None
+            for itv, q0, mlen in lane:
+                if best is None or mlen > best[2]:
+                    best = (itv, q0, mlen)
+            if best is not None:
+                rows.append(best[0].lower)
+                meta.append((i, best[1], best[2]))
+        picks = {}
+        if rows:
+            positions = self.index.locate_batch(np.asarray(rows, np.int32))
+            G = self.G
+            for (i, q0, mlen), p in zip(meta, positions):
+                p = int(p)
+                n = len(seqs[i])
+                if p < G:  # forward-strand hit
+                    strand, off, gpos = "+", q0, p
+                else:  # hit inside revcomp(T): read maps to '-' strand
+                    r0 = p - (G + 1)
+                    strand = "-"
+                    off = n - q0 - mlen  # offset in the oriented (rc) read
+                    gpos = G - r0 - mlen
+                win_start = max(gpos - off - self.flank, 0)
+                win_end = min(gpos - off + n + self.flank, G)
+                picks[i] = (strand, win_start, win_end)
+        return self._extend(seqs, rcs, ids, picks)

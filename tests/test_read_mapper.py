@@ -93,3 +93,54 @@ def test_mixed_batch(genome, mapper):
     assert out[1].pos == -1
     assert out[2].pos == 400 and out[2].strand == "-"
     assert isinstance(out[0], MappedRead)
+
+
+# ---- SMEM-seeded mapper (FMD index, both strands in one index) ----
+
+@pytest.fixture(scope="module")
+def smem_mapper(genome):
+    from rust_bio_tpu.pipelines.read_mapper import SmemReadMapper
+
+    return SmemReadMapper(genome, min_seed_len=19, flank=8)
+
+
+def test_smem_mapper_perfect_reads(genome, smem_mapper):
+    rng = np.random.default_rng(17)
+    starts = [int(s) for s in rng.integers(0, len(genome) - 100, size=8)]
+    reads = [genome[s : s + 100] for s in starts]
+    out = smem_mapper.map_batch(reads)
+    for s, m in zip(starts, out):
+        assert (m.strand, m.pos, m.cigar) == ("+", s, "100=")
+
+
+def test_smem_mapper_reverse_and_errors(genome, smem_mapper):
+    rng = np.random.default_rng(18)
+    starts = [int(s) for s in rng.integers(0, len(genome) - 100, size=8)]
+    reads = []
+    for k, s in enumerate(starts):
+        r = bytearray(genome[s : s + 100])
+        # errors at positions that break EVERY fixed window of the
+        # classic 3-window seeding (0, 40, 80 for seed_len=20)
+        for pos in (10, 50, 90):
+            r[pos] = b"ACGT"[(b"ACGT".index(bytes([r[pos]])) + 1) % 4]
+        r = bytes(r)
+        reads.append(dna.revcomp(r) if k % 2 else r)
+    out = smem_mapper.map_batch(reads)
+    for k, (s, m) in enumerate(zip(starts, out)):
+        assert m.pos == s, k
+        assert m.strand == ("-" if k % 2 else "+")
+        assert m.score == 97 * 2 - 3 * 2
+
+
+def test_smem_beats_fixed_window_seeding(genome, mapper, smem_mapper):
+    # a read whose every fixed seed window straddles an error: the classic
+    # mapper misses it, the SMEM mapper maps it
+    rng = np.random.default_rng(19)
+    s = 2000
+    r = bytearray(genome[s : s + 70])
+    for pos in (5, 30, 60):  # seed windows at 0, 25, 50 (len 20) all hit
+        r[pos] = b"ACGT"[(b"ACGT".index(bytes([r[pos]])) + 1) % 4]
+    out_classic = mapper.map_batch([bytes(r)])
+    out_smem = smem_mapper.map_batch([bytes(r)])
+    assert out_classic[0].pos == -1
+    assert out_smem[0].pos == s
