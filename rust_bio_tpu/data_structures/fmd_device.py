@@ -55,6 +55,11 @@ class DeviceFMDIndex:
         for p, b in enumerate(ext):
             ext_pos[b] = p
         self.ext_pos = jnp.asarray(ext_pos)
+        # static cap: symbols actually present never need ext-order columns
+        # past their own position (the reference breaks at the queried
+        # symbol), so the fused gather shrinks to KE columns (6 for DNA+$)
+        present = [b for b in ext if sym_of[b] >= 0]
+        self.KE = int(max(ext_pos[b] for b in present)) + 1 if present else 1
         self.comp = jnp.asarray(np.asarray(dna.COMPLEMENT, np.uint8))
         self.less_b = device_fm.less  # (257,) by byte
 
@@ -64,8 +69,11 @@ class DeviceFMDIndex:
         N = lo.shape[0]
         hi = lo + sz - 1
         pos2 = jnp.concatenate([lo - 1, hi])
-        r2 = self.fm._rank(pos2[:, None], self.ext_syms[None, :])  # (2N, 11)
-        r2 = jnp.where(self.ext_valid[None, :], r2, 0)
+        KE = self.KE
+        r2 = self.fm._rank(
+            pos2[:, None], self.ext_syms[None, :KE]
+        )  # (2N, KE)
+        r2 = jnp.where(self.ext_valid[None, :KE], r2, 0)
         o_all = jnp.where(lo[:, None] > 0, r2[:N], 0)
         s_all = r2[N:] - o_all
         aidx = self.ext_pos[a.astype(I32)]  # (N,)
@@ -307,30 +315,58 @@ class DeviceFMDIndex:
     ) -> List[List[Tuple[BiInterval, int, int]]]:
         """Per pattern: the reference's ``all_smems(pattern, l)``.
 
-        The per-read cursor loop (fmindex.rs:477-495) runs host-side, but
-        each round batches the ACTIVE reads' current positions into one
-        device ``smems_batch`` call — reads at different cursors advance
-        together.
+        The per-read cursor loop (fmindex.rs:477-495) runs host-side with
+        STABLE shapes: every round calls the device kernel on the full
+        padded batch (finished reads ride along masked) so the kernel
+        compiles once; rounds end when every cursor passes its read end
+        (2-4 rounds for typical error rates).
         """
         from rust_bio_tpu.utils.text import to_array
 
         pats = [to_array(p) for p in patterns]
         B = len(pats)
+        L = max((len(p) for p in pats), default=1) or 1
+        pb = np.zeros((B, L), np.uint8)
+        plens = np.zeros(B, np.int32)
+        for i, p in enumerate(pats):
+            pb[i, : len(p)] = p
+            plens[i] = len(p)
+        pb_d = jnp.asarray(pb)
+        pl_d = jnp.asarray(plens)
+
         out: List[List[Tuple[BiInterval, int, int]]] = [[] for _ in range(B)]
-        cursor = [0] * B
+        cursor = np.zeros(B, np.int64)
         while True:
-            active = [b for b in range(B) if cursor[b] < len(pats[b])]
-            if not active:
+            active = np.nonzero(cursor < plens)[0]
+            if active.size == 0:
                 break
-            got = self.smems_batch(
-                [pats[b] for b in active],
-                [cursor[b] for b in active],
-                l,
-                max_slots=max_slots,
-                max_matches=max_matches,
-                host_oracle=host_oracle,
+            iis = np.minimum(cursor, np.maximum(plens - 1, 0)).astype(np.int32)
+            m_lo, m_lor, m_sz, m_st, m_ml, mcnt, ovf = (
+                np.asarray(v)
+                for v in self._smems_kernel(
+                    pb_d, pl_d, jnp.asarray(iis),
+                    max_slots, max_matches, jnp.int32(l),
+                )
             )
-            for b, lane in zip(active, got):
+            for b in active:
+                b = int(b)
+                if ovf[b]:
+                    assert host_oracle is not None, (
+                        "device SMEM capacity overflow; pass host_oracle"
+                    )
+                    lane = host_oracle.smems(bytes(pats[b]), int(iis[b]), l)
+                else:
+                    lane = [
+                        (
+                            BiInterval(
+                                int(m_lo[b, t]), int(m_lor[b, t]),
+                                int(m_sz[b, t]), int(m_ml[b, t]),
+                            ),
+                            int(m_st[b, t]),
+                            int(m_ml[b, t]),
+                        )
+                        for t in range(int(mcnt[b]))
+                    ]
                 nxt = cursor[b] + 1
                 for _, p, ln in lane:
                     if p + ln > nxt:

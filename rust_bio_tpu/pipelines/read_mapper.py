@@ -232,19 +232,34 @@ class SmemReadMapper(ReadMapper):
         B = len(seqs)
         rcs = [dna.revcomp(s) for s in seqs]
 
-        smems = self.fmd.all_smems_batch(
-            seqs, self.min_seed_len, host_oracle=self.host_fmd
-        )
-        # best seed per read: longest SMEM (ties: leftmost, like the scan)
+        # one seed suffices for extension: query SMEMs overlapping the read
+        # middle (one batched kernel call); reads without a long-enough
+        # SMEM there retry at the quarter positions (full-batch calls with
+        # stable shapes, so the kernel compiles once)
+        best_of = {}
+        for frac in (2, 4, 8):
+            pending = [i for i in range(B) if i not in best_of and seqs[i]]
+            if not pending:
+                break
+            smems = self.fmd.smems_batch(
+                seqs,
+                [max(0, len(s) // frac - 1) for s in seqs],
+                self.min_seed_len,
+                max_slots=16,
+                host_oracle=self.host_fmd,
+            )
+            for i in pending:
+                best = None
+                for itv, q0, mlen in smems[i]:
+                    if best is None or mlen > best[2]:
+                        best = (itv, q0, mlen)
+                if best is not None:
+                    best_of[i] = best
         rows, meta = [], []
-        for i, lane in enumerate(smems):
-            best = None
-            for itv, q0, mlen in lane:
-                if best is None or mlen > best[2]:
-                    best = (itv, q0, mlen)
-            if best is not None:
-                rows.append(best[0].lower)
-                meta.append((i, best[1], best[2]))
+        for i in sorted(best_of):
+            itv, q0, mlen = best_of[i]
+            rows.append(itv.lower)
+            meta.append((i, q0, mlen))
         picks = {}
         if rows:
             positions = self.index.locate_batch(np.asarray(rows, np.int32))
