@@ -964,6 +964,63 @@ def _align_batch_device_semiglobal_mp(
     return out
 
 
+def _subs2_stream(xb, yb, lut):
+    """(N, M, B) packed ``subs*2 | eq`` stream for the transposed kernels,
+    emitted directly in stream order by the one-hot einsum."""
+    syms = jnp.unique(
+        jnp.concatenate([xb.ravel(), yb.ravel()]), size=32, fill_value=0
+    )
+    small = lut[syms.astype(I32)[:, None], syms.astype(I32)[None, :]]
+    ox = (xb[:, :, None] == syms[None, None, :]).astype(jnp.float32)
+    oy = (yb[:, :, None] == syms[None, None, :]).astype(jnp.float32)
+    subs_nmb = jnp.einsum(
+        "bms,st,bnt->nmb", ox, small.astype(jnp.float32), oy,
+        preferred_element_type=jnp.float32,
+    ).astype(I32)
+    eq_nmb = (
+        jnp.swapaxes(yb, 0, 1)[:, None, :] == jnp.swapaxes(xb, 0, 1)[None, :, :]
+    ).astype(I32)
+    return subs_nmb * 2 + eq_nmb
+
+
+@partial(jax.jit, static_argnames=("with_traceback",))
+def _align_batch_device_semiglobal_lut(
+    xb, yb, mlens, nlens, lut, penalties, with_traceback: bool = True
+):
+    """Semiglobal-family fast path for arbitrary LUT scorings: streamed
+    packed-subs transposed kernel + the shared suffix fixups + y-clip walk
+    (mirrors ``_align_batch_device_semiglobal_mp``)."""
+    from rust_bio_tpu.ops.sw_pallas import scan_semiglobal_pallas_subs
+
+    B, M = xb.shape
+    N = yb.shape[1]
+    pens = tuple(penalties[k] for k in range(6))
+
+    subs2 = _subs2_stream(xb, yb, lut)
+    tb_cols, S_f, I_f, Sn_f, Ly_f, tbk = scan_semiglobal_pallas_subs(
+        subs2, mlens, nlens, penalties
+    )
+    rows, row_ge1, mlens_c, is_row_m = _geometry(B, M, mlens)
+    score, tb_col_fixed, _Lx_n, _lx_set = _suffix_fixups(
+        S_f, I_f, Sn_f, tbk.astype(jnp.uint16),
+        B, M, rows, row_ge1, mlens, mlens_c, is_row_m, pens,
+    )
+    if not with_traceback:
+        return {"score": score}
+
+    *_, tb_col0, _Lx0 = _init_column(
+        B, M, rows, row_ge1, mlens, nlens, mlens_c, is_row_m, pens
+    )
+    tb_xb = jnp.concatenate(
+        [jnp.transpose(tb_col0, (1, 0))[None], tb_cols], axis=0
+    ).reshape(-1, B)
+    tbfix = (tb_col_fixed.astype(I32) & 0xFFF) | (Ly_f << 12)
+
+    out = _walk_semiclip(tb_xb, tbfix, mlens, nlens, B, M, N)
+    out["score"] = score
+    return out
+
+
 @partial(jax.jit, static_argnames=("with_traceback",))
 def _align_batch_device_global_lut(
     xb, yb, mlens, nlens, lut, penalties, with_traceback: bool = True
@@ -979,22 +1036,7 @@ def _align_batch_device_global_lut(
     N = yb.shape[1]
     pens = tuple(penalties[k] for k in range(6))
 
-    # einsum emitted directly in the kernel's (N, M, B) stream order
-    syms = jnp.unique(
-        jnp.concatenate([xb.ravel(), yb.ravel()]), size=32, fill_value=0
-    )
-    small = lut[syms.astype(I32)[:, None], syms.astype(I32)[None, :]]
-    ox = (xb[:, :, None] == syms[None, None, :]).astype(jnp.float32)
-    oy = (yb[:, :, None] == syms[None, None, :]).astype(jnp.float32)
-    subs_nmb = jnp.einsum(
-        "bms,st,bnt->nmb", ox, small.astype(jnp.float32), oy,
-        preferred_element_type=jnp.float32,
-    ).astype(I32)
-    eq_nmb = (
-        jnp.swapaxes(yb, 0, 1)[:, None, :] == jnp.swapaxes(xb, 0, 1)[None, :, :]
-    ).astype(I32)
-    subs2 = subs_nmb * 2 + eq_nmb
-
+    subs2 = _subs2_stream(xb, yb, lut)
     score, tb_cols, _tbk = scan_global_pallas_subs(subs2, mlens, nlens, penalties)
     if not with_traceback:
         return {"score": score}
@@ -1095,8 +1137,11 @@ class BatchAligner:
         B, M = xb.shape
         mp = self.scoring.match_fn
         is_global = all(int(c) == MIN_SCORE for c in pen[2:6])
+        x_clips_off = (
+            int(pen[2]) == MIN_SCORE and int(pen[3]) == MIN_SCORE
+        )
         eligible = 2 <= M < 4096 and (
-            isinstance(mp, MatchParams) or is_global
+            isinstance(mp, MatchParams) or x_clips_off
         )
         if eligible and B % 8:
             # pad the batch to a lane-aligned multiple with 1-char dummy
@@ -1152,12 +1197,17 @@ class BatchAligner:
                 jnp.asarray(pen8),
                 with_traceback=with_traceback,
             )
-        if eligible and is_global and B % 8 == 0:
-            # arbitrary LUT scoring (BLOSUM/PAM/callable), global mode:
-            # streamed-substitution transposed kernel
+        if eligible and x_clips_off and B % 8 == 0:
+            # arbitrary LUT scoring (BLOSUM/PAM/callable): streamed
+            # packed-subs transposed kernels
             from rust_bio_tpu.ops import sw_pallas  # noqa: F401
 
-            return _align_batch_device_global_lut(
+            fn = (
+                _align_batch_device_global_lut
+                if is_global
+                else _align_batch_device_semiglobal_lut
+            )
+            return fn(
                 jnp.asarray(xb),
                 jnp.asarray(yb),
                 jnp.asarray(mlens),

@@ -1189,3 +1189,238 @@ def scan_global_pallas_subs(subs2_nmb, mlens, nlens, pens6):
     )
     tb_cols, score, tbk = out
     return score[0], tb_cols, jnp.transpose(tbk, (1, 0))
+
+
+def _kernel_scan_semiglobal_subs(
+    pen_ref,
+    subs_ref,  # (K, M, BB) int32: subs*2 | eq
+    mlens_ref,  # (1, BB)
+    nlens_ref,  # (1, BB)
+    tb_out,  # (K, Mp1, BB) uint16
+    sf_out,
+    if_out,
+    snf_out,
+    lyf_out,
+    tbk_out,
+    S,
+    D,
+    SB,
+    I,
+    SN,
+    LY,
+    TBK,
+    R,
+):
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    go = pen_ref[0]
+    ge = pen_ref[1]
+    ma = pen_ref[2]
+    mi = pen_ref[3]
+    n_total = pen_ref[4]
+    ycp = pen_ref[5]
+    ycs = pen_ref[6]
+
+    K = tb_out.shape[0]
+    Mp1, BB = S.shape
+    rows = jax.lax.broadcasted_iota(I32, (Mp1, BB), 0)
+    row0 = rows == 0
+    row_ge1 = rows >= 1
+    mlens = mlens_ref[:]  # (1, BB)
+    nlens = nlens_ref[:]
+    in_x = row_ge1 & (rows <= mlens)
+    rge = rows * ge  # hoisted loop invariant
+    yclip_row = ycp + go + ge * (rows - 1)
+
+    @pl.when(c == 0)
+    def _init():
+        # init column j = 0 (reference custom() :597-672, x-clips disabled)
+        S0 = jnp.where(row0, 0, go + ge * (rows - 1))
+        S[:] = S0
+        D[:] = jnp.full((Mp1, BB), MIN_I32, I32)
+        I[:] = jnp.full((Mp1, BB), MIN_I32, I32)
+        sb0 = jnp.where(row0, TB_START, TB_INS)
+        SB[:] = sb0
+        ib0 = jnp.where(rows <= 1, TB_START, TB_INS)
+        TBK[:] = ib0 | (TB_START << 4) | (sb0 << 8)
+        R[:] = jnp.zeros((Mp1, BB), I32)
+        # Sn/Ly init: row0 = (ycs, nlens); rows 1..m accumulate S0 + ycs
+        SN[:] = jnp.where(row0, ycs, jnp.where(in_x, S0 + ycs, MIN_I32))
+        LY[:] = jnp.where(row0 | in_x, nlens, 0)
+
+    def column(k, st):
+        S_p, D_p, SB_p, I_p, SN_p, LY_p, TBK_p, R_p = st
+        j = (c * K + k + 1).astype(I32)
+        valid = j <= n_total
+        active = j <= nlens  # (1, BB)
+        is_last = j == nlens
+
+        packed = subs_ref[k]  # (M, BB): subs*2 | eq
+        eq = packed & 1
+        subs = packed >> 1
+
+        neg_row = jnp.full((1, BB), MIN_I32, I32)
+        m_val = jnp.concatenate([neg_row, S_p[:-1] + subs], axis=0)
+        m_bits = jnp.concatenate(
+            [jnp.full((1, BB), TB_START, I32), TB_SUBST + eq],
+            axis=0,
+        )
+
+        d_ext = D_p + ge
+        d_open = S_p + go
+        d_wins = d_ext > d_open
+        bestD = jnp.where(d_wins, d_ext, d_open)
+        d_bits = jnp.where(d_wins, TB_DEL, SB_p)
+
+        # row 0 boundary (reference :674-727): Del vs y-prefix-clip
+        d_gap = go + ge * (j - 1)
+        d_clip = ycp + go
+        del_wins0 = d_gap > d_clip
+        Dj0 = jnp.where(
+            j == 1, go, jnp.where(del_wins0, d_gap, d_clip)
+        )
+        db0 = jnp.where(
+            j == 1, TB_START,
+            jnp.where(del_wins0, TB_DEL, TB_YCLIP_PREFIX),
+        )
+        d_gt = Dj0 > ycp
+        S0j = jnp.where(d_gt, Dj0, ycp)
+        sb0 = jnp.where(d_gt, TB_DEL, TB_YCLIP_PREFIX)
+        # final column: best y-suffix accumulator may take over row 0
+        sn0 = SN_p[0:1]  # (1, BB)
+        take_sn = is_last & (sn0 > S0j)
+        S0j = jnp.where(take_sn, sn0, S0j)
+        sb0 = jnp.where(take_sn, TB_YCLIP_SUFFIX, sb0)
+        upd_sn0 = (~take_sn) & (S0j + ycs > sn0) & active
+        sn0_new = jnp.where(upd_sn0, S0j + ycs, sn0)
+        ly0_new = jnp.where(upd_sn0, nlens - j, LY_p[0:1])
+
+        bestD = jnp.where(row0, Dj0, bestD)
+        d_bits = jnp.where(row0, db0, d_bits)
+
+        s_tilde = jnp.maximum(jnp.maximum(m_val, bestD), yclip_row)
+        s_tilde = jnp.where(row0, S0j, s_tilde)
+
+        T = jnp.concatenate([neg_row, s_tilde[:-1] + go], axis=0)
+        U = T - rge
+        bestI = _cummax_rows(U) + rge
+        i_ext = jnp.concatenate([neg_row, bestI[:-1] + ge], axis=0)
+
+        # priority: Match/Subst > Ins > Del > Yclip-prefix
+        S_col = m_val
+        s_bits = m_bits
+        takeI = bestI > S_col
+        S_col = jnp.where(takeI, bestI, S_col)
+        s_bits = jnp.where(takeI, TB_INS, s_bits)
+        takeD = bestD > S_col
+        S_col = jnp.where(takeD, bestD, S_col)
+        s_bits = jnp.where(takeD, TB_DEL, s_bits)
+        takeY = yclip_row > S_col
+        S_col = jnp.where(takeY, yclip_row, S_col)
+        s_bits = jnp.where(takeY, TB_YCLIP_PREFIX, s_bits)
+        S_col = jnp.where(row0, S0j, S_col)
+        s_bits = jnp.where(row0, sb0, s_bits)
+
+        prev_sbits = jnp.concatenate(
+            [jnp.full((1, BB), TB_START, I32), s_bits[:-1]], axis=0
+        )
+        i_bits = jnp.where(i_ext > T, TB_INS, prev_sbits)
+        i_bits = jnp.where(row0, TB_START, i_bits)
+
+        # y-suffix accumulators, rows 1..m (reference :745-771)
+        upd_sn = (S_col + ycs > SN_p) & in_x & active
+        Sn_new = jnp.where(upd_sn, S_col + ycs, SN_p)
+        Ly_new = jnp.where(upd_sn, nlens - j, LY_p)
+        Sn_new = jnp.where(row0, sn0_new, Sn_new)
+        Ly_new = jnp.where(row0, ly0_new, Ly_new)
+
+        is_mm = (s_bits == TB_SUBST) | (s_bits == TB_MATCH)
+        same = s_bits == jnp.concatenate(
+            [jnp.full((1, BB), -1, I32), SB_p[:-1]], axis=0
+        )
+        r_diag = jnp.concatenate([jnp.zeros((1, BB), I32), R_p[:-1]], axis=0)
+        run = jnp.where(is_mm, 1 + jnp.where(same, r_diag, 0), 0)
+        run_nib = jnp.minimum(run, 15)
+
+        tb_col = (
+            i_bits | (d_bits << 4) | (s_bits << 8) | (run_nib << 12)
+        ).astype(jnp.uint16)
+        tb_out[k] = tb_col
+
+        keep = valid & active
+        return (
+            jnp.where(keep, S_col, S_p),
+            jnp.where(keep, bestD, D_p),
+            jnp.where(keep, s_bits, SB_p),
+            jnp.where(keep, bestI, I_p),
+            jnp.where(valid, Sn_new, SN_p),
+            jnp.where(valid, Ly_new, LY_p),
+            jnp.where(keep, tb_col.astype(I32), TBK_p),
+            jnp.where(keep, run, R_p),
+        )
+
+    st = jax.lax.fori_loop(
+        0, K, column,
+        (S[:], D[:], SB[:], I[:], SN[:], LY[:], TBK[:], R[:]),
+    )
+    S[:], D[:], SB[:], I[:], SN[:], LY[:], TBK[:], R[:] = st
+
+    @pl.when(c == n_chunks - 1)
+    def _finish():
+        sf_out[:] = S[:]
+        if_out[:] = I[:]
+        snf_out[:] = SN[:]
+        lyf_out[:] = LY[:]
+        tbk_out[:] = TBK[:]
+
+
+
+def scan_semiglobal_pallas_subs(subs2_nmb, mlens, nlens, pens6):
+    """Semiglobal-family scan from a streamed packed-subs tensor
+    (arbitrary LUT scoring; x-clips MIN by contract, y-clips dynamic).
+    Returns the same tuple as ``scan_semiglobal_pallas_mp``."""
+    N, M, B = subs2_nmb.shape
+    block_b, K = _pick_block_global(B, M, N, n_state=50, stream_bytes=4)
+    Mp1 = M + 1
+    n_chunks = -(-N // K)
+    Np = n_chunks * K
+    grid = (B // block_b, n_chunks)
+    if Np != N:
+        subs2_nmb = jnp.pad(subs2_nmb, ((0, Np - N), (0, 0), (0, 0)))
+    p6 = jnp.asarray(pens6, I32).reshape(6)
+    # pen layout mirrors the mp kernel: [go, ge, ma, mi, N, ycp, ycs]
+    pen = jnp.stack(
+        [p6[0], p6[1], jnp.int32(0), jnp.int32(0), jnp.int32(N), p6[4], p6[5]]
+    )
+    fspec = lambda: pl.BlockSpec((Mp1, block_b), lambda b, c: (0, b))
+    fshape = lambda: jax.ShapeDtypeStruct((Mp1, B), jnp.int32)
+    out = pl.pallas_call(
+        _kernel_scan_semiglobal_subs,
+        interpret=jax.default_backend() == "cpu",
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((K, M, block_b), lambda b, c: (c, 0, b)),
+            pl.BlockSpec((1, block_b), lambda b, c: (0, b)),
+            pl.BlockSpec((1, block_b), lambda b, c: (0, b)),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, Mp1, block_b), lambda b, c: (c, 0, b)),
+            fspec(), fspec(), fspec(), fspec(), fspec(),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, Mp1, B), jnp.uint16),
+            fshape(), fshape(), fshape(), fshape(), fshape(),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Mp1, block_b), jnp.int32) for _ in range(8)
+        ],
+    )(
+        pen,
+        subs2_nmb,
+        mlens.reshape(1, B),
+        nlens.reshape(1, B),
+    )
+    tb_cols, S_f, I_f, Sn_f, Ly_f, tbk = out
+    tp = lambda a: jnp.transpose(a, (1, 0))
+    return tb_cols, tp(S_f), tp(I_f), tp(Sn_f), tp(Ly_f), tp(tbk)

@@ -208,3 +208,41 @@ def test_global_lut_streamed_kernel_blosum(monkeypatch):
         want = sa.global_(x, y)
         assert got[k].score == want.score, (k, x, y)
         assert got[k].operations == want.operations, (k, x, y)
+
+
+def test_semiglobal_lut_streamed_kernel_blosum(monkeypatch):
+    """Streamed-subs semiglobal kernel with BLOSUM62 vs scalar."""
+    import random
+
+    from rust_bio_tpu.ops import sw_pallas
+    from rust_bio_tpu.alignment.pairwise.scalar import Aligner
+    from rust_bio_tpu.scores import blosum62
+
+    real_pick = sw_pallas._pick_block_global
+    monkeypatch.setattr(
+        sw_pallas, "_pick_block_global",
+        lambda B, M, N, n_state=30, stream_bytes=0: (
+            real_pick(B, M, N, n_state, stream_bytes)[0], max(1, N // 3)
+        ),
+    )
+    rng = random.Random(83)
+    sc = Scoring.new(-8, -2, blosum62)
+    ba = BatchAligner(sc)
+    sa = Aligner.with_scoring(sc)
+    aas = b"ARNDCQEGHILKMFPSTWYV"
+    xs, ys = [], []
+    for _ in range(16):
+        x = bytes(rng.choice(aas) for _ in range(rng.randint(1, 14)))
+        if rng.random() < 0.5:
+            pre = bytes(rng.choice(aas) for _ in range(rng.randint(0, 6)))
+            suf = bytes(rng.choice(aas) for _ in range(rng.randint(0, 6)))
+            y = pre + x + suf
+        else:
+            y = bytes(rng.choice(aas) for _ in range(rng.randint(1, 20)))
+        xs.append(x)
+        ys.append(y)
+    got = ba.semiglobal(xs, ys)
+    for k, (x, y) in enumerate(zip(xs, ys)):
+        want = sa.semiglobal(x, y)
+        assert got[k].score == want.score, (k, x, y)
+        assert got[k].operations == want.operations, (k, x, y)
