@@ -189,3 +189,99 @@ class BatchDiscreteHMM:
         obs, lens = self._pad(seqs)
         vals, tot = self._backward(obs, lens)
         return np.asarray(vals, np.float64), np.asarray(tot, np.float64)
+
+
+class BatchGaussianHMM(BatchDiscreteHMM):
+    """Batched inference for univariate-Gaussian emissions.
+
+    ``params``: list of (mean, std) per state; observations are float
+    sequences. Emission log-densities are computed on the fly, so the
+    discrete kernels are reused by substituting the emission lookup.
+    """
+
+    def __init__(self, transition, params, initial, end=None) -> None:
+        S = len(params)
+        super().__init__(
+            transition, np.zeros((S, 1)), initial, end
+        )  # observation table unused
+        mu = np.array([m for m, _ in params], np.float64)
+        sd = np.array([s for _, s in params], np.float64)
+        self.mu = jnp.asarray(mu, F32)
+        self.log_norm = jnp.asarray(
+            -0.5 * np.log(2 * np.pi) - np.log(sd), F32
+        )
+        self.inv2var = jnp.asarray(0.5 / (sd * sd), F32)
+
+    def _emit(self, o):
+        """(B,) float obs -> (B, S) log densities."""
+        d = o[:, None] - self.mu[None, :]
+        return self.log_norm[None, :] - d * d * self.inv2var[None, :]
+
+    @partial(jax.jit, static_argnums=0)
+    def _viterbi(self, obs, lens):
+        A, pi = self.A, self.pi
+        B, T = obs.shape
+
+        def step(carry, xs):
+            v, t = carry, xs[0]
+            e = self._emit(xs[1])
+            cand = v[:, :, None] + A[None, :, :]
+            best = jnp.max(cand, axis=1) + e
+            frm = jnp.argmax(cand, axis=1)
+            active = (t < lens)[:, None]
+            v_new = jnp.where(active, best, v)
+            return v_new, (jnp.where(active, frm, -1), v_new)
+
+        v0 = pi[None, :] + self._emit(obs[:, 0])
+        v_fin, (frms, vals) = jax.lax.scan(
+            step, v0,
+            (jnp.arange(1, T, dtype=jnp.int32), jnp.swapaxes(obs[:, 1:], 0, 1)),
+        )
+        v_end = v_fin + self.end[None, :]
+        last = jnp.argmax(v_end, axis=1)
+        prob = jnp.take_along_axis(v_end, last[:, None], 1)[:, 0]
+
+        def back(curr, xs):
+            frm, t = xs
+            prev = jnp.take_along_axis(frm, curr[:, None], axis=1)[:, 0]
+            prev = jnp.where(t < lens, prev, curr)
+            return prev, prev
+
+        _, path_rev = jax.lax.scan(
+            back, last,
+            (frms[::-1], jnp.arange(T - 1, 0, -1, dtype=jnp.int32)),
+        )
+        path = jnp.concatenate([path_rev[::-1], last[None, :]], axis=0)
+        return jnp.swapaxes(path, 0, 1), prob
+
+    @partial(jax.jit, static_argnums=0)
+    def _forward(self, obs, lens):
+        A, pi = self.A, self.pi
+        B, T = obs.shape
+
+        def step(v, xs):
+            t, o = xs
+            e = self._emit(o)
+            cand = jnp.swapaxes(v[:, :, None] + A[None, :, :], 1, 2)
+            nxt = _lse_last(cand) + e
+            v = jnp.where((t < lens)[:, None], nxt, v)
+            return v, v
+
+        v0 = pi[None, :] + self._emit(obs[:, 0])
+        v_fin, vs = jax.lax.scan(
+            step, v0,
+            (jnp.arange(1, T, dtype=jnp.int32), jnp.swapaxes(obs[:, 1:], 0, 1)),
+        )
+        tot = _lse_last(v_fin + self.end[None, :])
+        vals = jnp.concatenate([v0[None], vs], axis=0)
+        return jnp.swapaxes(vals, 0, 1), tot
+
+    def _pad(self, seqs):
+        B = len(seqs)
+        T = max(len(s) for s in seqs)
+        obs = np.zeros((B, T), np.float32)
+        lens = np.zeros(B, np.int32)
+        for i, s in enumerate(seqs):
+            obs[i, : len(s)] = np.asarray(s, np.float32)
+            lens[i] = len(s)
+        return jnp.asarray(obs), jnp.asarray(lens)

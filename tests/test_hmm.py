@@ -159,3 +159,35 @@ def test_batch_device_matches_host():
             bvals[b, T - L :], w_bvals, rtol=1e-4, atol=1e-4
         )
         assert btot[b] == pytest.approx(float(w_btot), rel=1e-4, abs=1e-4)
+
+
+def test_batch_gaussian_device_matches_host():
+    import numpy as np
+
+    from rust_bio_tpu.stats import hmm as H
+    from rust_bio_tpu.stats.hmm.device import BatchGaussianHMM
+
+    rng = np.random.default_rng(47)
+    S = 3
+    A = rng.dirichlet(np.ones(S), size=S)
+    pi = rng.dirichlet(np.ones(S))
+    params = [(0.0, 1.0), (5.0, 2.0), (-3.0, 0.5)]
+    model = H.GaussianModel.with_float(A, params, pi)
+    dev = BatchGaussianHMM(np.log(A), params, np.log(pi))
+
+    seqs = [
+        list(rng.normal(0, 4, size=int(rng.integers(1, 10))))
+        for _ in range(7)
+    ]
+    paths, vprob = dev.viterbi_batch(seqs)
+    fvals, ftot = dev.forward_batch(seqs)
+    for b, s in enumerate(seqs):
+        s32 = [float(np.float32(v)) for v in s]  # device pads in f32
+        w_path, w_prob = H.viterbi(model, s32)
+        assert paths[b, : len(s)].tolist() == w_path, (b, s)
+        assert vprob[b] == pytest.approx(float(w_prob), rel=1e-3, abs=1e-3)
+        w_fvals, w_ftot = H.forward(model, s32)
+        np.testing.assert_allclose(
+            fvals[b, : len(s)], w_fvals, rtol=1e-3, atol=1e-3
+        )
+        assert ftot[b] == pytest.approx(float(w_ftot), rel=1e-3, abs=1e-3)
