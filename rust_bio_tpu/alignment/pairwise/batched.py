@@ -964,6 +964,151 @@ def _align_batch_device_semiglobal_mp(
     return out
 
 
+def _walk_fullclip(tb_xb, tbfix, Lx_full, mlens, nlens, B, M, N):
+    """Kernel-native lockstep walk with ALL clip layers live (local/custom
+    modes): one main-cell gather + one fixed-column gather + one Lx gather
+    per step. ``tbfix`` packs Ly(i) above the 12-bit cell; ``Lx_full``
+    (B, N+1) holds per-column x-suffix clip lengths (fixups-patched at the
+    final column)."""
+    Mp1 = M + 1
+    T_steps = M + N + 8
+
+    def cond(state):
+        return (state[0] < T_steps) & ~jnp.all(state[9])
+
+    def walk_step(state):
+        (
+            t, i, j, carried, use_s, xstart, ystart, xend, yend, done,
+            buf_c, buf_l,
+        ) = state
+        cm = jnp.take_along_axis(
+            tb_xb, (j * Mp1 + i)[None, :], axis=0
+        )[0].astype(I32)
+        cf = jnp.take_along_axis(tbfix, i[:, None], axis=1)[:, 0]
+        use_fix = j == nlens
+        cell = jnp.where(use_fix, cf & 0xFFF, cm & 0xFFF)
+        ib = cell & 0xF
+        db = (cell >> 4) & 0xF
+        sb = (cell >> 8) & 0xF
+        ly = cf >> 12
+        lx = jnp.take_along_axis(Lx_full, j[:, None], axis=1)[:, 0]
+        layer = jnp.where(use_s, sb, carried)
+
+        is_ins = layer == TB_INS
+        is_del = layer == TB_DEL
+        is_mm = (layer == TB_MATCH) | (layer == TB_SUBST)
+        is_xp = layer == TB_XCLIP_PREFIX
+        is_xs = layer == TB_XCLIP_SUFFIX
+        is_yp = layer == TB_YCLIP_PREFIX
+        is_ys = layer == TB_YCLIP_SUFFIX
+        run = jnp.maximum((cm >> 12) & 0xF, 1)
+        r = jnp.where(is_mm & use_s & ~use_fix, run, 1)
+
+        op_code = jnp.where(done, 0, layer).astype(jnp.uint8)
+        op_len = jnp.where(
+            done, 0,
+            is_mm * r + is_xp * i + is_xs * lx + is_yp * j + is_ys * ly,
+        ).astype(jnp.uint16)
+        new_i = jnp.where(
+            done, i, i - (is_ins * 1 + is_mm * r + is_xs * lx + is_xp * i)
+        )
+        new_j = jnp.where(
+            done, j, j - (is_del * 1 + is_mm * r + is_ys * ly + is_yp * j)
+        )
+        xstart = jnp.where(is_xp & ~done, i, xstart)
+        xend = jnp.where(is_xs & ~done, new_i, xend)
+        ystart = jnp.where(is_yp & ~done, j, ystart)
+        yend = jnp.where(is_ys & ~done, new_j, yend)
+
+        new_done = done | (layer == TB_START)
+        next_carried = jnp.where(is_ins, ib, db)
+        next_use_s = ~(is_ins | is_del) | new_done
+        next_carried = jnp.where(new_done, TB_START, next_carried)
+        buf_c = lax.dynamic_update_slice_in_dim(
+            buf_c, op_code[None], t, axis=0
+        )
+        buf_l = lax.dynamic_update_slice_in_dim(
+            buf_l, op_len[None], t, axis=0
+        )
+        return (
+            t + 1, new_i, new_j, next_carried, next_use_s,
+            xstart, ystart, xend, yend, new_done, buf_c, buf_l,
+        )
+
+    state0 = (
+        jnp.int32(0),
+        mlens,
+        nlens,
+        jnp.full(B, TB_START, I32),
+        jnp.ones(B, bool),
+        jnp.zeros(B, I32),
+        jnp.zeros(B, I32),
+        mlens,
+        nlens,
+        jnp.zeros(B, bool),
+        jnp.zeros((T_steps, B), jnp.uint8),
+        jnp.zeros((T_steps, B), jnp.uint16),
+    )
+    (
+        _, fi, fj, _, _, xstart, ystart, xend, yend, done, op_codes, op_lens
+    ) = lax.while_loop(cond, walk_step, state0)
+    return {
+        "op_codes": op_codes,
+        "op_lens": op_lens,
+        "xstart": xstart,
+        "ystart": ystart,
+        "xend": xend,
+        "yend": yend,
+        "walk_done": done,
+    }
+
+
+@partial(jax.jit, static_argnames=("with_traceback",))
+def _align_batch_device_custom_mp(
+    xb, yb, mlens, nlens, penalties8, with_traceback: bool = True
+):
+    """General-clip MatchParams fast path (local/custom modes): the
+    transposed general kernel streams per-column Lx clip lengths, the
+    shared XLA suffix fixups run on the transposed finals, and the
+    full-clip kernel-native walk emits reference-exact operations."""
+    from rust_bio_tpu.ops.sw_pallas import scan_custom_pallas_mp
+
+    B, M = xb.shape
+    N = yb.shape[1]
+    pens = tuple(penalties8[k] for k in range(6))
+
+    tb_cols, lx_cols, S_f, I_f, Sn_f, Ly_f, tbk = scan_custom_pallas_mp(
+        xb, yb, mlens, nlens, penalties8
+    )
+    rows, row_ge1, mlens_c, is_row_m = _geometry(B, M, mlens)
+    score, tb_col_fixed, Lx_n, lx_n_set = _suffix_fixups(
+        S_f, I_f, Sn_f, tbk.astype(jnp.uint16),
+        B, M, rows, row_ge1, mlens, mlens_c, is_row_m, pens,
+    )
+    if not with_traceback:
+        return {"score": score}
+
+    *_, tb_col0, Lx0 = _init_column(
+        B, M, rows, row_ge1, mlens, nlens, mlens_c, is_row_m, pens
+    )
+    tb_xb = jnp.concatenate(
+        [jnp.transpose(tb_col0, (1, 0))[None], tb_cols], axis=0
+    ).reshape(-1, B)
+    tbfix = (tb_col_fixed.astype(I32) & 0xFFF) | (Ly_f << 12)
+    Np = tb_cols.shape[0]
+    Lx_full = jnp.concatenate(
+        [Lx0[:, None], jnp.transpose(lx_cols, (1, 0))], axis=1
+    )  # (B, Np+1)
+    bidx = jnp.arange(B)
+    Lx_full = Lx_full.at[bidx, nlens].set(
+        jnp.where(lx_n_set, Lx_n, Lx_full[bidx, nlens])
+    )
+
+    out = _walk_fullclip(tb_xb, tbfix, Lx_full, mlens, nlens, B, M, N)
+    out["score"] = score
+    return out
+
+
 def _subs2_stream(xb, yb, lut):
     """(N, M, B) packed ``subs*2 | eq`` stream for the transposed kernels,
     emitted directly in stream order by the one-hot einsum."""
@@ -1189,7 +1334,8 @@ class BatchAligner:
                     jnp.asarray(pen8),
                     with_traceback=with_traceback,
                 )
-            return _align_batch_device_mp(
+            # general clips (local/custom): transposed general kernel
+            return _align_batch_device_custom_mp(
                 jnp.asarray(xb),
                 jnp.asarray(yb),
                 jnp.asarray(mlens),

@@ -1424,3 +1424,339 @@ def scan_semiglobal_pallas_subs(subs2_nmb, mlens, nlens, pens6):
     tb_cols, S_f, I_f, Sn_f, Ly_f, tbk = out
     tp = lambda a: jnp.transpose(a, (1, 0))
     return tb_cols, tp(S_f), tp(I_f), tp(Sn_f), tp(Ly_f), tp(tbk)
+
+
+# ---------------------------------------------------------------------------
+# General-clip transposed engine (local/custom modes, MatchParams scoring)
+# ---------------------------------------------------------------------------
+#
+# The fully-general column recurrence (reference custom() :674-843) in the
+# transposed layout: all four clip penalties are live dynamic scalars, the
+# row-m suffix-clip accumulator runs as a masked reduction over the sublane
+# axis with a first-argmax for the Lx clip lengths (streamed out as an
+# extra per-column output), and Sn/Ly/I state is carried for the shared
+# XLA-side suffix fixups. Subsumes the semiglobal kernel semantically; the
+# leaner mode-specific kernels stay because dead-code elimination is worth
+# 20-40% on their modes.
+
+TB_XCLIP_PREFIX = 5
+TB_XCLIP_SUFFIX = 6
+_SENT = np.int32(-(2**31) + 1)
+
+
+def _kernel_scan_custom_mp(
+    pen_ref,
+    xt_ref,  # (M, BB) int32 symbols
+    yt_ref,  # (Np, BB) int32 symbols
+    mlens_ref,
+    nlens_ref,
+    tb_out,  # (K, Mp1, BB) uint16
+    lx_out,  # (K, BB) int32 per-column Lx
+    sf_out,
+    if_out,
+    snf_out,
+    lyf_out,
+    tbk_out,
+    S,
+    D,
+    SB,
+    I,
+    SN,
+    LY,
+    TBK,
+    R,
+):
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    go = pen_ref[0]
+    ge = pen_ref[1]
+    ma = pen_ref[2]
+    mi = pen_ref[3]
+    n_total = pen_ref[4]
+    ycp = pen_ref[5]
+    ycs = pen_ref[6]
+    xcp = pen_ref[7]
+    xcs = pen_ref[8]
+
+    K = tb_out.shape[0]
+    Mp1, BB = S.shape
+    M = Mp1 - 1
+    rows = jax.lax.broadcasted_iota(I32, (Mp1, BB), 0)
+    row0 = rows == 0
+    row_ge1 = rows >= 1
+    mlens = mlens_ref[:]  # (1, BB)
+    nlens = nlens_ref[:]
+    in_x = row_ge1 & (rows <= mlens)
+    is_row_m = (rows == mlens) & (mlens >= 1)
+    xt = xt_ref[:]
+    rge = rows * ge
+    yclip_row = ycp + go + ge * (rows - 1)
+
+    @pl.when(c == 0)
+    def _init():
+        # init column j = 0 (reference custom() :597-672, all clips live)
+        gap_i = go + ge * (rows - 1)
+        clip_i = xcp + go
+        ins_wins = gap_i > clip_i
+        I0 = jnp.where(rows == 1, go, jnp.where(ins_wins, gap_i, clip_i))
+        I0 = jnp.where(row_ge1, I0, MIN_I32)
+        ib0 = jnp.where(
+            rows == 1, TB_START,
+            jnp.where(ins_wins, TB_INS, TB_XCLIP_PREFIX),
+        )
+        ib0 = jnp.where(row_ge1, ib0, TB_START)
+        # S0 rows >= 1: priority max(MIN, I0, xcp)
+        S0 = jnp.full((Mp1, BB), MIN_I32, I32)
+        sb0 = jnp.full((Mp1, BB), TB_START, I32)
+        takeI = I0 > S0
+        S0 = jnp.where(takeI, I0, S0)
+        sb0 = jnp.where(takeI, TB_INS, sb0)
+        takeX = xcp > S0
+        S0 = jnp.where(takeX & row_ge1, xcp, S0)
+        sb0 = jnp.where(takeX & row_ge1, TB_XCLIP_PREFIX, sb0)
+        # row-m replacement: suffix-clip accumulator over rows 1..m-1
+        vals = jnp.where(
+            row_ge1 & (rows <= mlens - 1), S0 + xcs, _SENT
+        )
+        A = jnp.max(vals, axis=0, keepdims=True)  # (1, BB)
+        updA = A > MIN_I32
+        first = jnp.min(
+            jnp.where(vals == A, rows, jnp.int32(2**30)), axis=0, keepdims=True
+        )
+        S_m = jnp.where(updA, A, MIN_I32)
+        sb_m = jnp.full((1, BB), TB_XCLIP_SUFFIX, I32)
+        I0_m = jnp.max(jnp.where(is_row_m, I0, _SENT), axis=0, keepdims=True)
+        tkI = I0_m > S_m
+        S_m = jnp.where(tkI, I0_m, S_m)
+        sb_m = jnp.where(tkI, TB_INS, sb_m)
+        tkX = xcp > S_m
+        S_m = jnp.where(tkX, xcp, S_m)
+        sb_m = jnp.where(tkX, TB_XCLIP_PREFIX, sb_m)
+        S0 = jnp.where(is_row_m, S_m, S0)
+        sb0 = jnp.where(is_row_m, sb_m, sb0)
+        S0 = jnp.where(row0, 0, S0)
+        sb0 = jnp.where(row0, TB_START, sb0)
+        S[:] = S0
+        SB[:] = sb0
+        D[:] = jnp.full((Mp1, BB), MIN_I32, I32)
+        I[:] = jnp.full((Mp1, BB), MIN_I32, I32)
+        TBK[:] = ib0 | (TB_START << 4) | (sb0 << 8)
+        R[:] = jnp.zeros((Mp1, BB), I32)
+        SN[:] = jnp.where(
+            row0, ycs, jnp.where(in_x & (S0 + ycs > MIN_I32), S0 + ycs, MIN_I32)
+        )
+        LY[:] = jnp.where(row0 | (in_x & (S0 + ycs > MIN_I32)), nlens, 0)
+
+    def column(k, st):
+        S_p, D_p, SB_p, I_p, SN_p, LY_p, TBK_p, R_p = st
+        j = (c * K + k + 1).astype(I32)
+        valid = j <= n_total
+        active = j <= nlens
+        is_last = j == nlens
+
+        y_col = yt_ref[c * K + k]
+        eq = (xt == y_col[None, :]).astype(I32)
+        subs = mi + (ma - mi) * eq
+
+        neg_row = jnp.full((1, BB), MIN_I32, I32)
+        m_val = jnp.concatenate([neg_row, S_p[:-1] + subs], axis=0)
+        m_bits = jnp.concatenate(
+            [jnp.full((1, BB), TB_START, I32), TB_SUBST + eq], axis=0
+        )
+
+        d_ext = D_p + ge
+        d_open = S_p + go
+        d_wins = d_ext > d_open
+        bestD = jnp.where(d_wins, d_ext, d_open)
+        d_bits = jnp.where(d_wins, TB_DEL, SB_p)
+
+        # row 0 boundary
+        d_gap = go + ge * (j - 1)
+        d_clip = ycp + go
+        del_wins0 = d_gap > d_clip
+        Dj0 = jnp.where(j == 1, go, jnp.where(del_wins0, d_gap, d_clip))
+        db0 = jnp.where(
+            j == 1, TB_START,
+            jnp.where(del_wins0, TB_DEL, TB_YCLIP_PREFIX),
+        )
+        d_gt = Dj0 > ycp
+        S0j = jnp.where(d_gt, Dj0, ycp)
+        sb0 = jnp.where(d_gt, TB_DEL, TB_YCLIP_PREFIX)
+        sn0 = SN_p[0:1]
+        take_sn = is_last & (sn0 > S0j)
+        S0j = jnp.where(take_sn, sn0, S0j)
+        sb0 = jnp.where(take_sn, TB_YCLIP_SUFFIX, sb0)
+        upd_sn0 = (~take_sn) & (S0j + ycs > sn0) & active
+        sn0_new = jnp.where(upd_sn0, S0j + ycs, sn0)
+        ly0_new = jnp.where(upd_sn0, nlens - j, LY_p[0:1])
+
+        bestD = jnp.where(row0, Dj0, bestD)
+        d_bits = jnp.where(row0, db0, d_bits)
+
+        xclip_score = xcp + jnp.maximum(ycp, go + ge * (j - 1))  # scalar
+
+        s_tilde = jnp.maximum(jnp.maximum(m_val, bestD), yclip_row)
+        s_tilde = jnp.maximum(s_tilde, xclip_score)
+        s_tilde = jnp.where(row0, S0j, s_tilde)
+
+        T = jnp.concatenate([neg_row, s_tilde[:-1] + go], axis=0)
+        U = T - rge
+        bestI = _cummax_rows(U) + rge
+        i_ext = jnp.concatenate([neg_row, bestI[:-1] + ge], axis=0)
+
+        # priority: Match/Subst > Ins > Del > Xclip-prefix > Yclip-prefix
+        S_col = m_val
+        s_bits = m_bits
+        for cand, bits in (
+            (bestI, TB_INS),
+            (bestD, TB_DEL),
+            (jnp.broadcast_to(xclip_score, (Mp1, BB)), TB_XCLIP_PREFIX),
+            (yclip_row, TB_YCLIP_PREFIX),
+        ):
+            tk = cand > S_col
+            S_col = jnp.where(tk, cand, S_col)
+            s_bits = jnp.where(tk, bits, s_bits)
+        S_col = jnp.where(row0, S0j, S_col)
+        s_bits = jnp.where(row0, sb0, s_bits)
+
+        # row-m replacement: suffix-clip accumulator (reference :770-804)
+        vals = jnp.where(
+            row_ge1 & (rows <= mlens - 1), S_col + xcs, _SENT
+        )
+        A = jnp.max(vals, axis=0, keepdims=True)
+        updA = A > MIN_I32
+        first = jnp.min(
+            jnp.where(vals == A, rows, jnp.int32(2**30)), axis=0, keepdims=True
+        )
+        Lx_j = jnp.where(updA & active, mlens - first, 0)  # (1, BB)
+        take_m = lambda a: jnp.max(
+            jnp.where(is_row_m, a, _SENT), axis=0, keepdims=True
+        )
+        S_m = jnp.where(updA, A, MIN_I32)
+        sb_m = jnp.full((1, BB), TB_XCLIP_SUFFIX, I32)
+        for cand, bits in (
+            (take_m(m_val), take_m(m_bits)),
+            (take_m(bestI), jnp.full((1, BB), TB_INS, I32)),
+            (take_m(bestD), jnp.full((1, BB), TB_DEL, I32)),
+            (
+                jnp.broadcast_to(xclip_score, (1, BB)),
+                jnp.full((1, BB), TB_XCLIP_PREFIX, I32),
+            ),
+            (take_m(yclip_row), jnp.full((1, BB), TB_YCLIP_PREFIX, I32)),
+        ):
+            tk = cand > S_m
+            S_m = jnp.where(tk, cand, S_m)
+            sb_m = jnp.where(tk, bits, sb_m)
+        S_col = jnp.where(is_row_m, S_m, S_col)
+        s_bits = jnp.where(is_row_m, sb_m, s_bits)
+
+        prev_sbits = jnp.concatenate(
+            [jnp.full((1, BB), TB_START, I32), s_bits[:-1]], axis=0
+        )
+        i_bits = jnp.where(i_ext > T, TB_INS, prev_sbits)
+        i_bits = jnp.where(row0, TB_START, i_bits)
+
+        upd_sn = (S_col + ycs > SN_p) & in_x & active
+        Sn_new = jnp.where(upd_sn, S_col + ycs, SN_p)
+        Ly_new = jnp.where(upd_sn, nlens - j, LY_p)
+        Sn_new = jnp.where(row0, sn0_new, Sn_new)
+        Ly_new = jnp.where(row0, ly0_new, Ly_new)
+
+        is_mm = (s_bits == TB_SUBST) | (s_bits == TB_MATCH)
+        same = s_bits == jnp.concatenate(
+            [jnp.full((1, BB), -1, I32), SB_p[:-1]], axis=0
+        )
+        r_diag = jnp.concatenate([jnp.zeros((1, BB), I32), R_p[:-1]], axis=0)
+        run = jnp.where(is_mm, 1 + jnp.where(same, r_diag, 0), 0)
+        run_nib = jnp.minimum(run, 15)
+
+        tb_col = (
+            i_bits | (d_bits << 4) | (s_bits << 8) | (run_nib << 12)
+        ).astype(jnp.uint16)
+        tb_out[k] = tb_col
+        lx_out[k] = Lx_j[0]
+
+        keep = valid & active
+        return (
+            jnp.where(keep, S_col, S_p),
+            jnp.where(keep, bestD, D_p),
+            jnp.where(keep, s_bits, SB_p),
+            jnp.where(keep, bestI, I_p),
+            jnp.where(valid, Sn_new, SN_p),
+            jnp.where(valid, Ly_new, LY_p),
+            jnp.where(keep, tb_col.astype(I32), TBK_p),
+            jnp.where(keep, run, R_p),
+        )
+
+    st = jax.lax.fori_loop(
+        0, K, column,
+        (S[:], D[:], SB[:], I[:], SN[:], LY[:], TBK[:], R[:]),
+    )
+    S[:], D[:], SB[:], I[:], SN[:], LY[:], TBK[:], R[:] = st
+
+    @pl.when(c == n_chunks - 1)
+    def _finish():
+        sf_out[:] = S[:]
+        if_out[:] = I[:]
+        snf_out[:] = SN[:]
+        lyf_out[:] = LY[:]
+        tbk_out[:] = TBK[:]
+
+
+def scan_custom_pallas_mp(xb, yb, mlens, nlens, pens8):
+    """General-clip scan (MatchParams): returns (tb_cols (Np, Mp1, B) u16,
+    Lx_cols (Np, B) i32, S_f, I_f, Sn_f, Ly_f, tbk) with finals transposed
+    to the lane-major layout the XLA suffix fixups expect."""
+    B, M = xb.shape
+    N = yb.shape[1]
+    block_b, K = _pick_block_global(B, M, N, n_state=55)
+    Mp1 = M + 1
+    n_chunks = -(-N // K)
+    Np = n_chunks * K
+    grid = (B // block_b, n_chunks)
+    xt = jnp.transpose(xb.astype(I32), (1, 0))
+    yt = jnp.transpose(yb.astype(I32), (1, 0))
+    if Np != N:
+        yt = jnp.pad(yt, ((0, Np - N), (0, 0)))
+    p8 = jnp.asarray(pens8, I32).reshape(8)
+    # pens8 = (go, ge, xcp, xcs, ycp, ycs, match, mismatch)
+    pen = jnp.stack(
+        [p8[0], p8[1], p8[6], p8[7], jnp.int32(N),
+         p8[4], p8[5], p8[2], p8[3]]
+    )
+    fspec = lambda: pl.BlockSpec((Mp1, block_b), lambda b, c: (0, b))
+    fshape = lambda: jax.ShapeDtypeStruct((Mp1, B), jnp.int32)
+    out = pl.pallas_call(
+        _kernel_scan_custom_mp,
+        interpret=jax.default_backend() == "cpu",
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((M, block_b), lambda b, c: (0, b)),
+            pl.BlockSpec((Np, block_b), lambda b, c: (0, b)),
+            pl.BlockSpec((1, block_b), lambda b, c: (0, b)),
+            pl.BlockSpec((1, block_b), lambda b, c: (0, b)),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, Mp1, block_b), lambda b, c: (c, 0, b)),
+            pl.BlockSpec((K, block_b), lambda b, c: (c, b)),
+            fspec(), fspec(), fspec(), fspec(), fspec(),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, Mp1, B), jnp.uint16),
+            jax.ShapeDtypeStruct((Np, B), jnp.int32),
+            fshape(), fshape(), fshape(), fshape(), fshape(),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Mp1, block_b), jnp.int32) for _ in range(8)
+        ],
+    )(
+        pen,
+        xt,
+        yt,
+        mlens.reshape(1, B),
+        nlens.reshape(1, B),
+    )
+    tb_cols, lx_cols, S_f, I_f, Sn_f, Ly_f, tbk = out
+    tp = lambda a: jnp.transpose(a, (1, 0))
+    return tb_cols, lx_cols, tp(S_f), tp(I_f), tp(Sn_f), tp(Ly_f), tp(tbk)

@@ -246,3 +246,49 @@ def test_semiglobal_lut_streamed_kernel_blosum(monkeypatch):
         want = sa.semiglobal(x, y)
         assert got[k].score == want.score, (k, x, y)
         assert got[k].operations == want.operations, (k, x, y)
+
+
+def test_custom_transposed_kernel_random_clips(monkeypatch):
+    """General-clip transposed kernel vs scalar: random clip combos
+    including local (0,0,0,0), multi-chunk forced."""
+    import random
+
+    from rust_bio_tpu.ops import sw_pallas
+    from rust_bio_tpu.alignment.pairwise.scalar import Aligner
+    from rust_bio_tpu.alignment.pairwise.scoring import MIN_SCORE, MatchParams
+
+    real_pick = sw_pallas._pick_block_global
+    monkeypatch.setattr(
+        sw_pallas, "_pick_block_global",
+        lambda B, M, N, n_state=30, stream_bytes=0: (
+            real_pick(B, M, N, n_state, stream_bytes)[0], max(1, N // 4)
+        ),
+    )
+    rng = random.Random(97)
+    clip_choices = [MIN_SCORE, 0, -1, -7]
+    for trial in range(4):
+        go = rng.randint(-9, -1)
+        ge = rng.randint(go, 0)
+        clips = tuple(rng.choice(clip_choices) for _ in range(4))
+        if trial == 0:
+            clips = (0, 0, 0, 0)  # always cover local
+        sc = Scoring(
+            gap_open=go, gap_extend=ge, match_fn=MatchParams(2, -3),
+            xclip_prefix=clips[0], xclip_suffix=clips[1],
+            yclip_prefix=clips[2], yclip_suffix=clips[3],
+        )
+        ba = BatchAligner(sc)
+        sa = Aligner.with_scoring(sc)
+        xs = [
+            bytes(rng.choice(b"ACGT") for _ in range(rng.randint(0, 16)))
+            for _ in range(16)
+        ]
+        ys = [
+            bytes(rng.choice(b"ACGT") for _ in range(rng.randint(0, 20)))
+            for _ in range(16)
+        ]
+        got = ba.custom(xs, ys)
+        for k, (x, y) in enumerate(zip(xs, ys)):
+            want = sa.custom(x, y)
+            assert got[k].score == want.score, (trial, clips, k, x, y)
+            assert got[k].operations == want.operations, (trial, clips, k, x, y)
