@@ -1674,7 +1674,7 @@ def _kernel_scan_custom_mp(
             i_bits | (d_bits << 4) | (s_bits << 8) | (run_nib << 12)
         ).astype(jnp.uint16)
         tb_out[k] = tb_col
-        lx_out[k] = Lx_j[0]
+        lx_out[k] = Lx_j  # (1, BB) row into the (K, 1, BB) block
 
         keep = valid & active
         return (
@@ -1739,12 +1739,12 @@ def scan_custom_pallas_mp(xb, yb, mlens, nlens, pens8):
         ],
         out_specs=[
             pl.BlockSpec((K, Mp1, block_b), lambda b, c: (c, 0, b)),
-            pl.BlockSpec((K, block_b), lambda b, c: (c, b)),
+            pl.BlockSpec((K, 1, block_b), lambda b, c: (c, 0, b)),
             fspec(), fspec(), fspec(), fspec(), fspec(),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Np, Mp1, B), jnp.uint16),
-            jax.ShapeDtypeStruct((Np, B), jnp.int32),
+            jax.ShapeDtypeStruct((Np, 1, B), jnp.int32),
             fshape(), fshape(), fshape(), fshape(), fshape(),
         ],
         scratch_shapes=[
@@ -1759,4 +1759,6 @@ def scan_custom_pallas_mp(xb, yb, mlens, nlens, pens8):
     )
     tb_cols, lx_cols, S_f, I_f, Sn_f, Ly_f, tbk = out
     tp = lambda a: jnp.transpose(a, (1, 0))
-    return tb_cols, lx_cols, tp(S_f), tp(I_f), tp(Sn_f), tp(Ly_f), tp(tbk)
+    return (
+        tb_cols, lx_cols[:, 0], tp(S_f), tp(I_f), tp(Sn_f), tp(Ly_f), tp(tbk)
+    )
