@@ -292,3 +292,42 @@ def test_custom_transposed_kernel_random_clips(monkeypatch):
             want = sa.custom(x, y)
             assert got[k].score == want.score, (trial, clips, k, x, y)
             assert got[k].operations == want.operations, (trial, clips, k, x, y)
+
+
+def test_lane_major_general_engine_still_exact():
+    """The lane-major general Pallas engine (shared _column_body) is no
+    longer dispatched by default but stays as a reference implementation;
+    keep it bit-exact."""
+    import random
+
+    from rust_bio_tpu.alignment.pairwise.batched import _align_batch_device_mp
+    from rust_bio_tpu.alignment.pairwise.scalar import Aligner
+    from rust_bio_tpu.alignment.pairwise.scoring import MIN_SCORE
+
+    rng = random.Random(101)
+    sc = Scoring.from_scores(-5, -1, 2, -2)
+    sa = Aligner.with_scoring(sc)
+    B = 8
+    xs = [bytes(rng.choice(b"ACGT") for _ in range(rng.randint(1, 14))) for _ in range(B)]
+    ys = [bytes(rng.choice(b"ACGT") for _ in range(rng.randint(1, 18))) for _ in range(B)]
+    import numpy as np
+
+    M = max(len(x) for x in xs)
+    N = max(len(y) for y in ys)
+    xb = np.zeros((B, M), np.uint8)
+    yb = np.zeros((B, N), np.uint8)
+    ml = np.array([len(x) for x in xs], np.int32)
+    nl = np.array([len(y) for y in ys], np.int32)
+    for k in range(B):
+        xb[k, : ml[k]] = np.frombuffer(xs[k], np.uint8)
+        yb[k, : nl[k]] = np.frombuffer(ys[k], np.uint8)
+    pen8 = np.array([-5, -1, MIN_SCORE, MIN_SCORE, 0, 0, 2, -2], np.int32)
+    out = _align_batch_device_mp(
+        jnp.asarray(xb), jnp.asarray(yb), jnp.asarray(ml), jnp.asarray(nl),
+        jnp.asarray(pen8),
+    )
+    import numpy as _np
+
+    scores = _np.asarray(out["score"])
+    for k in range(B):
+        assert int(scores[k]) == sa.semiglobal(xs[k], ys[k]).score
