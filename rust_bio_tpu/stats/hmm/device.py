@@ -285,3 +285,84 @@ class BatchGaussianHMM(BatchDiscreteHMM):
             obs[i, : len(s)] = np.asarray(s, np.float32)
             lens[i] = len(s)
         return jnp.asarray(obs), jnp.asarray(lens)
+
+
+def baum_welch_batch(
+    model: BatchDiscreteHMM, seqs, n_iter: int = 1, vocab: Optional[int] = None
+):
+    """Multi-sequence Baum-Welch (standard extension of hmm/mod.rs:520).
+
+    E-steps run on the batched device forward/backward kernels; expected
+    counts aggregate across sequences in f64 on the host (the reference's
+    single-sequence update is the B == 1 specialization). Returns
+    (trained BatchDiscreteHMM, per-iteration total log-likelihoods).
+    """
+    A = np.asarray(model.A, np.float64)
+    Bm = np.asarray(model.Bm, np.float64)
+    pi = np.asarray(model.pi, np.float64)
+    S, V = Bm.shape
+    if vocab is not None:
+        V = vocab
+        Bm = Bm[:, :V]
+    lens = np.array([len(s) for s in seqs])
+    T = int(lens.max())
+    Bsz = len(seqs)
+    obs = np.zeros((Bsz, T), np.int64)
+    for i, s in enumerate(seqs):
+        obs[i, : len(s)] = np.asarray(s)
+    lls = []
+
+    def lse(a, axis=None):
+        with np.errstate(divide="ignore"):
+            hi = np.max(a, axis=axis, keepdims=True)
+            out = hi + np.log(np.sum(np.exp(a - hi), axis=axis, keepdims=True))
+            out = np.where(np.isfinite(hi), out, hi)
+        return np.squeeze(out, axis=axis) if axis is not None else float(out)
+
+    m = model
+    for _ in range(n_iter):
+        f, ftot = m.forward_batch(seqs)  # (B, T, S), (B,)
+        bv, _ = m.backward_batch(seqs)
+        # backward rows come in reverse time order with short lanes at the
+        # END of the padded axis (row T-1-t = time t), so one flip aligns
+        # every lane; rows t >= len are garbage and masked below
+        btab = bv[:, ::-1]
+        tmask = np.arange(T)[None, :] < lens[:, None]  # (B, T)
+        ab = f + btab  # (B, T, S)
+        probx = ftot  # (B,) total ln P(x)
+        lls.append(float(np.sum(probx)))
+        gamma = ab - probx[:, None, None]
+        gamma = np.where(tmask[:, :, None], gamma, -np.inf)
+
+        # expected transition counts: xi[b,t,j,i], t >= 1
+        with np.errstate(invalid="ignore"):
+            emis = Bm.T[obs[:, 1:]]  # (B, T-1, S): ln B[i, o_t]
+            xi = (
+                f[:, :-1, :, None]
+                + A[None, None, :, :]
+                + (btab[:, 1:, :] + emis)[:, :, None, :]
+                - probx[:, None, None, None]
+            )
+        xi = np.where(tmask[:, 1:, None, None], xi, -np.inf)
+
+        # aggregate in probability domain across sequences and time
+        trans_num = lse(xi.reshape(-1, S, S), axis=0)  # (S, S) logs
+        gamma_sum = lse(gamma.reshape(-1, S), axis=0)  # (S,)
+        last = gamma[np.arange(Bsz), lens - 1]  # (B, S) end mass
+        end_mass = lse(last, axis=0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            denom = np.log(
+                np.maximum(np.exp(gamma_sum) - np.exp(end_mass), 1e-300)
+            )
+        A_new = trans_num - denom[:, None]
+
+        obs_hat = np.full((S, V), -np.inf)
+        for v in range(V):
+            sel = np.where((obs == v)[:, :, None] & tmask[:, :, None], gamma, -np.inf)
+            obs_hat[:, v] = lse(sel.reshape(-1, S), axis=0)
+        B_new = obs_hat - gamma_sum[:, None]
+        pi_new = lse(gamma[:, 0, :], axis=0) - np.log(Bsz)
+
+        A, Bm, pi = A_new, B_new, pi_new
+        m = BatchDiscreteHMM(A, Bm, pi)
+    return m, lls

@@ -191,3 +191,44 @@ def test_batch_gaussian_device_matches_host():
             fvals[b, : len(s)], w_fvals, rtol=1e-3, atol=1e-3
         )
         assert ftot[b] == pytest.approx(float(w_ftot), rel=1e-3, abs=1e-3)
+
+
+def test_baum_welch_batch_single_seq_matches_host():
+    import numpy as np
+
+    from rust_bio_tpu.stats import hmm as H
+    from rust_bio_tpu.stats.hmm.device import BatchDiscreteHMM, baum_welch_batch
+
+    rng = np.random.default_rng(59)
+    S, V = 2, 3
+    A = rng.dirichlet(np.ones(S), size=S)
+    Bm = rng.dirichlet(np.ones(V), size=S)
+    pi = rng.dirichlet(np.ones(S))
+    model = H.DiscreteEmissionModel.with_float(A, Bm, pi)
+    seq = [0, 1, 2, 1, 0, 0, 2, 1]
+
+    pi_h, A_h, B_h, _ = H.baum_welch(model, seq)
+    dev = BatchDiscreteHMM(np.log(A), np.log(Bm), np.log(pi))
+    m2, lls = baum_welch_batch(dev, [seq], n_iter=1, vocab=V)
+    np.testing.assert_allclose(np.asarray(m2.A), A_h, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(m2.pi), pi_h, atol=2e-3)
+    # host keys emissions by distinct observed symbol (all of 0..V-1 here)
+    np.testing.assert_allclose(np.asarray(m2.Bm), B_h, atol=2e-3)
+
+
+def test_baum_welch_batch_likelihood_increases():
+    import numpy as np
+
+    from rust_bio_tpu.stats.hmm.device import BatchDiscreteHMM, baum_welch_batch
+
+    rng = np.random.default_rng(61)
+    S, V = 3, 4
+    A = rng.dirichlet(np.ones(S), size=S)
+    Bm = rng.dirichlet(np.ones(V), size=S)
+    pi = rng.dirichlet(np.ones(S))
+    seqs = [list(rng.integers(0, V, size=int(rng.integers(4, 12)))) for _ in range(6)]
+    dev = BatchDiscreteHMM(np.log(A), np.log(Bm), np.log(pi))
+    m2, lls = baum_welch_batch(dev, seqs, n_iter=4, vocab=V)
+    _, lls2 = baum_welch_batch(m2, seqs, n_iter=1, vocab=V)
+    assert lls2[0] >= lls[0] - 1e-3
+    assert all(b >= a - 1e-3 for a, b in zip(lls, lls[1:]))
