@@ -19,7 +19,7 @@ Global mode (all clips MIN_SCORE); scores equal
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

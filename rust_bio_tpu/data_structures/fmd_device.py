@@ -24,7 +24,7 @@ flagged so callers can fall back to the host path (never silently wrong).
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ the ICI collectives). On one host with N devices this runs SPMD via
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -170,7 +170,7 @@ class ShardedFMIndex:
             BackwardSearchResult,
             Interval,
         )
-        from rust_bio_tpu.data_structures.fm_device import ABSENT, COMPLETE, PARTIAL
+        from rust_bio_tpu.data_structures.fm_device import COMPLETE, PARTIAL
 
         out = []
         for i in range(B):

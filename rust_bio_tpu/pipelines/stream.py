@@ -24,7 +24,7 @@ import hashlib
 import json
 import os
 import time
-from typing import Callable, Iterable, Iterator, List, Optional
+from typing import Callable, Iterator, List, Optional
 
 from rust_bio_tpu.io import fastq
 from rust_bio_tpu.pipelines.read_mapper import MappedRead, ReadMapper
