@@ -267,3 +267,48 @@ def test_device_f64_close_to_oracle():
         # f64 device agrees with the f64 scalar oracle to near machine eps
         # (the oracle's fastexp approximation dominates the residual)
         assert got == pytest.approx(want, rel=1e-6)
+
+
+@pytest.mark.parametrize("semiglobal", [False, True])
+def test_linear_space_device_matches_oracle(semiglobal):
+    from rust_bio_tpu.stats.pairhmm.device import BatchPairHMMLinear
+
+    rng = np.random.default_rng(5)
+    B = 8
+    xs_list, ys_list = [], []
+    for _ in range(B):
+        m = int(rng.integers(3, 30))
+        n = int(rng.integers(3, 40))
+        x = rng.choice(list(b"ACGT"), size=m).astype("uint8")
+        if rng.random() < 0.5 and n >= m:
+            y = np.concatenate([x, rng.choice(list(b"ACGT"), size=n - m).astype("uint8")])
+        else:
+            y = rng.choice(list(b"ACGT"), size=n).astype("uint8")
+        xs_list.append(x)
+        ys_list.append(y)
+    M = max(len(x) for x in xs_list)
+    N = max(len(y) for y in ys_list)
+    xs = np.zeros((B, M), np.uint8)
+    ys = np.zeros((B, N), np.uint8)
+    xlens = np.array([len(x) for x in xs_list], np.int32)
+    ylens = np.array([len(y) for y in ys_list], np.int32)
+    for i in range(B):
+        xs[i, : xlens[i]] = xs_list[i]
+        ys[i, : ylens[i]] = ys_list[i]
+
+    dev = BatchPairHMMLinear(
+        prob_gap_x=math.log(PROB_ILLUMINA_INS),
+        prob_gap_y=math.log(PROB_ILLUMINA_DEL),
+        prob_gap_x_extend=float("-inf"),
+        prob_gap_y_extend=float("-inf"),
+    )
+    got = dev.prob_related_batch(
+        xs, ys, EMIT, semiglobal=semiglobal, xlens=xlens, ylens=ylens
+    )
+    mode = Semiglobal() if semiglobal else Global()
+    for b in range(B):
+        want = _prob(bytes(xs_list[b]), bytes(ys_list[b]), mode)
+        if want == float("-inf"):
+            assert got[b] < -75, b
+        else:
+            assert got[b] == pytest.approx(want, rel=2e-3, abs=2e-3), b
