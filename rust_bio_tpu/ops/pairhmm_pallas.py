@@ -71,6 +71,7 @@ def _kernel(par_ref, xt_ref, yt_ref, xl_ref, yl_ref, out_ref, FM, FX, FY, LS, AC
     FY[:] = jnp.zeros((Np1, BB), F32)
     LS[:] = jnp.zeros((1, BB), F32)
     ACC[:] = jnp.zeros((1, BB), F32)
+    Bext = jnp.full((N, BB), pge * gxe, F32)  # hoisted loop invariant
 
     def row(i, _):
         fm, fx, fy = FM[:], FX[:], FY[:]
@@ -94,8 +95,7 @@ def _kernel(par_ref, xt_ref, yt_ref, xl_ref, yl_ref, out_ref, FM, FX, FY, LS, AC
             [zero, pge * (gy * fm[1:] + gye * fx[1:])], 0
         )
         A = pge * gx * fm_new[:-1]
-        B = jnp.full((N, BB), pge * gxe, F32)
-        fy_new = jnp.concatenate([zero, _prefix_affine(A, B)], 0)
+        fy_new = jnp.concatenate([zero, _prefix_affine(A, Bext)], 0)
 
         if semiglobal:
             row_p = jnp.sum(
@@ -135,7 +135,7 @@ def _kernel(par_ref, xt_ref, yt_ref, xl_ref, yl_ref, out_ref, FM, FX, FY, LS, AC
 
 @partial(jax.jit, static_argnames=("semiglobal", "block_b"))
 def pairhmm_fwd_scaled(
-    xs, ys, xlens, ylens, params, semiglobal: bool, block_b: int = 128
+    xs, ys, xlens, ylens, params, semiglobal: bool, block_b: int = 256
 ):
     """(B,) f32 log-likelihoods. ``params``: (10,) f32 probabilities
     [no_gap, no_gap_x_ext, no_gap_y_ext, gap_x, gap_y, gap_x_ext,

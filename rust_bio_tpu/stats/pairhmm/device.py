@@ -380,7 +380,7 @@ class BatchPairHMMLinear(BatchPairHMM):
             # shared emissions: VMEM-resident Pallas kernel (pad to lanes)
             from rust_bio_tpu.ops.pairhmm_pallas import pairhmm_fwd_scaled
 
-            padb = -B % 128
+            padb = -B % 256
             xs_p = np.pad(xs, ((0, padb), (0, 0)))
             ys_p = np.pad(ys, ((0, padb), (0, 0)))
             xl_p = np.pad(xlens, (0, padb), constant_values=1)
