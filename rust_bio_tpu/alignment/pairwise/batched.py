@@ -1288,10 +1288,11 @@ class BatchAligner:
         eligible = 2 <= M < 4096 and (
             isinstance(mp, MatchParams) or x_clips_off
         )
-        if eligible and B % 8:
+        pad_unit = 128 if B > 128 else 8  # Mosaic lane-block legality
+        if eligible and B % pad_unit:
             # pad the batch to a lane-aligned multiple with 1-char dummy
             # lanes so every batch size reaches the Pallas engines
-            padb = -B % 8
+            padb = -B % pad_unit
             out = self._dispatch(
                 np.pad(xb, ((0, padb), (0, 0))),
                 np.pad(yb, ((0, padb), (0, 0))),

@@ -677,7 +677,13 @@ def _pick_block_global(
     budget = 13 * 2**20
     sub = -(-(M + 1) // 8) * 8  # sublane-padded Mp1
     best = None
-    for bb in (1024, 512, 256, 128, 64, 32, 16, 8):
+    # Mosaic lane-dim legality: a (.., bb) block needs bb % 128 == 0 OR
+    # bb == B (callers pad batches accordingly; interpret mode does not
+    # check this, the real lowering does)
+    cands = [bb for bb in (1024, 512, 256, 128) if B % bb == 0]
+    if B <= 1024:
+        cands.append(B)
+    for bb in cands:
         if B % bb:
             continue
         lanes = -(-bb // 128) * 128

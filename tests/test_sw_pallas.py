@@ -331,3 +331,35 @@ def test_lane_major_general_engine_still_exact():
     scores = _np.asarray(out["score"])
     for k in range(B):
         assert int(scores[k]) == sa.semiglobal(xs[k], ys[k]).score
+
+
+def test_pick_block_lane_legality():
+    """Every chosen batch block must satisfy the Mosaic lane rule
+    (bb % 128 == 0 or bb == B) — the real TPU lowering rejects others."""
+    from rust_bio_tpu.ops.sw_pallas import _pick_block_global
+
+    for B in (8, 16, 24, 100, 128, 136, 256, 384, 1024, 4096, 8192):
+        for M, N in ((20, 26), (150, 150), (100, 316)):
+            bb, K = _pick_block_global(B, M, N)
+            assert bb % 128 == 0 or bb == B, (B, M, N, bb)
+            assert B % bb == 0 and K >= 1
+
+
+def test_dispatch_pads_odd_large_batches():
+    """A 4056-lane batch (not 128-divisible) must still produce exact
+    results through the fast path (regression: Mosaic lane rule)."""
+    import random
+
+    from rust_bio_tpu.alignment.pairwise.scalar import Aligner
+
+    rng = random.Random(113)
+    sc = Scoring.from_scores(-5, -1, 2, -2)
+    ba = BatchAligner(sc)
+    sa = Aligner.with_scoring(sc)
+    B = 136  # > 128, not a multiple of 128
+    xs = [bytes(rng.choice(b"ACGT") for _ in range(rng.randint(1, 12))) for _ in range(B)]
+    ys = [bytes(rng.choice(b"ACGT") for _ in range(rng.randint(1, 16))) for _ in range(B)]
+    got = ba.semiglobal(xs, ys)
+    for k in (0, 64, 129, 135):
+        want = sa.semiglobal(xs[k], ys[k])
+        assert got[k].score == want.score and got[k].operations == want.operations
