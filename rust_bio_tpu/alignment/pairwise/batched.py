@@ -1285,7 +1285,11 @@ class BatchAligner:
         x_clips_off = (
             int(pen[2]) == MIN_SCORE and int(pen[3]) == MIN_SCORE
         )
-        eligible = 2 <= M < 4096 and (
+        from rust_bio_tpu.ops.sw_pallas import transposed_feasible
+
+        pad128 = B + (-B % 128) if B > 128 else B
+        fits = transposed_feasible(max(pad128, 8), M, yb.shape[1])
+        eligible = 2 <= M < 4096 and fits and (
             isinstance(mp, MatchParams) or x_clips_off
         )
         pad_unit = 128 if B > 128 else 8  # Mosaic lane-block legality
@@ -1361,6 +1365,27 @@ class BatchAligner:
                 jnp.asarray(nlens),
                 self._lut,
                 jnp.asarray(pen),
+                with_traceback=with_traceback,
+            )
+        if (
+            isinstance(mp, MatchParams)
+            and 2 <= M < 4096
+            and not fits
+            and B % 8 == 0
+        ):
+            # transposed state too big for VMEM (long reads): lane-major
+            # general Pallas engine streams per-column blocks instead
+            pen8 = np.concatenate(
+                [pen, np.array([mp.match_score, mp.mismatch_score], np.int32)]
+            )
+            from rust_bio_tpu.ops import sw_pallas  # noqa: F401
+
+            return _align_batch_device_mp(
+                jnp.asarray(xb),
+                jnp.asarray(yb),
+                jnp.asarray(mlens),
+                jnp.asarray(nlens),
+                jnp.asarray(pen8),
                 with_traceback=with_traceback,
             )
         return _align_batch_device(

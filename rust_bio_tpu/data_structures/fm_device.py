@@ -79,9 +79,11 @@ class DeviceFMIndex:
         less = np.zeros(257, dtype=np.int64)
         np.cumsum(counts[:-1], out=less[1:])
 
+        self._fused = jnp.asarray(
+            np.stack([bits.view(np.int32), ckpt], axis=-1)
+        )
         self.bits = jnp.asarray(bits)
         self.ckpt = jnp.asarray(ckpt)
-        self._refresh_fused()
         self.less = jnp.asarray(less.astype(np.int32))
         self.sym_of = jnp.asarray(sym_of)
         self.bwt_sym = jnp.asarray(sym_of[b])  # (n,) int32 symbol indices
@@ -114,15 +116,19 @@ class DeviceFMIndex:
         """(Re)build the fused (S, nwords, 2) bits|ckpt array the rank
         gather reads — one gather fetches both the packed word and its
         checkpoint count. Call after replacing bits/ckpt (sharding,
-        deserialization)."""
-        fused = jnp.stack(
-            [jax.lax.bitcast_convert_type(jnp.asarray(self.bits), I32),
-             jnp.asarray(self.ckpt)],
+        deserialization).
+
+        Packing happens in numpy when possible: eager jnp ops here would
+        remote-compile shape-specific kernels per genome (minutes through
+        the axon tunnel); a plain device transfer does not compile."""
+        packed = np.stack(
+            [np.asarray(self.bits).view(np.int32), np.asarray(self.ckpt)],
             axis=-1,
         )
-        if device_put_sharding is not None:
-            fused = jax.device_put(fused, device_put_sharding)
-        self._fused = fused
+        if device_put_sharding is None:
+            self._fused = jnp.asarray(packed)
+        else:
+            self._fused = jax.device_put(jnp.asarray(packed), device_put_sharding)
 
     def _rank(self, r, sym):
         """Batched rank: occurrences of symbol-index ``sym`` in bwt[..r+1].

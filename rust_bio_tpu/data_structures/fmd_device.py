@@ -253,11 +253,13 @@ class DeviceFMDIndex:
         max_slots: int = 32,
         max_matches: int = 16,
         host_oracle=None,
+        host_oracle_fn=None,
     ) -> List[List[Tuple[BiInterval, int, int]]]:
         """Per (pattern, position): the reference's ``smems(pattern, i, l)``.
 
         Lanes that overflow the device caps fall back to ``host_oracle``
-        (an ``FMDIndex``) when given, else raise.
+        (an ``FMDIndex``, or the lazy ``host_oracle_fn`` supplier) when
+        given, else raise.
         """
         from rust_bio_tpu.utils.text import to_array
 
@@ -284,6 +286,8 @@ class DeviceFMDIndex:
         out: List[List[Tuple[BiInterval, int, int]]] = []
         for b in range(B):
             if ovf[b]:
+                if host_oracle is None and host_oracle_fn is not None:
+                    host_oracle = host_oracle_fn()
                 assert host_oracle is not None, (
                     "device SMEM capacity overflow; pass host_oracle"
                 )

@@ -214,15 +214,26 @@ class SmemReadMapper(ReadMapper):
         alpha.insert(ord("$"))
         self.index = DeviceFMIndex(b, alpha, sa=sa, sampling_rate=sa_sampling_rate)
         self.fmd = DeviceFMDIndex(self.index)
-        alpha2 = dna.n_alphabet()
-        self.host_fmd = FMDIndex(
-            FMIndex(b, _less(b, alpha2), Occ(b, 16, alpha2))
-        )  # overflow fallback oracle
+        self._bwt = b
+        self._host_fmd = None  # overflow-fallback oracle, built lazily
         self.G = G
         self.scoring = scoring or Scoring.from_scores(-5, -1, 2, -2)
         self.aligner = BatchAligner(self.scoring)
         self.min_seed_len = min_seed_len
         self.flank = flank
+
+    @property
+    def host_fmd(self):
+        if self._host_fmd is None:
+            from rust_bio_tpu.data_structures.fmindex import FMDIndex, FMIndex
+            from rust_bio_tpu.data_structures.bwt import less as _less, Occ
+
+            alpha2 = dna.n_alphabet()
+            self._host_fmd = FMDIndex(
+                FMIndex(self._bwt, _less(self._bwt, alpha2),
+                        Occ(self._bwt, 128, alpha2))
+            )
+        return self._host_fmd
 
     def map_batch(self, reads: Sequence, ids: Optional[Sequence[str]] = None
                   ) -> List[MappedRead]:
@@ -246,7 +257,7 @@ class SmemReadMapper(ReadMapper):
                 [max(0, len(s) // frac - 1) for s in seqs],
                 self.min_seed_len,
                 max_slots=16,
-                host_oracle=self.host_fmd,
+                host_oracle_fn=lambda: self.host_fmd,
             )
             for i in pending:
                 best = None

@@ -72,7 +72,7 @@ def test_full_scan_engine_chunked_matches_scalar(monkeypatch):
     real_pick = sw_pallas._pick_block
     monkeypatch.setattr(
         sw_pallas, "_pick_block",
-        lambda B, M, N: (real_pick(B, M, N)[0], max(1, N // 3)),
+        lambda B, M, N, **kw: (real_pick(B, M, N)[0], max(1, N // 3)),
     )
 
     rng = random.Random(21)
@@ -108,7 +108,7 @@ def test_global_transposed_kernel_matches_scalar(monkeypatch, go, ge):
     real_pick = sw_pallas._pick_block_global
     monkeypatch.setattr(
         sw_pallas, "_pick_block_global",
-        lambda B, M, N: (real_pick(B, M, N)[0], max(1, N // 4)),
+        lambda B, M, N, **kw: (real_pick(B, M, N)[0], max(1, N // 4)),
     )
 
     rng = random.Random(go * 100 + ge)
@@ -141,7 +141,7 @@ def test_semiglobal_transposed_kernel_matches_scalar(monkeypatch, go, ge):
     real_pick = sw_pallas._pick_block_global
     monkeypatch.setattr(
         sw_pallas, "_pick_block_global",
-        lambda B, M, N, n_state=30: (
+        lambda B, M, N, n_state=30, **kw: (
             real_pick(B, M, N, n_state)[0], max(1, N // 4)
         ),
     )
