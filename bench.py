@@ -142,7 +142,6 @@ def main() -> None:
                 [-5, -1, MIN_SCORE, MIN_SCORE, 0, 0, 2, -2], np.int32
             )
         )
-        g = np.asarray(yb)  # reuse the 150bp refs as windows
         args = (xb, yb, mlens, nlens, pen8)
         np.asarray(_align_batch_device_semiglobal_mp(*args)["score"])
         t0 = time.perf_counter()

@@ -1311,6 +1311,7 @@ class BatchAligner:
         if (
             isinstance(mp, MatchParams)
             and 2 <= M < 4096
+            and fits
             and B % 8 == 0
         ):
             pen8 = np.concatenate(

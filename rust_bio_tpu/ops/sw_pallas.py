@@ -418,17 +418,6 @@ def _pick_block(B: int, M: int, N: int):
     return best[1], best[2]
 
 
-def transposed_feasible(B: int, M: int, N: int) -> bool:
-    """Whether the transposed engines' VMEM state fits for this shape
-    (the heaviest kernel's model); callers fall back to the lane-major
-    engine / XLA scan when not."""
-    try:
-        _pick_block_global(B, M, N, n_state=55, stream_bytes=4)
-        return True
-    except AssertionError:
-        return False
-
-
 def scan_columns_pallas_mp(
     eq_nbm,  # (N, B, M) uint8: eq[j, b, i] = (x[b,i] == y[b,j])
     S0, D0, s_bits0, Sn0, Ly0, tb_col0,

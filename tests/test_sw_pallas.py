@@ -363,3 +363,26 @@ def test_dispatch_pads_odd_large_batches():
     for k in (0, 64, 129, 135):
         want = sa.semiglobal(xs[k], ys[k])
         assert got[k].score == want.score and got[k].operations == want.operations
+
+
+def test_dispatch_long_reads_fall_back():
+    """Shapes whose transposed-engine state can't fit VMEM (M=500 at B=8 is
+    past the feasibility boundary of 424) must fall through to a working
+    engine instead of crashing (regression: MatchParams branch skipped the
+    feasibility check)."""
+    import random
+
+    from rust_bio_tpu.alignment.pairwise.scalar import Aligner
+    from rust_bio_tpu.ops.sw_pallas import transposed_feasible
+
+    rng = random.Random(7)
+    sc = Scoring.from_scores(-5, -1, 2, -2)
+    ba = BatchAligner(sc)
+    sa = Aligner.with_scoring(sc)
+    B, M = 8, 500
+    assert not transposed_feasible(B, M, M)
+    xs = [bytes(rng.choice(b"ACGT") for _ in range(M)) for _ in range(B)]
+    ys = [bytes(rng.choice(b"ACGT") for _ in range(M)) for _ in range(B)]
+    got = ba.global_(xs, ys)
+    want = sa.global_(xs[0], ys[0])
+    assert got[0].score == want.score
