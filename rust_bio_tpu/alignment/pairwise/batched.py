@@ -1198,9 +1198,10 @@ def _align_batch_device_global_lut(
     return out
 
 
-@partial(jax.jit, static_argnames=("with_traceback",))
+@partial(jax.jit, static_argnames=("with_traceback", "sweep_walk"))
 def _align_batch_device_global_mp(
-    xb, yb, mlens, nlens, penalties8, with_traceback: bool = True
+    xb, yb, mlens, nlens, penalties8, with_traceback: bool = True,
+    sweep_walk: bool = True,
 ):
     """Global-mode MatchParams fastest path: the transposed Pallas kernel
     (ops/sw_pallas.scan_global_pallas_mp) computes scores + traceback cells
@@ -1208,6 +1209,11 @@ def _align_batch_device_global_mp(
     provably dead in global mode, so the postlude is just the clip-free
     walk over the kernel-native layout (no transposes, no scatters).
     Bit-identical to the general engines (property-tested).
+
+    ``sweep_walk``: use the Pallas column-sweep walk (one sequential
+    reverse pass over the tb tensor, ops/walk_pallas.py) instead of the
+    per-step-gather XLA walk; emits the identical op sequence in
+    column-RLE form (decoded by ``_decode_ops_colrle``).
     """
     from rust_bio_tpu.ops.sw_pallas import scan_global_pallas_mp
 
@@ -1220,6 +1226,21 @@ def _align_batch_device_global_mp(
     )  # tb_cols: (Np, M+1, B), columns 1..N valid
     if not with_traceback:
         return {"score": score}
+
+    if sweep_walk:
+        from rust_bio_tpu.ops.walk_pallas import sweep_walk_global
+
+        ins_cnt, exit_op, ins0 = sweep_walk_global(tb_cols, mlens, nlens)
+        return {
+            "score": score,
+            "ins_cnt": ins_cnt,
+            "exit_op": exit_op,
+            "ins0": ins0,
+            "xstart": jnp.zeros(B, I32),
+            "ystart": jnp.zeros(B, I32),
+            "xend": mlens,
+            "yend": nlens,
+        }
 
     rows, row_ge1, mlens_c, is_row_m = _geometry(B, M, mlens)
     *_, tb_col0, _Lx0 = _init_column(
@@ -1240,6 +1261,23 @@ _OP_BY_CODE = {
     TB_MATCH: Match,
     TB_SUBST: Subst,
 }
+
+
+def _decode_ops_colrle(
+    ins_cnt: np.ndarray, exit_op: np.ndarray, ins0: int, nlen: int
+) -> List[AlignmentOperation]:
+    """Decode the column-RLE walk output of ops/walk_pallas.py (one
+    ``[Ins x cnt][exit]`` group per DP column, emitted end -> start) into
+    the start -> end op list.  Bit-identical order to the sequential walk:
+    reversed, the sequence is ``Ins*ins0`` then per column j ascending the
+    exit op followed by that column's insertion run."""
+    ops: List[AlignmentOperation] = [Ins] * int(ins0)
+    for j in range(nlen):
+        c = int(exit_op[j])
+        if c:
+            ops.append(_OP_BY_CODE[c])
+        ops.extend([Ins] * int(ins_cnt[j]))
+    return ops
 
 
 def _decode_ops(codes: np.ndarray, lens: np.ndarray) -> List[AlignmentOperation]:
@@ -1431,9 +1469,18 @@ class BatchAligner:
         out = self._dispatch(xb, yb, mlens, nlens, pen, with_traceback=True)
         out = jax.tree.map(np.asarray, out)
 
+        colrle = "ins_cnt" in out
         results = []
         for k in range(B):
-            ops = _decode_ops(out["op_codes"][:, k], out["op_lens"][:, k])
+            if colrle:
+                ops = _decode_ops_colrle(
+                    out["ins_cnt"][:, k],
+                    out["exit_op"][:, k],
+                    out["ins0"][k],
+                    int(nlens[k]),
+                )
+            else:
+                ops = _decode_ops(out["op_codes"][:, k], out["op_lens"][:, k])
             aln = Alignment(
                 score=int(out["score"][k]),
                 xstart=int(out["xstart"][k]),

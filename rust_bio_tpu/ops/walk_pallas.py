@@ -1,0 +1,253 @@
+"""Pallas TPU kernel: column-sweep traceback walk (global mode).
+
+The random-access walk (batched._walk_global) issues one device gather per
+step; at ~0.1-0.5 ms per XLA gather dispatch a 150 bp path costs ~30 ms and
+a 5 kb path several seconds. This kernel replaces random access with one
+sequential reverse pass over the traceback tensor: columns stream HBM->VMEM
+in descending order (a plain double-buffered pipeline), and every lane's
+per-column actions are resolved with vectorized column-wide ops.
+
+Key observation: within one DP column a global-mode walk emits
+``[Ins x m][one exit op]`` — a vertical insertion run (possibly spanning
+several gap opens) followed by exactly one of Match/Subst (diagonal exit),
+Del (horizontal exit) or Start (done).  The insertion-run length is a
+run-length prefix over the column's "continue in I-layer" predicate,
+computed with log-step shifted maxima; the few per-lane cell reads become
+masked reductions over the column (TPU-friendly, no scatter/gather).
+
+Outputs are per-column run-length encoded ops: ``ins_cnt[j]`` and
+``exit_op[j]`` per lane, plus the column-0 insertion tail, decoded
+host-side into the exact op sequence the reference emits (bit-identical
+order: the per-column emission order matches the sequential walk).
+
+Cells use the 12-bit layer encoding of ``alignment/pairwise/batched.py``
+(reference ``TracebackCell``, pairwise/mod.rs:1026-1047).  ``i``-layer
+cells may carry the sentinel ``TB_REREAD`` (9) meaning "the gap-open
+back-pointer is the s-bits of the cell above" — written by the block-row
+engine whose kernels cannot see across row-block boundaries; resolved here
+column-locally.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rust_bio_tpu.alignment.pairwise.scalar import (
+    TB_DEL,
+    TB_INS,
+    TB_MATCH,
+    TB_START,
+    TB_SUBST,
+)
+
+I32 = jnp.int32
+TB_REREAD = 9  # i-layer sentinel: open back-pointer = s_bits of cell above
+
+_NEGBIG = np.int32(-(2**20))
+
+
+def _gather_row(col, idx):
+    """col (X, BB) i32, idx (1, BB) i32 -> (1, BB): col[idx[b], b].
+
+    Masked sublane reduction (values must be >= 0; out-of-range idx -> -1).
+    """
+    X, BB = col.shape
+    rows = jax.lax.broadcasted_iota(I32, (X, BB), 0)
+    return jnp.max(
+        jnp.where(rows == idx, col, -1), axis=0, keepdims=True
+    )
+
+
+def _shift_down(a, fill, k: int = 1):
+    """out[r] = a[r-k]; out[:k] = fill."""
+    return jnp.concatenate(
+        [jnp.full((k, a.shape[1]), fill, a.dtype), a[:-k]], axis=0
+    )
+
+
+def _kernel_sweep_walk_global(
+    mlens_ref,  # (1, BB)
+    nlens_ref,  # (1, BB)
+    tb_ref,  # (K, X, BB) uint16 — DP columns, descending chunks
+    ins_out,  # (K, 1, BB) uint16
+    exit_out,  # (K, 1, BB) uint16
+    ins0_out,  # (1, BB) uint16 — column-0 insertion tail
+    icur,  # scratch (1, BB) i32
+    jcur,
+    carried,
+    use_s,
+    done,
+):
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+
+    K, X, BB = tb_ref.shape
+    rows_x = jax.lax.broadcasted_iota(I32, (X, BB), 0)
+
+    @pl.when(c == 0)
+    def _init():
+        icur[:] = mlens_ref[:]
+        jcur[:] = nlens_ref[:]
+        carried[:] = jnp.full((1, BB), TB_START, I32)
+        use_s[:] = jnp.ones((1, BB), I32)
+        done[:] = jnp.zeros((1, BB), I32)
+
+    # this chunk covers DP columns [base+1, base+K], processed descending
+    base = (n_chunks - 1 - c) * K
+
+    def column(kk, st):
+        i_s, j_s, ca_s, us_s, dn_s = st
+        k = K - 1 - kk  # local row in the block, descending
+        j = base + k + 1  # DP column index
+
+        at = (j_s == j) & (dn_s == 0)  # (1, BB)
+        col = tb_ref[k].astype(I32)  # (X, BB)
+        ibv = col & 0xF
+        dbv = (col >> 4) & 0xF
+        sbv = (col >> 8) & 0xF
+
+        # entry layer at (icur, j)
+        g1 = _gather_row(sbv | (dbv << 4), i_s)
+        sb_i = g1 & 0xF
+        db_i = (g1 >> 4) & 0xF
+        entry = jnp.where(us_s == 1, sb_i, ca_s)
+        is_ins = at & (entry == TB_INS)
+
+        # vertical insertion run: continue while the NEXT layer (after one
+        # Ins emission) is still Ins.  next_layer[r] = resolved open/extend
+        # pointer of cell (r, j).
+        sb_above = _shift_down(sbv, TB_START)
+        next_layer = jnp.where(ibv == TB_REREAD, sb_above, ibv)
+        cont = (next_layer == TB_INS).astype(I32)
+        # RL[r] = consecutive cont==1 ending at r  (r - last zero index)
+        z = jnp.where(cont == 0, rows_x, _NEGBIG)
+        k_step = 1
+        lz = z
+        while k_step < X:
+            lz = jnp.maximum(lz, _shift_down(lz, _NEGBIG, k_step))
+            k_step *= 2
+        rl = jnp.where(cont == 1, rows_x - lz, 0)
+
+        m = jnp.where(is_ins, _gather_row(rl, i_s), 0)
+        ins_cnt = jnp.where(is_ins, m + 1, 0)
+
+        # packed read at row (icur - m): after-run layer and the del bits
+        # of the row below it (i2 = icur - m - 1)
+        g2 = _gather_row(next_layer | (_shift_down(dbv, 0) << 4), i_s - m)
+        layer2 = jnp.where(is_ins, g2 & 0xF, entry)
+        db2 = jnp.where(is_ins, (g2 >> 4) & 0xF, db_i)
+        i2 = jnp.where(is_ins, i_s - m - 1, i_s)
+
+        is_mm = (layer2 == TB_MATCH) | (layer2 == TB_SUBST)
+        is_del = layer2 == TB_DEL
+        finish = at & (layer2 == TB_START)
+        exit_code = jnp.where(at & (is_mm | is_del), layer2, 0)
+
+        ins_out[k] = ins_cnt.astype(jnp.uint16)
+        exit_out[k] = exit_code.astype(jnp.uint16)
+
+        new_i = jnp.where(at & is_mm, i2 - 1, jnp.where(at & is_del, i2, i_s))
+        new_j = jnp.where(at & (is_mm | is_del), j - 1, j_s)
+        new_ca = jnp.where(at & is_del, db2, ca_s)
+        new_us = jnp.where(
+            at, jnp.where(is_mm, 1, 0), us_s
+        )
+        new_dn = jnp.where(finish, 1, dn_s)
+        return new_i, new_j, new_ca, new_us, new_dn
+
+    st = jax.lax.fori_loop(
+        0, K, column, (icur[:], jcur[:], carried[:], use_s[:], done[:])
+    )
+    icur[:], jcur[:], carried[:], use_s[:], done[:] = st
+
+    @pl.when(c == n_chunks - 1)
+    def _column0():
+        # column 0 is the analytic init column: s_bits = Ins (i >= 1) /
+        # Start (i = 0); a lane arriving here emits icur Ins then Start.
+        # (pairwise/mod.rs:597-672 with clips disabled)
+        live = done[:] == 0
+        ins0_out[:] = jnp.where(live, icur[:], 0).astype(jnp.uint16)
+
+
+def _pick_block_walk(B: int, X: int, N: int):
+    """(block_b, K): maximize the streamed tb block under the VMEM budget."""
+    budget = 11 * 2**20
+    Xp = -(-X // 8) * 8
+    best = None
+    cands = [bb for bb in (1024, 512, 256, 128) if B % bb == 0]
+    if B <= 1024:
+        cands.append(B)
+    for bb in cands:
+        lanes = -(-bb // 128) * 128
+        # ~10 live (X, bb) i32 column temporaries + small state
+        fixed = 10 * Xp * lanes * 4
+        perk = 2 * Xp * lanes * 2  # tb u16, double-buffered
+        if budget - fixed < perk:
+            continue
+        K = min(N, (budget - fixed) // perk)
+        steps = (B // bb) * -(-N // K)
+        if best is None or steps < best[0] or (
+            steps == best[0] and bb > best[1]
+        ):
+            best = (steps, bb, K)
+    assert best is not None, f"no feasible walk block for B={B} X={X} N={N}"
+    return best[1], best[2]
+
+
+def sweep_walk_global(tb_cols, mlens, nlens):
+    """Reverse column-sweep walk over a global-mode traceback tensor.
+
+    ``tb_cols``: (Np, X, B) uint16, DP column j at axis-0 row j-1 (rows of
+    axis 1 are DP rows 0..X-1; only rows <= mlens are meaningful).
+
+    Returns (ins_cnt (Np, B) u16, exit_op (Np, B) u16, ins0 (B,) u16):
+    per DP column j (1-based -> row j-1), the lane emitted ``ins_cnt`` Ins
+    ops then the single exit op (TB_MATCH/TB_SUBST/TB_DEL; 0 = lane not at
+    this column / finished), walking end -> start; ``ins0`` is the final
+    vertical run in column 0.
+    """
+    Np, X, B = tb_cols.shape
+    block_b, K = _pick_block_walk(B, X, Np)
+    n_chunks = -(-Np // K)
+    Npad = n_chunks * K
+    if Npad != Np:
+        # pad HIGH columns (processed first, no lane is ever there)
+        tb_cols = jnp.pad(tb_cols, ((0, Npad - Np), (0, 0), (0, 0)))
+    grid = (B // block_b, n_chunks)
+    out = pl.pallas_call(
+        _kernel_sweep_walk_global,
+        interpret=jax.default_backend() == "cpu",
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_b), lambda b, c: (0, b)),
+            pl.BlockSpec((1, block_b), lambda b, c: (0, b)),
+            pl.BlockSpec(
+                (K, X, block_b), lambda b, c, n=n_chunks: (n - 1 - c, 0, b)
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (K, 1, block_b), lambda b, c, n=n_chunks: (n - 1 - c, 0, b)
+            ),
+            pl.BlockSpec(
+                (K, 1, block_b), lambda b, c, n=n_chunks: (n - 1 - c, 0, b)
+            ),
+            pl.BlockSpec((1, block_b), lambda b, c: (0, b)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Npad, 1, B), jnp.uint16),
+            jax.ShapeDtypeStruct((Npad, 1, B), jnp.uint16),
+            jax.ShapeDtypeStruct((1, B), jnp.uint16),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, block_b), I32) for _ in range(5)],
+    )(
+        mlens.reshape(1, B),
+        nlens.reshape(1, B),
+        tb_cols,
+    )
+    ins_cnt, exit_op, ins0 = out
+    return ins_cnt[:Np, 0], exit_op[:Np, 0], ins0[0]

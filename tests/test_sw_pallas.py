@@ -365,6 +365,59 @@ def test_dispatch_pads_odd_large_batches():
         assert got[k].score == want.score and got[k].operations == want.operations
 
 
+def test_sweep_walk_matches_gather_walk(monkeypatch):
+    """The Pallas column-sweep walk must emit exactly the ops of the
+    per-step-gather walk (multi-chunk forced), for ragged lens."""
+    import random
+
+    import numpy as np
+
+    from rust_bio_tpu.alignment.pairwise.batched import (
+        _align_batch_device_global_mp,
+        _decode_ops,
+        _decode_ops_colrle,
+    )
+    from rust_bio_tpu.alignment.pairwise.scoring import MIN_SCORE
+    from rust_bio_tpu.ops import walk_pallas
+
+    real_pick = walk_pallas._pick_block_walk
+    monkeypatch.setattr(
+        walk_pallas, "_pick_block_walk",
+        lambda B, X, N: (real_pick(B, X, N)[0], max(1, N // 3)),
+    )
+
+    rng = random.Random(31)
+    B, M, N = 16, 21, 26
+    xb = np.zeros((B, M), np.uint8)
+    yb = np.zeros((B, N), np.uint8)
+    ml = np.zeros(B, np.int32)
+    nl = np.zeros(B, np.int32)
+    for k in range(B):
+        ml[k] = rng.randint(1, M)
+        nl[k] = rng.randint(1, N)
+        xb[k, : ml[k]] = [rng.choice(b"ACGT") for _ in range(ml[k])]
+        yb[k, : nl[k]] = [rng.choice(b"ACGT") for _ in range(nl[k])]
+    pen8 = np.array(
+        [-5, -1, MIN_SCORE, MIN_SCORE, MIN_SCORE, MIN_SCORE, 2, -2], np.int32
+    )
+    args = (
+        jnp.asarray(xb), jnp.asarray(yb), jnp.asarray(ml), jnp.asarray(nl),
+        jnp.asarray(pen8),
+    )
+    new = {k: np.asarray(v) for k, v in
+           _align_batch_device_global_mp(*args, sweep_walk=True).items()}
+    old = {k: np.asarray(v) for k, v in
+           _align_batch_device_global_mp(*args, sweep_walk=False).items()}
+    assert (new["score"] == old["score"]).all()
+    for k in range(B):
+        ops_new = _decode_ops_colrle(
+            new["ins_cnt"][:, k], new["exit_op"][:, k], new["ins0"][k],
+            int(nl[k]),
+        )
+        ops_old = _decode_ops(old["op_codes"][:, k], old["op_lens"][:, k])
+        assert ops_new == ops_old, (k, ops_new, ops_old)
+
+
 def test_dispatch_long_reads_fall_back():
     """Shapes whose transposed-engine state can't fit VMEM (M=500 at B=8 is
     past the feasibility boundary of 424) must fall through to a working
