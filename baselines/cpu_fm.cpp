@@ -1,0 +1,163 @@
+// CPU baseline: FM-index backward search with checkpointed Occ + bytecount,
+// algorithmically equivalent to the reference's hot loop (reference:
+// src/data_structures/bwt.rs:94-182 — Occ checkpoints every k rows, query =
+// checkpoint + byte count over <= k BWT bytes with the nearest-checkpoint
+// optimization for k > 64; src/data_structures/fmindex.rs:144-208 —
+// backward_search with the occ_r == 0 underflow guard).
+//
+// Used by bench.py to anchor `fm_vs_baseline`: rust-bio's own numbers were
+// measured on hardware we don't have, and cargo is not in this image, so we
+// measure an -O3 C++ twin of its inner loop on this machine's CPU instead.
+//
+// Usage: cpu_fm <text_len> <B> <L> <occ_k> <iters>  — prints queries/sec.
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <chrono>
+#include <random>
+#include <vector>
+#include <algorithm>
+
+// ---------------------------------------------------------------------------
+// index construction (build time is not measured; any correct SA works)
+// ---------------------------------------------------------------------------
+static std::vector<int64_t> suffix_array_naive(const std::vector<uint8_t>& t) {
+  std::vector<int64_t> sa(t.size());
+  for (size_t i = 0; i < t.size(); i++) sa[i] = (int64_t)i;
+  std::sort(sa.begin(), sa.end(), [&](int64_t a, int64_t b) {
+    size_t n = t.size();
+    while (a < (int64_t)n && b < (int64_t)n) {
+      if (t[a] != t[b]) return t[a] < t[b];
+      a++; b++;
+    }
+    return a == (int64_t)n;
+  });
+  return sa;
+}
+
+struct Occ {
+  // checkpoints every k rows per symbol byte: occ[a][i] = count of a in
+  // bwt[0 .. i*k)
+  int k;
+  std::vector<std::vector<uint32_t>> table;  // [256][n/k + 1]
+  const uint8_t* bwt;
+  int64_t n;
+
+  void build(const std::vector<uint8_t>& b, int k_) {
+    k = k_;
+    n = (int64_t)b.size();
+    bwt = b.data();
+    int64_t ncp = n / k + 1;
+    table.assign(256, std::vector<uint32_t>(ncp, 0));
+    std::vector<uint32_t> cur(256, 0);
+    for (int64_t i = 0; i < n; i++) {
+      if (i % k == 0) {
+        int64_t cp = i / k;
+        for (int a = 0; a < 256; a++) table[a][cp] = cur[a];
+      }
+      cur[b[i]]++;
+    }
+  }
+
+  // count of symbol a in bwt[0 ..= r] (bwt.rs:129-182): nearest checkpoint,
+  // counting forward from the one at/below r or backward from the one above
+  inline uint32_t get(int64_t r, uint8_t a) const {
+    int64_t cp = r / k;
+    int64_t lo = cp * k;
+    int64_t hi = lo + k;  // next checkpoint row (may be past n)
+    if (r - lo < hi - 1 - r || hi >= n) {
+      uint32_t c = table[a][cp];
+      const uint8_t* p = bwt + lo;
+      for (int64_t i = lo; i <= r; i++) c += (*p++ == a);
+      return c;
+    }
+    uint32_t c = table[a][cp + 1];
+    const uint8_t* p = bwt + r + 1;
+    uint32_t sub = 0;
+    for (int64_t i = r + 1; i < hi; i++) sub += (*p++ == a);
+    return c - sub;
+  }
+};
+
+struct FM {
+  std::vector<uint8_t> bwt;
+  std::vector<int64_t> less;  // [257]
+  Occ occ;
+
+  void build(const std::vector<uint8_t>& text, int occ_k) {
+    auto sa = suffix_array_naive(text);
+    int64_t n = (int64_t)text.size();
+    bwt.resize(n);
+    for (int64_t i = 0; i < n; i++)
+      bwt[i] = text[(sa[i] + n - 1) % n];
+    less.assign(257, 0);
+    int64_t counts[256] = {0};
+    for (uint8_t c : text) counts[c]++;
+    for (int a = 1; a <= 256; a++) less[a] = less[a - 1] + counts[a - 1];
+    occ.build(bwt, occ_k);
+  }
+
+  // returns matched length (== plen iff complete); replicates
+  // fmindex.rs:144-208 incl. the occ_r == 0 guard
+  inline int backward_search(const uint8_t* pat, int plen,
+                             int64_t* out_l, int64_t* out_r) const {
+    int64_t l = 0, r = (int64_t)bwt.size() - 1;
+    int matched = 0;
+    for (int i = plen - 1; i >= 0; i--) {
+      uint8_t a = pat[i];
+      uint32_t occ_r = occ.get(r, a);
+      if (occ_r == 0) break;  // underflow guard (issue #606)
+      int64_t l2 = less[a] + (l > 0 ? (int64_t)occ.get(l - 1, a) : 0);
+      int64_t r2 = less[a] + (int64_t)occ_r - 1;
+      if (l2 > r2) break;
+      l = l2; r = r2; matched++;
+    }
+    *out_l = l; *out_r = r;
+    return matched;
+  }
+};
+
+int main(int argc, char** argv) {
+  int64_t text_len = argc > 1 ? atoll(argv[1]) : 100000;
+  int B = argc > 2 ? atoi(argv[2]) : 65536;
+  int L = argc > 3 ? atoi(argv[3]) : 20;
+  int occ_k = argc > 4 ? atoi(argv[4]) : 128;
+  int iters = argc > 5 ? atoi(argv[5]) : 3;
+
+  std::mt19937_64 rng(11);
+  const char ACGT[] = "ACGT";
+  std::vector<uint8_t> text(text_len + 1);
+  for (int64_t i = 0; i < text_len; i++) text[i] = ACGT[rng() & 3];
+  text[text_len] = '$';
+
+  FM fm;
+  fm.build(text, occ_k);
+
+  // patterns: existing substrings (all complete), same regime as bench.py
+  std::vector<uint8_t> pats((size_t)B * L);
+  for (int b = 0; b < B; b++) {
+    int64_t s = (int64_t)(rng() % (text_len - L - 1));
+    memcpy(&pats[(size_t)b * L], &text[s], L);
+  }
+
+  volatile int64_t sink = 0;
+  // warmup
+  for (int b = 0; b < B; b++) {
+    int64_t l, r;
+    sink += fm.backward_search(&pats[(size_t)b * L], L, &l, &r);
+  }
+  double best = 1e100;
+  for (int it = 0; it < iters; it++) {
+    auto t0 = std::chrono::steady_clock::now();
+    for (int b = 0; b < B; b++) {
+      int64_t l, r;
+      sink += fm.backward_search(&pats[(size_t)b * L], L, &l, &r) + l + r;
+    }
+    double dt = std::chrono::duration<double>(
+        std::chrono::steady_clock::now() - t0).count();
+    best = std::min(best, dt);
+  }
+  printf("%.2f\n", B / best);
+  return (int)(sink & 1);
+}

@@ -1255,6 +1255,41 @@ def _align_batch_device_global_mp(
     return out
 
 
+@partial(jax.jit, static_argnames=("with_traceback",))
+def _align_batch_device_global_rows_mp(
+    xb, yb, mlens, nlens, penalties8, with_traceback: bool = True
+):
+    """Global-mode long-sequence path: the block-row Pallas engine
+    (ops/sw_pallas.scan_global_rows_pallas_mp) tiles DP rows into RB-row
+    blocks with carried per-column boundaries, so M far beyond the
+    single-block VMEM cap stays on Pallas; traceback via the column-sweep
+    walk (whole columns are visible there, so the TB_REREAD open
+    back-pointers written at block seams resolve exactly).
+    Bit-identical to the single-block global engine (property-tested).
+    """
+    from rust_bio_tpu.ops.sw_pallas import scan_global_rows_pallas_mp
+    from rust_bio_tpu.ops.walk_pallas import sweep_walk_global
+
+    B, M = xb.shape
+    score, tb_cols, _RRB = scan_global_rows_pallas_mp(
+        xb, yb, mlens, nlens, penalties8
+    )  # tb_cols: (Np, RRB, B)
+    if not with_traceback:
+        return {"score": score}
+
+    ins_cnt, exit_op, ins0 = sweep_walk_global(tb_cols, mlens, nlens)
+    return {
+        "score": score,
+        "ins_cnt": ins_cnt,
+        "exit_op": exit_op,
+        "ins0": ins0,
+        "xstart": jnp.zeros(B, I32),
+        "ystart": jnp.zeros(B, I32),
+        "xend": mlens,
+        "yend": nlens,
+    }
+
+
 _OP_BY_CODE = {
     TB_INS: Ins,
     TB_DEL: Del,
@@ -1323,15 +1358,27 @@ class BatchAligner:
         x_clips_off = (
             int(pen[2]) == MIN_SCORE and int(pen[3]) == MIN_SCORE
         )
-        from rust_bio_tpu.ops.sw_pallas import transposed_feasible
+        from rust_bio_tpu.ops.sw_pallas import (
+            rows_feasible,
+            transposed_feasible,
+        )
 
         pad128 = B + (-B % 128) if B > 128 else B
         fits = transposed_feasible(max(pad128, 8), M, yb.shape[1])
         eligible = 2 <= M < 4096 and fits and (
             isinstance(mp, MatchParams) or x_clips_off
         )
+        # long sequences: the block-row engine (global only) keeps M far
+        # beyond the single-block VMEM cap on Pallas
+        rows_ok = (
+            isinstance(mp, MatchParams)
+            and is_global
+            and M >= 2
+            and not fits
+            and rows_feasible(max(pad128, 8), M, yb.shape[1])
+        )
         pad_unit = 128 if B > 128 else 8  # Mosaic lane-block legality
-        if eligible and B % pad_unit:
+        if (eligible or rows_ok) and B % pad_unit:
             # pad the batch to a lane-aligned multiple with 1-char dummy
             # lanes so every batch size reaches the Pallas engines
             padb = -B % pad_unit
@@ -1404,6 +1451,18 @@ class BatchAligner:
                 jnp.asarray(nlens),
                 self._lut,
                 jnp.asarray(pen),
+                with_traceback=with_traceback,
+            )
+        if rows_ok and B % pad_unit == 0:
+            pen8 = np.concatenate(
+                [pen, np.array([mp.match_score, mp.mismatch_score], np.int32)]
+            )
+            return _align_batch_device_global_rows_mp(
+                jnp.asarray(xb),
+                jnp.asarray(yb),
+                jnp.asarray(mlens),
+                jnp.asarray(nlens),
+                jnp.asarray(pen8),
                 with_traceback=with_traceback,
             )
         if (

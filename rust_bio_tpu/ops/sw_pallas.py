@@ -1779,3 +1779,257 @@ def scan_custom_pallas_mp(xb, yb, mlens, nlens, pens8):
     return (
         tb_cols, lx_cols[:, 0], tp(S_f), tp(I_f), tp(Sn_f), tp(Ly_f), tp(tbk)
     )
+
+
+# ---------------------------------------------------------------------------
+# Block-row long-sequence global engine
+# ---------------------------------------------------------------------------
+#
+# The transposed kernels above keep the whole (M+1, BB) DP state in VMEM,
+# which caps M at the low hundreds.  This engine tiles the ROW axis too:
+# grid (B/BB, R, Nc) sweeps row blocks of RB rows over all columns, carrying
+# the inter-block boundary per column in VMEM scratch — ``bndS[j]`` (the
+# boundary row's final S), ``bndI[j]`` (the insertion-scan seed
+# max(I_bot + ge, s~_bot + go)) and ``bndE[j]`` (whether the extend
+# candidate won, for the first in-block row's i-bits).  This is SURVEY §5's
+# "block-row sweeps with carried boundary columns" (the reference instead
+# scales M algorithmically, banded.rs:6-16 — same trick, re-laid-out).
+#
+# Semantics are the global mode of the reference aligner
+# (pairwise/mod.rs:925-951); first-in-block i-layer open back-pointers are
+# written as TB_REREAD (resolved by the column-sweep walk, which sees whole
+# columns).  Bit-identical to the single-block engine by property test.
+
+TB_REREAD = 9
+
+
+def _kernel_scan_global_rows_mp(
+    pen_ref,  # SMEM: [go, ge, ma, mi, N]
+    xs_ref,  # (RB, BB) i32: x symbol for DP row gi = r*RB + ii (x[gi-1])
+    yt_ref,  # (K, BB) i32 column symbols
+    mlens_ref,  # (1, BB)
+    nlens_ref,  # (1, BB)
+    tb_out,  # (K, RB, BB) uint16
+    score_out,  # (1, BB) i32
+    S,  # scratch (RB, BB) i32
+    D,
+    SB,
+    bndS,  # scratch (Np, BB) i32
+    bndI,
+    bndE,
+    carryS,  # scratch (1, BB) i32
+):
+    r = pl.program_id(1)
+    c = pl.program_id(2)
+    nc = pl.num_programs(2)
+    go = pen_ref[0]
+    ge = pen_ref[1]
+    ma = pen_ref[2]
+    mi = pen_ref[3]
+    n_total = pen_ref[4]
+
+    K, RB, BB = tb_out.shape
+    rows_loc = jax.lax.broadcasted_iota(I32, (RB, BB), 0)
+    gi = rows_loc + r * RB
+    row0 = gi == 0  # true only in block r == 0
+    rvec0 = jnp.full((1, BB), r, I32) == 0  # (1, BB) vector r == 0
+    mlens = mlens_ref[:]
+    nlens = nlens_ref[:]
+    xs = xs_ref[:]
+    rge = rows_loc * ge
+
+    @pl.when(c == 0)
+    def _init():
+        # column 0 of the global DP restricted to this row block
+        S[:] = jnp.where(row0, 0, go + ge * (gi - 1))
+        D[:] = jnp.full((RB, BB), MIN_I32, I32)
+        SB[:] = jnp.where(row0, TB_START, TB_INS)
+        # S[r*RB - 1, 0] — the boundary row's init value, feeding the
+        # first column's diagonal candidate (garbage at r == 0: masked)
+        carryS[:] = jnp.full((1, BB), go + ge * (r * RB - 2), I32)
+
+    neg_row = jnp.full((1, BB), MIN_I32, I32)
+
+    def column(k, st):
+        S_p, D_p, SB_p, pS = st
+        j = (c * K + k + 1).astype(I32)
+        idx = c * K + k  # bnd arrays are indexed by j - 1
+        valid = j <= n_total
+
+        y_col = yt_ref[k]  # (BB,)
+        eq = (xs == y_col[None, :]).astype(I32)
+        subs = mi + (ma - mi) * eq
+
+        # read old boundary values (written by block r-1) BEFORE overwriting
+        oS = bndS[idx][None, :]
+        oI = bndI[idx][None, :]
+        oE = bndE[idx][None, :]
+        seedI = jnp.where(rvec0, NEG, oI)
+
+        m_val = jnp.concatenate([pS + subs[0:1], S_p[:-1] + subs[1:]], axis=0)
+        m_bits = TB_SUBST + eq
+
+        d_ext = D_p + ge
+        d_open = S_p + go
+        d_wins = d_ext > d_open
+        bestD = jnp.where(d_wins, d_ext, d_open)
+        d_bits = jnp.where(d_wins, TB_DEL, SB_p)
+        Dj0 = go + ge * (j - 1)
+        bestD = jnp.where(row0, Dj0, bestD)
+        d_bits = jnp.where(
+            row0, jnp.where(j == 1, TB_START, TB_DEL), d_bits
+        )
+
+        s_tilde = jnp.maximum(m_val, bestD)
+        s_tilde = jnp.where(row0, Dj0, s_tilde)
+
+        # insertion prefix scan, seeded across the row-block boundary
+        T = jnp.concatenate([neg_row, s_tilde[:-1] + go], axis=0)
+        U = jnp.concatenate([seedI, s_tilde[:-1] + go - rge[1:]], axis=0)
+        bestI = _cummax_rows(U) + rge
+        i_ext = jnp.concatenate([neg_row, bestI[:-1] + ge], axis=0)
+
+        S_col = m_val
+        s_bits = m_bits
+        takeI = bestI > S_col
+        S_col = jnp.where(takeI, bestI, S_col)
+        s_bits = jnp.where(takeI, TB_INS, s_bits)
+        takeD = bestD > S_col
+        S_col = jnp.where(takeD, bestD, S_col)
+        s_bits = jnp.where(takeD, TB_DEL, s_bits)
+        S_col = jnp.where(row0, Dj0, S_col)
+        s_bits = jnp.where(row0, TB_DEL, s_bits)
+
+        prev_sbits = jnp.concatenate(
+            [jnp.full((1, BB), TB_REREAD, I32), s_bits[:-1]], axis=0
+        )
+        i_bits = jnp.where(i_ext > T, TB_INS, prev_sbits)
+        # first in-block row: extend-vs-open decision carried from above
+        row_first = rows_loc == 0
+        ib0 = jnp.where(oE == 1, TB_INS, TB_REREAD)
+        i_bits = jnp.where(
+            row_first, jnp.broadcast_to(ib0, (RB, BB)), i_bits
+        )
+        i_bits = jnp.where(row0, TB_START, i_bits)
+
+        tb_out[k] = (i_bits | (d_bits << 4) | (s_bits << 8)).astype(
+            jnp.uint16
+        )
+
+        # boundary for block r+1 (garbage past nlens: never read there)
+        last = RB - 1
+        bndS[idx] = S_col[last]
+        ext_wins = bestI[last : last + 1] + ge > s_tilde[last : last + 1] + go
+        bndI[idx] = jnp.maximum(
+            bestI[last : last + 1] + ge, s_tilde[last : last + 1] + go
+        )[0]
+        bndE[idx] = ext_wins.astype(I32)[0]
+
+        keep = valid & (j <= nlens)
+        return (
+            jnp.where(keep, S_col, S_p),
+            jnp.where(keep, bestD, D_p),
+            jnp.where(keep, s_bits, SB_p),
+            oS,
+        )
+
+    st = jax.lax.fori_loop(0, K, column, (S[:], D[:], SB[:], carryS[:]))
+    S[:], D[:], SB[:], carryS[:] = st
+
+    @pl.when(c == nc - 1)
+    def _score():
+        sc = jnp.max(jnp.where(gi == mlens, S[:], NEG), axis=0, keepdims=True)
+        prev = jnp.where(rvec0, NEG, score_out[:])
+        score_out[:] = jnp.maximum(prev, sc)
+
+
+def _pick_block_rows(B: int, M: int, N: int):
+    """(block_b, RB, K, Np) for the block-row engine's VMEM model."""
+    budget = 12 * 2**20
+    bb = 128 if B % 128 == 0 else (B if B <= 128 else 0)
+    assert bb and B % bb == 0, f"block-row engine needs B%128==0 or B<=128, got {B}"
+    lanes = 128  # physical lane padding
+    best = None
+    for RB in (512, 256, 128, 64):
+        # state (3) + column temporaries (~16) + x double-buffered (2)
+        fixed_rb = (3 + 16 + 2) * RB * lanes * 4
+        for K in (64, 48, 32, 24, 16, 8, 4):
+            Np = -(-N // K) * K
+            bnd = 3 * Np * lanes * 4
+            tb = 2 * K * RB * lanes * 2
+            y = 2 * K * lanes * 4
+            if fixed_rb + bnd + tb + y > budget:
+                continue
+            R = -(-(M + 1) // RB)
+            steps = R * (Np // K)
+            if best is None or steps < best[0]:
+                best = (steps, bb, RB, K, Np)
+    assert best is not None, f"no feasible block-row config for B={B} M={M} N={N}"
+    return best[1], best[2], best[3], best[4]
+
+
+def rows_feasible(B: int, M: int, N: int) -> bool:
+    """Whether the block-row engine's boundary scratch fits for this shape."""
+    try:
+        _pick_block_rows(B, M, N)
+        return True
+    except AssertionError:
+        return False
+
+
+def scan_global_rows_pallas_mp(xb, yb, mlens, nlens, pens8):
+    """Block-row global scan for long sequences: returns
+    (score (B,), tb_cols (Np, RRB, B) uint16, RRB) — DP rows 0..RRB-1 on
+    axis 1 (RRB = ceil((M+1)/RB)*RB >= M+1), columns 1..N on axis 0."""
+    B, M = xb.shape
+    N = yb.shape[1]
+    block_b, RB, K, Np = _pick_block_rows(B, M, N)
+    R = -(-(M + 1) // RB)
+    RRB = R * RB
+    nc = Np // K
+    grid = (B // block_b, R, nc)
+    # xs[t] = x symbol of DP row t (x[t-1]); row 0 is never read (row0 mask)
+    xt = jnp.transpose(xb.astype(I32), (1, 0))  # (M, B)
+    xs = jnp.pad(xt, ((1, RRB - M - 1), (0, 0)))
+    yt = jnp.transpose(yb.astype(I32), (1, 0))
+    if Np != N:
+        yt = jnp.pad(yt, ((0, Np - N), (0, 0)))
+    p8 = jnp.asarray(pens8, I32).reshape(8)
+    pen = jnp.stack([p8[0], p8[1], p8[6], p8[7], jnp.int32(N)])
+    out = pl.pallas_call(
+        _kernel_scan_global_rows_mp,
+        interpret=jax.default_backend() == "cpu",
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((RB, block_b), lambda b, r, c: (r, b)),
+            pl.BlockSpec((K, block_b), lambda b, r, c: (c, b)),
+            pl.BlockSpec((1, block_b), lambda b, r, c: (0, b)),
+            pl.BlockSpec((1, block_b), lambda b, r, c: (0, b)),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, RB, block_b), lambda b, r, c: (c, r, b)),
+            pl.BlockSpec((1, block_b), lambda b, r, c: (0, b)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, RRB, B), jnp.uint16),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((RB, block_b), jnp.int32),
+            pltpu.VMEM((RB, block_b), jnp.int32),
+            pltpu.VMEM((RB, block_b), jnp.int32),
+            pltpu.VMEM((Np, block_b), jnp.int32),
+            pltpu.VMEM((Np, block_b), jnp.int32),
+            pltpu.VMEM((Np, block_b), jnp.int32),
+            pltpu.VMEM((1, block_b), jnp.int32),
+        ],
+    )(
+        pen,
+        xs,
+        yt,
+        mlens.reshape(1, B),
+        nlens.reshape(1, B),
+    )
+    tb_cols, score = out
+    return score[0], tb_cols, RRB

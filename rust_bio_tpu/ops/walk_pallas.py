@@ -198,6 +198,27 @@ def _pick_block_walk(B: int, X: int, N: int):
     return best[1], best[2]
 
 
+def _pick_block_walk_seg(B: int, X: int, N: int, SEGR: int):
+    """(block_b, K) for the segmented walk (temporaries are SEGR-sized)."""
+    budget = 11 * 2**20
+    best = None
+    cands = [bb for bb in (512, 256, 128) if B % bb == 0]
+    if B <= 512:
+        cands.append(B)
+    for bb in cands:
+        lanes = -(-bb // 128) * 128
+        fixed = 10 * SEGR * lanes * 4
+        perk = 2 * X * lanes * 2  # tb u16, double-buffered
+        if budget - fixed < perk:
+            continue
+        K = min(N, (budget - fixed) // perk)
+        steps = (B // bb) * -(-N // K)
+        if best is None or steps < best[0]:
+            best = (steps, bb, K)
+    assert best is not None, f"no feasible seg walk for B={B} X={X} N={N}"
+    return best[1], best[2]
+
+
 def sweep_walk_global(tb_cols, mlens, nlens):
     """Reverse column-sweep walk over a global-mode traceback tensor.
 
@@ -209,8 +230,12 @@ def sweep_walk_global(tb_cols, mlens, nlens):
     ops then the single exit op (TB_MATCH/TB_SUBST/TB_DEL; 0 = lane not at
     this column / finished), walking end -> start; ``ins0`` is the final
     vertical run in column 0.
+
+    X <= 1024 uses the whole-column kernel; larger X the segmented one.
     """
     Np, X, B = tb_cols.shape
+    if X > 1024:
+        return _sweep_walk_global_seg(tb_cols, mlens, nlens)
     block_b, K = _pick_block_walk(B, X, Np)
     n_chunks = -(-Np // K)
     Npad = n_chunks * K
@@ -220,6 +245,233 @@ def sweep_walk_global(tb_cols, mlens, nlens):
     grid = (B // block_b, n_chunks)
     out = pl.pallas_call(
         _kernel_sweep_walk_global,
+        interpret=jax.default_backend() == "cpu",
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_b), lambda b, c: (0, b)),
+            pl.BlockSpec((1, block_b), lambda b, c: (0, b)),
+            pl.BlockSpec(
+                (K, X, block_b), lambda b, c, n=n_chunks: (n - 1 - c, 0, b)
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (K, 1, block_b), lambda b, c, n=n_chunks: (n - 1 - c, 0, b)
+            ),
+            pl.BlockSpec(
+                (K, 1, block_b), lambda b, c, n=n_chunks: (n - 1 - c, 0, b)
+            ),
+            pl.BlockSpec((1, block_b), lambda b, c: (0, b)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Npad, 1, B), jnp.uint16),
+            jax.ShapeDtypeStruct((Npad, 1, B), jnp.uint16),
+            jax.ShapeDtypeStruct((1, B), jnp.uint16),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, block_b), I32) for _ in range(5)],
+    )(
+        mlens.reshape(1, B),
+        nlens.reshape(1, B),
+        tb_cols,
+    )
+    ins_cnt, exit_op, ins0 = out
+    return ins_cnt[:Np, 0], exit_op[:Np, 0], ins0[0]
+
+
+# ---------------------------------------------------------------------------
+# Segmented variant for long sequences (X too large for whole-column temps)
+# ---------------------------------------------------------------------------
+#
+# Identical semantics to _kernel_sweep_walk_global, but each column is
+# processed in SEGR-row segments with carried state: the run-length chain
+# (lz/RL) carries across segment boundaries, and the per-lane cell reads
+# become accumulated masked reductions.  Two passes per column: pass A
+# resolves the entry layer + insertion-run length (and the chain-break row),
+# pass B reads the exit cell at the chain-break row.
+
+
+def _make_seg_walk_kernel(SEGR: int):
+    def kernel(
+        mlens_ref,
+        nlens_ref,
+        tb_ref,  # (K, X, BB) uint16, descending chunks
+        ins_out,
+        exit_out,
+        ins0_out,
+        icur,
+        jcur,
+        carried,
+        use_s,
+        done,
+    ):
+        c = pl.program_id(1)
+        n_chunks = pl.num_programs(1)
+        K, X, BB = tb_ref.shape
+        S_full = X // SEGR
+        assert S_full * SEGR == X
+
+        @pl.when(c == 0)
+        def _init():
+            icur[:] = mlens_ref[:]
+            jcur[:] = nlens_ref[:]
+            carried[:] = jnp.full((1, BB), TB_START, I32)
+            use_s[:] = jnp.ones((1, BB), I32)
+            done[:] = jnp.zeros((1, BB), I32)
+
+        base = (n_chunks - 1 - c) * K
+
+        def column(kk, st):
+            i_s, j_s, ca_s, us_s, dn_s = st
+            k = K - 1 - kk
+            j = base + k + 1
+            at = (j_s == j) & (dn_s == 0)
+
+            # ---- pass A: entry bits, run-length chain, chain-break row
+            def passA(s, acc):
+                g1, rl_i, lzrow_i, sb_c, lz_c = acc
+                seg = tb_ref[k, pl.ds(s * SEGR, SEGR)].astype(I32)
+                ibv = seg & 0xF
+                dbv = (seg >> 4) & 0xF
+                sbv = (seg >> 8) & 0xF
+                grow = (
+                    jax.lax.broadcasted_iota(I32, (SEGR, BB), 0) + s * SEGR
+                )
+                g1 = jnp.maximum(
+                    g1,
+                    jnp.max(
+                        jnp.where(grow == i_s, sbv | (dbv << 4), -1),
+                        axis=0,
+                        keepdims=True,
+                    ),
+                )
+                sb_above = jnp.concatenate([sb_c, sbv[:-1]], axis=0)
+                nl = jnp.where(ibv == TB_REREAD, sb_above, ibv)
+                cont = (nl == TB_INS).astype(I32)
+                z = jnp.where(cont == 0, grow, _NEGBIG)
+                kstep = 1
+                lz = z
+                while kstep < SEGR:
+                    lz = jnp.maximum(lz, _shift_down(lz, _NEGBIG, kstep))
+                    kstep *= 2
+                lzg = jnp.maximum(lz, lz_c)  # global last-zero (or -1)
+                rl = jnp.where(cont == 1, grow - lzg, 0)
+                rl_i = jnp.maximum(
+                    rl_i,
+                    jnp.max(
+                        jnp.where(grow == i_s, rl, -1), axis=0, keepdims=True
+                    ),
+                )
+                lzrow_i = jnp.maximum(
+                    lzrow_i,
+                    jnp.max(
+                        jnp.where(grow == i_s, lzg, -1), axis=0, keepdims=True
+                    ),
+                )
+                return (g1, rl_i, lzrow_i, sbv[-1:], lzg[-1:])
+
+            neg1 = jnp.full((1, BB), -1, I32)
+            g1, rl_i, lzrow_i, _, _ = jax.lax.fori_loop(
+                0,
+                S_full,
+                passA,
+                (
+                    neg1,
+                    neg1,
+                    neg1,
+                    jnp.full((1, BB), TB_START, I32),
+                    neg1,
+                ),
+            )
+            sb_i = g1 & 0xF
+            db_i = (g1 >> 4) & 0xF
+            entry = jnp.where(us_s == 1, sb_i, ca_s)
+            is_ins = at & (entry == TB_INS)
+            m = jnp.where(is_ins, rl_i, 0)
+            ins_cnt = jnp.where(is_ins, m + 1, 0)
+            g2row = lzrow_i  # == icur - m: the chain-break row
+
+            # ---- pass B: exit cell read at the chain-break row (carrying
+            # the previous segment's last sbv/dbv row across the boundary)
+            def passB(s, acc):
+                g2, sb_c, db_c = acc
+                seg = tb_ref[k, pl.ds(s * SEGR, SEGR)].astype(I32)
+                ibv = seg & 0xF
+                dbv = (seg >> 4) & 0xF
+                sbv = (seg >> 8) & 0xF
+                grow = (
+                    jax.lax.broadcasted_iota(I32, (SEGR, BB), 0) + s * SEGR
+                )
+                sb_above = jnp.concatenate([sb_c, sbv[:-1]], axis=0)
+                db_above = jnp.concatenate([db_c, dbv[:-1]], axis=0)
+                nl = jnp.where(ibv == TB_REREAD, sb_above, ibv)
+                packed = nl | (db_above << 4)
+                g2 = jnp.maximum(
+                    g2,
+                    jnp.max(
+                        jnp.where(grow == g2row, packed, -1),
+                        axis=0,
+                        keepdims=True,
+                    ),
+                )
+                return (g2, sbv[-1:], dbv[-1:])
+
+            g2, _, _ = jax.lax.fori_loop(
+                0,
+                S_full,
+                passB,
+                (
+                    neg1,
+                    jnp.full((1, BB), TB_START, I32),
+                    jnp.zeros((1, BB), I32),
+                ),
+            )
+
+            layer2 = jnp.where(is_ins, g2 & 0xF, entry)
+            db2 = jnp.where(is_ins, (g2 >> 4) & 0xF, db_i)
+            i2 = jnp.where(is_ins, i_s - m - 1, i_s)
+
+            is_mm = (layer2 == TB_MATCH) | (layer2 == TB_SUBST)
+            is_del = layer2 == TB_DEL
+            finish = at & (layer2 == TB_START)
+            exit_code = jnp.where(at & (is_mm | is_del), layer2, 0)
+
+            ins_out[k] = ins_cnt.astype(jnp.uint16)
+            exit_out[k] = exit_code.astype(jnp.uint16)
+
+            new_i = jnp.where(
+                at & is_mm, i2 - 1, jnp.where(at & is_del, i2, i_s)
+            )
+            new_j = jnp.where(at & (is_mm | is_del), j - 1, j_s)
+            new_ca = jnp.where(at & is_del, db2, ca_s)
+            new_us = jnp.where(at, jnp.where(is_mm, 1, 0), us_s)
+            new_dn = jnp.where(finish, 1, dn_s)
+            return new_i, new_j, new_ca, new_us, new_dn
+
+        st = jax.lax.fori_loop(
+            0, K, column, (icur[:], jcur[:], carried[:], use_s[:], done[:])
+        )
+        icur[:], jcur[:], carried[:], use_s[:], done[:] = st
+
+        @pl.when(c == n_chunks - 1)
+        def _column0():
+            live = done[:] == 0
+            ins0_out[:] = jnp.where(live, icur[:], 0).astype(jnp.uint16)
+
+    return kernel
+
+
+def _sweep_walk_global_seg(tb_cols, mlens, nlens):
+    """Segmented column-sweep walk for long sequences (X > 1024)."""
+    Np, X, B = tb_cols.shape
+    SEGR = next(s for s in (512, 256, 128, 64, 8) if X % s == 0)
+    block_b, K = _pick_block_walk_seg(B, X, Np, SEGR)
+    n_chunks = -(-Np // K)
+    Npad = n_chunks * K
+    if Npad != Np:
+        tb_cols = jnp.pad(tb_cols, ((0, Npad - Np), (0, 0), (0, 0)))
+    grid = (B // block_b, n_chunks)
+    out = pl.pallas_call(
+        _make_seg_walk_kernel(SEGR),
         interpret=jax.default_backend() == "cpu",
         grid=grid,
         in_specs=[

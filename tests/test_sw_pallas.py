@@ -418,6 +418,91 @@ def test_sweep_walk_matches_gather_walk(monkeypatch):
         assert ops_new == ops_old, (k, ops_new, ops_old)
 
 
+def test_block_row_engine_matches_single_block(monkeypatch):
+    """The block-row global engine (16-row blocks forced, many row seams)
+    must be bit-identical to the single-block transposed engine."""
+    import random
+
+    import numpy as np
+
+    from rust_bio_tpu.alignment.pairwise.batched import (
+        _align_batch_device_global_mp,
+        _align_batch_device_global_rows_mp,
+        _decode_ops_colrle,
+    )
+    from rust_bio_tpu.alignment.pairwise.scoring import MIN_SCORE
+    from rust_bio_tpu.ops import sw_pallas
+
+    monkeypatch.setattr(
+        sw_pallas, "_pick_block_rows",
+        lambda B, M, N: (min(B, 128), 16, 8, -(-N // 8) * 8),
+    )
+
+    rng = random.Random(77)
+    B, M, N = 8, 45, 50
+    xb = np.zeros((B, M), np.uint8)
+    yb = np.zeros((B, N), np.uint8)
+    ml = np.zeros(B, np.int32)
+    nl = np.zeros(B, np.int32)
+    for k in range(B):
+        ml[k] = rng.randint(1, M)
+        nl[k] = rng.randint(1, N)
+        xb[k, : ml[k]] = [rng.choice(b"ACGT") for _ in range(ml[k])]
+        yb[k, : nl[k]] = [rng.choice(b"ACGT") for _ in range(nl[k])]
+    pen8 = np.array(
+        [-5, -1, MIN_SCORE, MIN_SCORE, MIN_SCORE, MIN_SCORE, 2, -2], np.int32
+    )
+    args = tuple(map(jnp.asarray, (xb, yb, ml, nl, pen8)))
+    rows = {k: np.asarray(v)
+            for k, v in _align_batch_device_global_rows_mp(*args).items()}
+    ref = {k: np.asarray(v)
+           for k, v in _align_batch_device_global_mp(*args).items()}
+    assert (rows["score"] == ref["score"]).all()
+    for k in range(B):
+        o1 = _decode_ops_colrle(
+            rows["ins_cnt"][:, k], rows["exit_op"][:, k], rows["ins0"][k],
+            int(nl[k]),
+        )
+        o2 = _decode_ops_colrle(
+            ref["ins_cnt"][:, k], ref["exit_op"][:, k], ref["ins0"][k],
+            int(nl[k]),
+        )
+        assert o1 == o2, k
+
+
+def test_block_row_segmented_walk_long_sequences():
+    """Long sequences (M > 1024: segmented sweep walk, real row seams)
+    through the public dispatch, vs the scalar oracle; half the lanes are
+    high-identity mutated copies (long diagonal runs + short gaps)."""
+    import random
+
+    from rust_bio_tpu.alignment.pairwise.scalar import Aligner
+
+    rng = random.Random(13)
+    sc = Scoring.from_scores(-5, -1, 2, -2)
+    ba = BatchAligner(sc)
+    sa = Aligner.with_scoring(sc)
+    B, M = 8, 1100
+    xs, ys = [], []
+    for k in range(B):
+        x = bytes(rng.choice(b"ACGT") for _ in range(rng.randint(M // 2, M)))
+        if k % 2:
+            y = bytearray(x[: rng.randint(400, len(x))])
+            for _ in range(15):
+                p = rng.randrange(len(y))
+                y[p] = rng.choice(b"ACGT")
+            y = bytes(y)
+        else:
+            y = bytes(rng.choice(b"ACGT") for _ in range(rng.randint(400, 600)))
+        xs.append(x)
+        ys.append(y)
+    got = ba.global_(xs, ys)
+    for k in (0, 1, 2, 3):
+        want = sa.global_(xs[k], ys[k])
+        assert got[k].score == want.score, k
+        assert got[k].operations == want.operations, k
+
+
 def test_dispatch_long_reads_fall_back():
     """Shapes whose transposed-engine state can't fit VMEM (M=500 at B=8 is
     past the feasibility boundary of 424) must fall through to a working
