@@ -39,6 +39,24 @@ def _cpu_baseline_rate(B=512, M=150, N=150, iters=3) -> float:
     return float(out.stdout.strip())
 
 
+def _cpu_fm_baseline_rate(text_len=100_000, B=65536, L=20, occ_k=64, iters=3):
+    """queries/s for the C++ FM-index reference twin (bwt.rs hot loop)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "baselines", "cpu_fm.cpp")
+    exe = os.path.join(here, "baselines", "cpu_fm")
+    if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-o", exe, src], check=True
+        )
+    out = subprocess.run(
+        [exe, str(text_len), str(B), str(L), str(occ_k), str(iters)],
+        check=True,
+        capture_output=True,
+        text=True,
+    )
+    return float(out.stdout.strip().splitlines()[-1])
+
+
 def _fm_queries_per_s() -> float:
     """Secondary stat: batched FM-index backward searches per second."""
     import jax.numpy as jnp
@@ -131,6 +149,13 @@ def main() -> None:
     except Exception as e:
         print(f"fm bench failed: {e}", file=sys.stderr)
         fm_rate = None
+
+    try:
+        fm_cpu = _cpu_fm_baseline_rate()
+        fm_vs = round(fm_rate / fm_cpu, 3) if fm_rate else None
+    except Exception as e:
+        print(f"fm cpu baseline failed: {e}", file=sys.stderr)
+        fm_vs = None
 
     def _semiglobal_rate():
         from rust_bio_tpu.alignment.pairwise.batched import (

@@ -84,6 +84,18 @@ class DeviceFMIndex:
         )
         self.bits = jnp.asarray(bits)
         self.ckpt = jnp.asarray(ckpt)
+        # MXU rank path: one-hot-matmul table scan (byte-plane table is
+        # exact in bf16; one-hot rows select a single product, so the dot
+        # is bit-exact).  The per-query random gather scalarizes on TPU
+        # (~35 ns/element); for small references a dense (Q, S*Wt) @
+        # (S*Wt, 896) matmul on the MXU retrieves the checkpoint bytes and
+        # bit-plane bytes for every query at once.
+        self._mxu_swt = 0
+        nw = bits.shape[1]
+        n_present = int(np.count_nonzero(bits.any(axis=1)))
+        swt = (n_present + 1) * (-(-nw // 128))
+        if swt <= 2048 and self.n < (1 << 23):
+            self._build_mxu_tables(bits, ckpt)
         self.less = jnp.asarray(less.astype(np.int32))
         self.sym_of = jnp.asarray(sym_of)
         self.bwt_sym = jnp.asarray(sym_of[b])  # (n,) int32 symbol indices
@@ -129,6 +141,103 @@ class DeviceFMIndex:
             self._fused = jnp.asarray(packed)
         else:
             self._fused = jax.device_put(jnp.asarray(packed), device_put_sharding)
+        # (re)decide the MXU-rank path from the rebuilt tables (objects may
+        # arrive here from deserialization without going through __init__)
+        self._mxu_swt = 0
+        if device_put_sharding is None:  # sharded occ keeps the gather path
+            bits = np.asarray(self.bits)
+            n_present = int(np.count_nonzero(bits.any(axis=1)))
+            swt = (n_present + 1) * (-(-bits.shape[1] // 128))
+            if swt <= 2048 and self.n < (1 << 23):
+                self._build_mxu_tables(bits, np.asarray(self.ckpt))
+
+    def _build_mxu_tables(self, bits: np.ndarray, ckpt: np.ndarray) -> None:
+        """(Se*Wt, 7*128) bf16 byte-plane table: per word, the 3 checkpoint
+        bytes (n < 2^24) and the 4 bit-plane bytes.  Byte values are exact
+        in bf16, and one-hot rows select a single product, so the MXU
+        matmul is bit-exact at full bf16 throughput (no f32 passes).
+
+        Symbols absent from the text (their bit-plane is all zero — common
+        with the ambiguity alphabets, e.g. lowercase/N over an ACGT genome)
+        all share a single zero block-row, so Se = present + 1 and larger
+        references stay under the table-width cap."""
+        S, nw = bits.shape
+        present = bits.any(axis=1)
+        order = np.nonzero(present)[0]
+        Se = len(order) + 1  # + shared zero row for absent symbols
+        bits = np.concatenate([bits[order], np.zeros((1, nw), bits.dtype)])
+        ckpt = np.concatenate([ckpt[order], np.zeros((1, nw), ckpt.dtype)])
+        Wt = -(-nw // 128)
+        pad = Wt * 128 - nw
+        bp = np.pad(bits, ((0, 0), (0, pad)))
+        cp = np.pad(ckpt.astype(np.uint32), ((0, 0), (0, pad)))
+        self._mxu_swt = Se * Wt
+        self._mxu_wt = Wt
+        base = np.full(S, (Se - 1) * Wt, np.int32)  # absent -> zero row
+        base[order] = np.arange(len(order), dtype=np.int32) * Wt
+        self._mxu_base = jnp.asarray(base)  # (S,) row base per symbol index
+        planes = [
+            (cp >> 0) & 0xFF,
+            (cp >> 8) & 0xFF,
+            (cp >> 16) & 0xFF,
+            (bp >> 0) & 0xFF,
+            (bp >> 8) & 0xFF,
+            (bp >> 16) & 0xFF,
+            (bp >> 24) & 0xFF,
+        ]
+        self._mxu_T = jnp.asarray(
+            np.concatenate(
+                [p.reshape(Se * Wt, 128) for p in planes], axis=1
+            ).astype(jnp.bfloat16)
+        )  # (Se*Wt, 896)
+
+    def _rank_mxu(self, r, sym):
+        """MXU-rank: one-hot table scan instead of a per-query gather.
+
+        ``r`` (Q,) int32 (>= -1), ``sym`` (Q,) int32 (>= 0)."""
+        r = jnp.asarray(r, I32)
+        sym = jnp.asarray(sym, I32)
+        w = jnp.maximum(r, 0) >> 5
+        bitpos = jnp.maximum(r, 0) & 31
+        # per-symbol row base via tiny-table select (a gather would
+        # scalarize); absent symbols map to the shared zero row
+        base = jnp.zeros_like(sym)
+        for si in range(int(self._mxu_base.shape[0])):
+            base = jnp.where(sym == si, self._mxu_base[si], base)
+        row = base + (w >> 7)  # (Q,)
+        col = w & 127
+        oh = (
+            row[:, None] == jnp.arange(self._mxu_swt, dtype=I32)[None, :]
+        ).astype(jnp.bfloat16)
+        R = jax.lax.dot_general(
+            oh,
+            self._mxu_T,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Q, 896): 7 byte-planes x 128 word columns
+        Q = r.shape[0]
+        colmask = jnp.arange(128, dtype=I32)[None, None, :] == col[:, None, None]
+        vals = jnp.sum(
+            jnp.where(colmask, R.reshape(Q, 7, 128), 0.0), axis=2
+        ).astype(I32)  # (Q, 7): 3 ckpt bytes + 4 bit-plane bytes
+        ck = vals[:, 0] | (vals[:, 1] << 8) | (vals[:, 2] << 16)
+        word = jax.lax.bitcast_convert_type(
+            vals[:, 3] | (vals[:, 4] << 8) | (vals[:, 5] << 16) | (vals[:, 6] << 24),
+            jnp.uint32,
+        )
+        mask = jnp.where(
+            bitpos == 31,
+            jnp.uint32(0xFFFFFFFF),
+            (jnp.uint32(1) << (bitpos + 1).astype(jnp.uint32)) - jnp.uint32(1),
+        )
+        cnt = ck + jax.lax.population_count(word & mask).astype(I32)
+        return jnp.where(r < 0, 0, cnt)
+
+    def _rank_dispatch(self, r, sym):
+        """1-D rank through the MXU path when the table is small enough."""
+        if self._mxu_swt:
+            return self._rank_mxu(r, sym)
+        return self._rank(r, sym)
 
     def _rank(self, r, sym):
         """Batched rank: occurrences of symbol-index ``sym`` in bwt[..r+1].
@@ -164,23 +273,34 @@ class DeviceFMIndex:
         B, L = pats.shape
         n = self.n
 
-        def step(carry, t):
+        # Hoist all per-step gathers out of the scan: right-align every
+        # pattern (step t reads pattern position plens-1-t), then map
+        # bytes -> symbol index and -> less via tiny-table selects (a
+        # (256,)-table gather scalarizes at ~35 ns/lane/step on TPU).
+        t_iota = jnp.arange(L, dtype=I32)
+        pos = plens[:, None] - 1 - t_iota[None, :]  # (B, L)
+        a_cols = jnp.take_along_axis(
+            pats, jnp.maximum(pos, 0), axis=1
+        ).astype(I32)  # (B, L), one gather total
+        sym_cols = jnp.full((B, L), -1, I32)
+        less_cols = jnp.zeros((B, L), I32)
+        for si, sbyte in enumerate(self.symbols):
+            hit = a_cols == sbyte
+            sym_cols = jnp.where(hit, si, sym_cols)
+            less_cols = jnp.where(hit, self.less_sym[si], less_cols)
+
+        def step(carry, xs):
             l, r, pl, pr, mlen, complete, done = carry
-            idx = plens - 1 - t
+            t, sym, less_a = xs
             active = (t < plens) & ~done
-            a = jnp.take_along_axis(
-                pats, jnp.maximum(idx, 0)[:, None], axis=1
-            )[:, 0].astype(I32)
-            sym = self.sym_of[a]
             valid_sym = sym >= 0
-            less_a = jnp.where(valid_sym, self.less[a], 0)
 
             pl_n = jnp.where(active, l, pl)
             pr_n = jnp.where(active, r, pr)
-            # both bounds in ONE fused rank gather (per-step gathers are
-            # the cost on TPU)
+            # both bounds in ONE fused rank lookup (per-step gathers are
+            # the cost on TPU; MXU table-scan when the reference is small)
             sym_m = jnp.maximum(sym, 0)
-            occ2 = self._rank(
+            occ2 = self._rank_dispatch(
                 jnp.concatenate([r, l - 1]), jnp.concatenate([sym_m, sym_m])
             )
             occ_r = jnp.where(valid_sym, occ2[:B], 0)
@@ -209,7 +329,7 @@ class DeviceFMIndex:
             jnp.zeros(B, bool),
         )
         (l, r, pl, pr, mlen, complete, _), _ = jax.lax.scan(
-            step, init, jnp.arange(L, dtype=I32)
+            step, init, (t_iota, sym_cols.T, less_cols.T)
         )
         status = jnp.where(
             mlen > 0, jnp.where(complete, COMPLETE, PARTIAL), ABSENT
@@ -273,7 +393,7 @@ class DeviceFMIndex:
             less_v = jnp.zeros_like(pos)
             for si in range(S):  # tiny-table select, not a gather
                 less_v = jnp.where(sym == si, self.less_sym[si], less_v)
-            nxt = less_v + self._rank(pos - 1, jnp.maximum(sym, 0))
+            nxt = less_v + self._rank_dispatch(pos - 1, jnp.maximum(sym, 0))
             pos2 = jnp.where(done2, pos, nxt)
             offset2 = jnp.where(done2, offset, offset + 1)
             return pos2, offset2, done2

@@ -144,6 +144,28 @@ def test_device_occ_matches_host():
         np.testing.assert_array_equal(got, want)
 
 
+def test_mxu_rank_matches_gather_rank():
+    """The MXU one-hot-matmul rank must be bit-identical to the gather
+    rank on random (r, sym) queries (both bounds, r = -1 edge)."""
+    import numpy as np
+
+    from rust_bio_tpu.alphabets import dna
+    from rust_bio_tpu.data_structures.bwt import bwt
+    from rust_bio_tpu.data_structures.fm_device import DeviceFMIndex
+    from rust_bio_tpu.data_structures.suffix_array import suffix_array
+
+    rng = np.random.default_rng(3)
+    text = rng.choice(list(b"ACGT"), size=9000).astype(np.uint8).tobytes() + b"$"
+    idx = DeviceFMIndex(bwt(text, suffix_array(text)), dna.n_alphabet())
+    assert idx._mxu_swt > 0
+    Q = 512
+    r = rng.integers(-1, len(text), size=Q).astype(np.int32)
+    sym = rng.integers(0, len(idx.symbols), size=Q).astype(np.int32)
+    got = np.asarray(idx._rank_mxu(r, sym))
+    want = np.asarray(idx._rank(r, sym))
+    assert (got == want).all()
+
+
 def test_index_serialization_roundtrip(tmp_path):
     from rust_bio_tpu.data_structures.serialize import load_fm_index, save_fm_index
 
