@@ -190,6 +190,7 @@ def main() -> None:
                 if cpu_rate == cpu_rate
                 else None,
                 "fm_index_queries_per_s": fm_rate,
+                "fm_vs_baseline": fm_vs,
                 "semiglobal_alignments_per_s": sg_rate,
             }
         )
