@@ -140,18 +140,24 @@ def _first_argmax_acc(vals, mask):
     return best, first, updated
 
 
-def _subs_einsum(xb, yb, lut):
+def _subs_einsum(xb, yb, lut, n_syms: int = 32):
     """Substitution scores subs[b, i-1, j-1] via one-hot einsum on the MXU.
 
     A direct (256,256) LUT gather over (B, M, N) is pathologically slow on
     TPU (gathers scalarize); instead recode symbols to dense ranks over the
     symbols actually present and contract one-hot encodings against the
     compacted score table. f32 keeps i32 scores exact up to 2^24.
+
+    ``n_syms`` (static) must be >= the number of distinct bytes in the
+    batch (the dispatcher buckets it); the fill value -1 can never equal a
+    byte, so padded slots have an all-zero one-hot column.
     """
     syms = jnp.unique(
-        jnp.concatenate([xb.ravel(), yb.ravel()]), size=32, fill_value=0
-    )  # (32,) uint8; padded duplicates are harmless (callers guard sigma<=32)
-    small_lut = lut[syms.astype(I32)[:, None], syms.astype(I32)[None, :]]
+        jnp.concatenate([xb.ravel(), yb.ravel()]).astype(I32),
+        size=n_syms,
+        fill_value=-1,
+    )  # (n_syms,) int32
+    small_lut = lut[jnp.clip(syms, 0)[:, None], jnp.clip(syms, 0)[None, :]]
     onehot_x = (xb[:, :, None] == syms[None, None, :]).astype(jnp.float32)
     onehot_y = (yb[:, :, None] == syms[None, None, :]).astype(jnp.float32)
     return jnp.einsum(
@@ -685,7 +691,7 @@ def _geometry(B, M, mlens):
     return rows, row_ge1, mlens_c, is_row_m
 
 
-@partial(jax.jit, static_argnames=("with_traceback",))
+@partial(jax.jit, static_argnames=("with_traceback", "n_syms"))
 def _align_batch_device(
     xb,  # (B, M) uint8 padded query batch
     yb,  # (B, N) uint8 padded reference batch
@@ -694,6 +700,7 @@ def _align_batch_device(
     lut,  # (256, 256) int32 substitution LUT
     penalties,  # (6,) int32: go, ge, xcp, xcs, ycp, ycs
     with_traceback: bool = True,
+    n_syms: int = 32,
 ):
     B, M = xb.shape
     N = yb.shape[1]
@@ -703,7 +710,7 @@ def _align_batch_device(
     rows, row_ge1, mlens_c, is_row_m = _geometry(B, M, mlens)
     yclip_row = ycp + go + ge * (rows - 1)  # (B, M+1), valid rows >= 1
 
-    subs = _subs_einsum(xb, yb, lut)
+    subs = _subs_einsum(xb, yb, lut, n_syms)
 
     S0, D0, s_bits0, Sn0, Ly0, tb_col0, Lx0 = _init_column(
         B, M, rows, row_ge1, mlens, nlens, mlens_c, is_row_m, pens
@@ -1109,13 +1116,17 @@ def _align_batch_device_custom_mp(
     return out
 
 
-def _subs2_stream(xb, yb, lut):
+def _subs2_stream(xb, yb, lut, n_syms: int = 32):
     """(N, M, B) packed ``subs*2 | eq`` stream for the transposed kernels,
-    emitted directly in stream order by the one-hot einsum."""
+    emitted directly in stream order by the one-hot einsum.
+
+    ``n_syms`` static, >= distinct bytes in the batch (see _subs_einsum)."""
     syms = jnp.unique(
-        jnp.concatenate([xb.ravel(), yb.ravel()]), size=32, fill_value=0
+        jnp.concatenate([xb.ravel(), yb.ravel()]).astype(I32),
+        size=n_syms,
+        fill_value=-1,
     )
-    small = lut[syms.astype(I32)[:, None], syms.astype(I32)[None, :]]
+    small = lut[jnp.clip(syms, 0)[:, None], jnp.clip(syms, 0)[None, :]]
     ox = (xb[:, :, None] == syms[None, None, :]).astype(jnp.float32)
     oy = (yb[:, :, None] == syms[None, None, :]).astype(jnp.float32)
     subs_nmb = jnp.einsum(
@@ -1128,9 +1139,10 @@ def _subs2_stream(xb, yb, lut):
     return subs_nmb * 2 + eq_nmb
 
 
-@partial(jax.jit, static_argnames=("with_traceback",))
+@partial(jax.jit, static_argnames=("with_traceback", "n_syms"))
 def _align_batch_device_semiglobal_lut(
-    xb, yb, mlens, nlens, lut, penalties, with_traceback: bool = True
+    xb, yb, mlens, nlens, lut, penalties, with_traceback: bool = True,
+    n_syms: int = 32,
 ):
     """Semiglobal-family fast path for arbitrary LUT scorings: streamed
     packed-subs transposed kernel + the shared suffix fixups + y-clip walk
@@ -1141,7 +1153,7 @@ def _align_batch_device_semiglobal_lut(
     N = yb.shape[1]
     pens = tuple(penalties[k] for k in range(6))
 
-    subs2 = _subs2_stream(xb, yb, lut)
+    subs2 = _subs2_stream(xb, yb, lut, n_syms)
     tb_cols, S_f, I_f, Sn_f, Ly_f, tbk = scan_semiglobal_pallas_subs(
         subs2, mlens, nlens, penalties
     )
@@ -1166,25 +1178,44 @@ def _align_batch_device_semiglobal_lut(
     return out
 
 
-@partial(jax.jit, static_argnames=("with_traceback",))
+@partial(jax.jit, static_argnames=("with_traceback", "sweep_walk", "n_syms"))
 def _align_batch_device_global_lut(
-    xb, yb, mlens, nlens, lut, penalties, with_traceback: bool = True
+    xb, yb, mlens, nlens, lut, penalties, with_traceback: bool = True,
+    sweep_walk: bool = True, n_syms: int = 32,
 ):
     """Global-mode fast path for ARBITRARY substitution scorings
     (BLOSUM/PAM/custom LUTs): the substitution tensor comes from the
     rank-compacted one-hot einsum on the MXU, packed as ``subs*2 | eq``
     and streamed into the transposed Pallas kernel; postlude identical to
-    the MatchParams global path."""
+    the MatchParams global path (column-sweep Pallas walk by default)."""
     from rust_bio_tpu.ops.sw_pallas import scan_global_pallas_subs
 
     B, M = xb.shape
     N = yb.shape[1]
     pens = tuple(penalties[k] for k in range(6))
 
-    subs2 = _subs2_stream(xb, yb, lut)
-    score, tb_cols, _tbk = scan_global_pallas_subs(subs2, mlens, nlens, penalties)
+    subs2 = _subs2_stream(xb, yb, lut, n_syms)
+    score, tb_cols, _tbk = scan_global_pallas_subs(
+        subs2, mlens, nlens, penalties,
+        runs=with_traceback and not sweep_walk,
+    )
     if not with_traceback:
         return {"score": score}
+
+    if sweep_walk:
+        from rust_bio_tpu.ops.walk_pallas import sweep_walk_global
+
+        ins_cnt, exit_op, ins0 = sweep_walk_global(tb_cols, mlens, nlens)
+        return {
+            "score": score,
+            "ins_cnt": ins_cnt,
+            "exit_op": exit_op,
+            "ins0": ins0,
+            "xstart": jnp.zeros(B, I32),
+            "ystart": jnp.zeros(B, I32),
+            "xend": mlens,
+            "yend": nlens,
+        }
 
     rows, row_ge1, mlens_c, is_row_m = _geometry(B, M, mlens)
     *_, tb_col0, _Lx0 = _init_column(
@@ -1222,7 +1253,8 @@ def _align_batch_device_global_mp(
     pens = tuple(penalties8[k] for k in range(6))
 
     score, tb_cols, _tbk = scan_global_pallas_mp(
-        xb, yb, mlens, nlens, penalties8
+        xb, yb, mlens, nlens, penalties8,
+        runs=with_traceback and not sweep_walk,
     )  # tb_cols: (Np, M+1, B), columns 1..N valid
     if not with_traceback:
         return {"score": score}
@@ -1354,6 +1386,11 @@ class BatchAligner:
         scoring is constant match/mismatch (and shapes allow), else XLA."""
         B, M = xb.shape
         mp = self.scoring.match_fn
+        # static symbol-count bucket for the one-hot einsum LUT paths: the
+        # rank compaction must cover every distinct byte of the batch
+        # (fill slots are -1, so a too-small bucket would zero real rows)
+        nd = np.union1d(xb.ravel(), yb.ravel()).size
+        n_syms = next(s for s in (32, 64, 128, 256) if nd <= s)
         is_global = all(int(c) == MIN_SCORE for c in pen[2:6])
         x_clips_off = (
             int(pen[2]) == MIN_SCORE and int(pen[3]) == MIN_SCORE
@@ -1452,6 +1489,7 @@ class BatchAligner:
                 self._lut,
                 jnp.asarray(pen),
                 with_traceback=with_traceback,
+                n_syms=n_syms,
             )
         if rows_ok and B % pad_unit == 0:
             pen8 = np.concatenate(
@@ -1494,6 +1532,7 @@ class BatchAligner:
             self._lut,
             jnp.asarray(pen),
             with_traceback=with_traceback,
+            n_syms=n_syms,
         )
 
     def _pad(self, xs, ys):

@@ -91,11 +91,13 @@ class DeviceFMIndex:
         # (S*Wt, 896) matmul on the MXU retrieves the checkpoint bytes and
         # bit-plane bytes for every query at once.
         self._mxu_swt = 0
+        self._fs_cfg = None
         nw = bits.shape[1]
         n_present = int(np.count_nonzero(bits.any(axis=1)))
         swt = (n_present + 1) * (-(-nw // 128))
         if swt <= 2048 and self.n < (1 << 23):
             self._build_mxu_tables(bits, ckpt)
+        self._build_fused_search(bits, ckpt)
         self.less = jnp.asarray(less.astype(np.int32))
         self.sym_of = jnp.asarray(sym_of)
         self.bwt_sym = jnp.asarray(sym_of[b])  # (n,) int32 symbol indices
@@ -144,12 +146,14 @@ class DeviceFMIndex:
         # (re)decide the MXU-rank path from the rebuilt tables (objects may
         # arrive here from deserialization without going through __init__)
         self._mxu_swt = 0
+        self._fs_cfg = None
         if device_put_sharding is None:  # sharded occ keeps the gather path
             bits = np.asarray(self.bits)
             n_present = int(np.count_nonzero(bits.any(axis=1)))
             swt = (n_present + 1) * (-(-bits.shape[1] // 128))
             if swt <= 2048 and self.n < (1 << 23):
                 self._build_mxu_tables(bits, np.asarray(self.ckpt))
+            self._build_fused_search(bits, np.asarray(self.ckpt))
 
     def _build_mxu_tables(self, bits: np.ndarray, ckpt: np.ndarray) -> None:
         """(Se*Wt, 7*128) bf16 byte-plane table: per word, the 3 checkpoint
@@ -190,6 +194,35 @@ class DeviceFMIndex:
                 [p.reshape(Se * Wt, 128) for p in planes], axis=1
             ).astype(jnp.bfloat16)
         )  # (Se*Wt, 896)
+
+    def _build_fused_search(
+        self, bits: np.ndarray, ckpt: np.ndarray, force: bool = False
+    ) -> None:
+        """Byte-plane table for the fused Pallas search kernel
+        (ops/fm_pallas.py): the whole backward search runs inside one
+        kernel, one-hot table-scan rank on the MXU, no HBM intermediates.
+
+        Skipped on the CPU backend unless ``force`` (interpret-mode Pallas
+        is ~10x slower than the XLA scan there; the kernel is covered by a
+        dedicated forced parity test + the TPU bench)."""
+        import jax as _jax
+
+        from rust_bio_tpu.ops import fm_pallas
+
+        if not force and _jax.default_backend() == "cpu":
+            self._fs_cfg = None
+            return
+        cfg = fm_pallas.fused_search_feasible(self.n, bits.shape[1])
+        if cfg is None:
+            self._fs_cfg = None
+            return
+        wpr, qtb = cfg
+        Tt, base, swt_pad = fm_pallas.build_search_table(bits, ckpt, wpr)
+        self._fs_Tt = jnp.asarray(Tt)
+        self._fs_base = [int(v) for v in base]  # indexed by symbol rank
+        # bytes outside the alphabet (sym == -1) use the shared zero rows
+        self._fs_zero_base = int(base.max())
+        self._fs_cfg = dict(n=self.n, wpr=wpr, swt_pad=swt_pad, qtb=qtb)
 
     def _rank_mxu(self, r, sym):
         """MXU-rank: one-hot table scan instead of a per-query gather.
@@ -284,10 +317,41 @@ class DeviceFMIndex:
         ).astype(I32)  # (B, L), one gather total
         sym_cols = jnp.full((B, L), -1, I32)
         less_cols = jnp.zeros((B, L), I32)
+        fused = self._fs_cfg is not None
+        base_cols = (
+            jnp.full((B, L), self._fs_zero_base, I32) if fused else None
+        )
         for si, sbyte in enumerate(self.symbols):
             hit = a_cols == sbyte
             sym_cols = jnp.where(hit, si, sym_cols)
             less_cols = jnp.where(hit, self.less_sym[si], less_cols)
+            if fused:
+                base_cols = jnp.where(hit, self._fs_base[si], base_cols)
+
+        if fused:
+            # fused Pallas search: one kernel for all L steps (rank via
+            # in-VMEM one-hot MXU table scan, ops/fm_pallas.py)
+            from rust_bio_tpu.ops.fm_pallas import backward_search_fused
+
+            qtb = self._fs_cfg["qtb"]
+            Bp = -(-B // qtb) * qtb
+            sc = jnp.transpose(sym_cols, (1, 0))
+            lc = jnp.transpose(less_cols, (1, 0))
+            bc = jnp.transpose(base_cols, (1, 0))
+            pls = plens
+            if Bp != B:
+                sc = jnp.pad(sc, ((0, 0), (0, Bp - B)), constant_values=-1)
+                lc = jnp.pad(lc, ((0, 0), (0, Bp - B)))
+                bc = jnp.pad(
+                    bc,
+                    ((0, 0), (0, Bp - B)),
+                    constant_values=self._fs_zero_base,
+                )
+                pls = jnp.pad(plens, (0, Bp - B))
+            status, lower, upper, mlen = backward_search_fused(
+                sc, lc, bc, pls, self._fs_Tt, **self._fs_cfg
+            )
+            return status[:B], lower[:B], upper[:B], mlen[:B]
 
         def step(carry, xs):
             l, r, pl, pr, mlen, complete, done = carry

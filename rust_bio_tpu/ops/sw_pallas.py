@@ -154,12 +154,17 @@ def sw_scores_global(subs, mlens, nlens, gap_open, gap_extend, block_b: int = 25
     return out[0]
 
 
-def subs_tensor(xb, yb, lut):
-    """(B, M, N) substitution scores via the rank-compacted one-hot einsum."""
+def subs_tensor(xb, yb, lut, n_syms: int = 32):
+    """(B, M, N) substitution scores via the rank-compacted one-hot einsum.
+
+    ``n_syms`` must be >= the distinct bytes present (fill -1 never
+    matches a byte, so padded slots contribute nothing)."""
     syms = jnp.unique(
-        jnp.concatenate([xb.ravel(), yb.ravel()]), size=32, fill_value=0
+        jnp.concatenate([xb.ravel(), yb.ravel()]).astype(I32),
+        size=n_syms,
+        fill_value=-1,
     )
-    small = lut[syms.astype(I32)[:, None], syms.astype(I32)[None, :]]
+    small = lut[jnp.clip(syms, 0)[:, None], jnp.clip(syms, 0)[None, :]]
     ox = (xb[:, :, None] == syms[None, None, :]).astype(jnp.float32)
     oy = (yb[:, :, None] == syms[None, None, :]).astype(jnp.float32)
     return jnp.einsum(
@@ -537,12 +542,18 @@ def _kernel_scan_global_mp(
     tb_out,  # (K, Mp1, BB) uint16
     score_out,  # (1, BB) int32
     tbk_out,  # (Mp1, BB) int32: frozen final (j = nlens) column cells
-    S,
-    D,
-    SB,
-    TBK,
-    R,
+    *scratch,
+    RUNS: bool = True,
 ):
+    # RUNS: compute the same-op diagonal run-length nibble (bits 12-15),
+    # used only by the per-step-gather walk; the column-sweep walk reads
+    # bits 0-11, so its scan skips the run chain (fewer ops, one less
+    # (Mp1, BB) scratch array -> larger column chunks)
+    if RUNS:
+        S, D, SB, TBK, R = scratch
+    else:
+        S, D, SB, TBK = scratch
+        R = None
     c = pl.program_id(1)
     n_chunks = pl.num_programs(1)
     go = pen_ref[0]
@@ -570,10 +581,14 @@ def _kernel_scan_global_mp(
         SB[:] = sb0
         ib0 = jnp.where(rows == 1, TB_START, jnp.where(row0, TB_START, TB_INS))
         TBK[:] = ib0 | (TB_START << 4) | (sb0 << 8)
-        R[:] = jnp.zeros((Mp1, BB), I32)
+        if RUNS:
+            R[:] = jnp.zeros((Mp1, BB), I32)
 
     def column(k, st):
-        S_p, D_p, SB_p, TBK_p, R_p = st
+        if RUNS:
+            S_p, D_p, SB_p, TBK_p, R_p = st
+        else:
+            S_p, D_p, SB_p, TBK_p = st
         j = (c * K + k + 1).astype(I32)
         valid = j <= n_total
 
@@ -632,30 +647,42 @@ def _kernel_scan_global_mp(
 
         # same-op diagonal run length (walk jumps min(run, 15) cells per
         # gather): run(i,j) = 1 + run(i-1,j-1) while s_bits stays equal
-        is_mm = (s_bits == TB_SUBST) | (s_bits == TB_MATCH)
-        same = s_bits == jnp.concatenate(
-            [jnp.full((1, BB), -1, I32), SB_p[:-1]], axis=0
-        )
-        r_diag = jnp.concatenate([jnp.zeros((1, BB), I32), R_p[:-1]], axis=0)
-        run = jnp.where(is_mm, 1 + jnp.where(same, r_diag, 0), 0)
-        run_nib = jnp.minimum(run, 15)
-
-        tb_col = (
-            i_bits | (d_bits << 4) | (s_bits << 8) | (run_nib << 12)
-        ).astype(jnp.uint16)
+        if RUNS:
+            is_mm = (s_bits == TB_SUBST) | (s_bits == TB_MATCH)
+            same = s_bits == jnp.concatenate(
+                [jnp.full((1, BB), -1, I32), SB_p[:-1]], axis=0
+            )
+            r_diag = jnp.concatenate(
+                [jnp.zeros((1, BB), I32), R_p[:-1]], axis=0
+            )
+            run = jnp.where(is_mm, 1 + jnp.where(same, r_diag, 0), 0)
+            run_nib = jnp.minimum(run, 15)
+            tb_col = (
+                i_bits | (d_bits << 4) | (s_bits << 8) | (run_nib << 12)
+            ).astype(jnp.uint16)
+        else:
+            tb_col = (i_bits | (d_bits << 4) | (s_bits << 8)).astype(
+                jnp.uint16
+            )
         tb_out[k] = tb_col
 
         keep = valid & (j <= nlens)  # (1, BB) broadcasts over rows
-        return (
+        out = (
             jnp.where(keep, S_col, S_p),
             jnp.where(keep, bestD, D_p),
             jnp.where(keep, s_bits, SB_p),
             jnp.where(keep, tb_col.astype(I32), TBK_p),
-            jnp.where(keep, run, R_p),
         )
+        if RUNS:
+            out = out + (jnp.where(keep, run, R_p),)
+        return out
 
-    st = jax.lax.fori_loop(0, K, column, (S[:], D[:], SB[:], TBK[:], R[:]))
-    S[:], D[:], SB[:], TBK[:], R[:] = st
+    init = (S[:], D[:], SB[:], TBK[:]) + ((R[:],) if RUNS else ())
+    st = jax.lax.fori_loop(0, K, column, init)
+    if RUNS:
+        S[:], D[:], SB[:], TBK[:], R[:] = st
+    else:
+        S[:], D[:], SB[:], TBK[:] = st
 
     @pl.when(c == n_chunks - 1)
     def _finish():
@@ -713,13 +740,17 @@ def transposed_feasible(B: int, M: int, N: int) -> bool:
         return False
 
 
-def scan_global_pallas_mp(xb, yb, mlens, nlens, pens8):
+def scan_global_pallas_mp(xb, yb, mlens, nlens, pens8, runs: bool = True):
     """Global-mode scan: returns (score (B,), tb_cols (Np, Mp1, B) uint16
     with Np >= N (padded chunk tail is garbage but never walked), tbk
-    (B, Mp1) int32 frozen final-column cells)."""
+    (B, Mp1) int32 frozen final-column cells).
+
+    ``runs=False`` skips the run-length nibble (bits 12-15 are 0) — valid
+    when the traceback is walked by the column-sweep kernel, which only
+    reads the 12 layer bits."""
     B, M = xb.shape
     N = yb.shape[1]
-    block_b, K = _pick_block_global(B, M, N)
+    block_b, K = _pick_block_global(B, M, N, n_state=30 if runs else 24)
     Mp1 = M + 1
     n_chunks = -(-N // K)
     Np = n_chunks * K
@@ -731,7 +762,7 @@ def scan_global_pallas_mp(xb, yb, mlens, nlens, pens8):
     p8 = jnp.asarray(pens8, I32).reshape(8)
     pen = jnp.stack([p8[0], p8[1], p8[6], p8[7], jnp.int32(N)])
     out = pl.pallas_call(
-        _kernel_scan_global_mp,
+        partial(_kernel_scan_global_mp, RUNS=runs),
         interpret=jax.default_backend() == "cpu",
         grid=grid,
         in_specs=[
@@ -752,7 +783,8 @@ def scan_global_pallas_mp(xb, yb, mlens, nlens, pens8):
             jax.ShapeDtypeStruct((Mp1, B), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Mp1, block_b), jnp.int32) for _ in range(5)
+            pltpu.VMEM((Mp1, block_b), jnp.int32)
+            for _ in range(5 if runs else 4)
         ],
     )(
         pen,
@@ -1044,12 +1076,14 @@ def _kernel_scan_global_subs(
     tb_out,  # (K, Mp1, BB) uint16
     score_out,
     tbk_out,
-    S,
-    D,
-    SB,
-    TBK,
-    R,
+    *scratch,
+    RUNS: bool = True,
 ):
+    if RUNS:
+        S, D, SB, TBK, R = scratch
+    else:
+        S, D, SB, TBK = scratch
+        R = None
     c = pl.program_id(1)
     n_chunks = pl.num_programs(1)
     go = pen_ref[0]
@@ -1072,10 +1106,14 @@ def _kernel_scan_global_subs(
         SB[:] = sb0
         ib0 = jnp.where(rows <= 1, TB_START, TB_INS)
         TBK[:] = ib0 | (TB_START << 4) | (sb0 << 8)
-        R[:] = jnp.zeros((Mp1, BB), I32)
+        if RUNS:
+            R[:] = jnp.zeros((Mp1, BB), I32)
 
     def column(k, st):
-        S_p, D_p, SB_p, TBK_p, R_p = st
+        if RUNS:
+            S_p, D_p, SB_p, TBK_p, R_p = st
+        else:
+            S_p, D_p, SB_p, TBK_p = st
         j = (c * K + k + 1).astype(I32)
         valid = j <= n_total
 
@@ -1125,30 +1163,42 @@ def _kernel_scan_global_subs(
         i_bits = jnp.where(i_ext > T, TB_INS, prev_sbits)
         i_bits = jnp.where(row0, TB_START, i_bits)
 
-        is_mm = (s_bits == TB_SUBST) | (s_bits == TB_MATCH)
-        same = s_bits == jnp.concatenate(
-            [jnp.full((1, BB), -1, I32), SB_p[:-1]], axis=0
-        )
-        r_diag = jnp.concatenate([jnp.zeros((1, BB), I32), R_p[:-1]], axis=0)
-        run = jnp.where(is_mm, 1 + jnp.where(same, r_diag, 0), 0)
-        run_nib = jnp.minimum(run, 15)
-
-        tb_col = (
-            i_bits | (d_bits << 4) | (s_bits << 8) | (run_nib << 12)
-        ).astype(jnp.uint16)
+        if RUNS:
+            is_mm = (s_bits == TB_SUBST) | (s_bits == TB_MATCH)
+            same = s_bits == jnp.concatenate(
+                [jnp.full((1, BB), -1, I32), SB_p[:-1]], axis=0
+            )
+            r_diag = jnp.concatenate(
+                [jnp.zeros((1, BB), I32), R_p[:-1]], axis=0
+            )
+            run = jnp.where(is_mm, 1 + jnp.where(same, r_diag, 0), 0)
+            run_nib = jnp.minimum(run, 15)
+            tb_col = (
+                i_bits | (d_bits << 4) | (s_bits << 8) | (run_nib << 12)
+            ).astype(jnp.uint16)
+        else:
+            tb_col = (i_bits | (d_bits << 4) | (s_bits << 8)).astype(
+                jnp.uint16
+            )
         tb_out[k] = tb_col
 
         keep = valid & (j <= nlens)
-        return (
+        out = (
             jnp.where(keep, S_col, S_p),
             jnp.where(keep, bestD, D_p),
             jnp.where(keep, s_bits, SB_p),
             jnp.where(keep, tb_col.astype(I32), TBK_p),
-            jnp.where(keep, run, R_p),
         )
+        if RUNS:
+            out = out + (jnp.where(keep, run, R_p),)
+        return out
 
-    st = jax.lax.fori_loop(0, K, column, (S[:], D[:], SB[:], TBK[:], R[:]))
-    S[:], D[:], SB[:], TBK[:], R[:] = st
+    init = (S[:], D[:], SB[:], TBK[:]) + ((R[:],) if RUNS else ())
+    st = jax.lax.fori_loop(0, K, column, init)
+    if RUNS:
+        S[:], D[:], SB[:], TBK[:], R[:] = st
+    else:
+        S[:], D[:], SB[:], TBK[:] = st
 
     @pl.when(c == n_chunks - 1)
     def _finish():
@@ -1158,13 +1208,15 @@ def _kernel_scan_global_subs(
         tbk_out[:] = TBK[:]
 
 
-def scan_global_pallas_subs(subs2_nmb, mlens, nlens, pens6):
+def scan_global_pallas_subs(subs2_nmb, mlens, nlens, pens6, runs: bool = True):
     """Global-mode scan from a streamed packed-subs tensor.
 
     ``subs2_nmb``: (N, M, B) int32 = subs*2 | eq. Returns the same tuple
-    as ``scan_global_pallas_mp``."""
+    as ``scan_global_pallas_mp``.  ``runs=False`` as in the MP kernel."""
     N, M, B = subs2_nmb.shape
-    block_b, K = _pick_block_global(B, M, N, n_state=35, stream_bytes=4)
+    block_b, K = _pick_block_global(
+        B, M, N, n_state=35 if runs else 29, stream_bytes=4
+    )
     Mp1 = M + 1
     n_chunks = -(-N // K)
     Np = n_chunks * K
@@ -1176,7 +1228,7 @@ def scan_global_pallas_subs(subs2_nmb, mlens, nlens, pens6):
          jnp.zeros(2, I32), jnp.array([N], I32)]
     )
     out = pl.pallas_call(
-        _kernel_scan_global_subs,
+        partial(_kernel_scan_global_subs, RUNS=runs),
         interpret=jax.default_backend() == "cpu",
         grid=grid,
         in_specs=[
@@ -1196,7 +1248,8 @@ def scan_global_pallas_subs(subs2_nmb, mlens, nlens, pens6):
             jax.ShapeDtypeStruct((Mp1, B), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Mp1, block_b), jnp.int32) for _ in range(5)
+            pltpu.VMEM((Mp1, block_b), jnp.int32)
+            for _ in range(5 if runs else 4)
         ],
     )(
         pen,

@@ -166,6 +166,46 @@ def test_mxu_rank_matches_gather_rank():
     assert (got == want).all()
 
 
+def test_fused_search_matches_scan_path():
+    """The fused Pallas search kernel (ops/fm_pallas.py) must be
+    bit-identical to the XLA lax.scan path on every output, including
+    Partial/Absent lanes, invalid bytes, ragged lengths and a batch that
+    spans several query tiles (qtb forced small)."""
+    rng = np.random.default_rng(9)
+    text = _random_text(rng, 2500)
+    b = bwt(text, suffix_array(text))
+    dev = DeviceFMIndex(b, dna.n_alphabet())
+    dev._build_fused_search(
+        np.asarray(dev.bits), np.asarray(dev.ckpt), force=True
+    )
+    assert dev._fs_cfg is not None
+    dev._fs_cfg = dict(dev._fs_cfg, qtb=128)  # force multi-tile + padding
+
+    B, L = 300, 24
+    pats = np.zeros((B, L), dtype=np.uint8)
+    plens = np.zeros(B, dtype=np.int32)
+    tarr = np.frombuffer(text, dtype=np.uint8)
+    for i in range(B):
+        ln = int(rng.integers(1, L + 1))
+        plens[i] = ln
+        kind = rng.random()
+        if kind < 0.4:  # present substring
+            s = int(rng.integers(0, len(text) - ln - 1))
+            pats[i, :ln] = tarr[s : s + ln]
+        elif kind < 0.8:  # random (often partial/absent)
+            pats[i, :ln] = rng.choice(list(b"ACGT"), size=ln)
+        else:  # contains bytes outside the alphabet
+            pats[i, :ln] = rng.choice(list(b"ACGTNX"), size=ln)
+    import jax.numpy as jnp
+
+    got = dev._search_kernel(jnp.asarray(pats), jnp.asarray(plens))
+    dev2 = DeviceFMIndex(b, dna.n_alphabet())
+    dev2._fs_cfg = None  # XLA scan path
+    want = dev2._search_kernel(jnp.asarray(pats), jnp.asarray(plens))
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
 def test_index_serialization_roundtrip(tmp_path):
     from rust_bio_tpu.data_structures.serialize import load_fm_index, save_fm_index
 

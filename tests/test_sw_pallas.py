@@ -524,3 +524,42 @@ def test_dispatch_long_reads_fall_back():
     got = ba.global_(xs, ys)
     want = sa.global_(xs[0], ys[0])
     assert got[0].score == want.score
+
+
+def test_lut_rank_compaction_edge_bytes():
+    """Out-of-alphabet bytes must score via the LUT exactly like the host
+    oracle.  Regression: the one-hot rank compaction used fill_value=0, so
+    a batch containing byte 0 duplicated its one-hot slot and the einsum
+    summed the LUT entry once per duplicate (scores off by orders of
+    magnitude); sigma > 32 silently truncated the symbol set."""
+    import numpy as np
+
+    from rust_bio_tpu.alignment.pairwise.scalar import Aligner
+    from rust_bio_tpu.scores import blosum62
+
+    rng = np.random.default_rng(0)
+    sc = Scoring.new(-5, -1, blosum62)
+    ba = BatchAligner(sc)
+    host = Aligner.with_scoring(sc)
+
+    # byte 0 inside sequences (fill-slot collision)
+    xs = [bytes(rng.choice([0, 65, 82, 71], size=int(rng.integers(5, 30)))
+                .astype("uint8")) for _ in range(8)]
+    ys = [bytes(rng.choice([0, 65, 82, 71], size=int(rng.integers(5, 30)))
+                .astype("uint8")) for _ in range(8)]
+    got = ba.global_(xs, ys)
+    for i in range(8):
+        want = host.global_(xs[i], ys[i])
+        assert got[i].score == want.score, i
+        assert got[i].operations == want.operations, i
+
+    # more than 32 distinct bytes in the batch
+    xs2 = [bytes(rng.integers(0, 256, size=25).astype("uint8"))
+           for _ in range(8)]
+    ys2 = [bytes(rng.integers(0, 256, size=28).astype("uint8"))
+           for _ in range(8)]
+    got2 = ba.global_(xs2, ys2)
+    for i in range(8):
+        want = host.global_(xs2[i], ys2[i])
+        assert got2[i].score == want.score, i
+        assert got2[i].operations == want.operations, i
