@@ -8,6 +8,13 @@ affine-gap Smith-Waterman (global mode), scores + full traceback parity
 semantics. ``vs_baseline`` anchors against a -O3 C++ twin of the reference's
 scalar DP inner loop measured on this machine's CPU (single core, the
 reference's own execution model — see baselines/cpu_sw.cpp).
+
+Timing policy: every rate is best-of-N over timed iterations that END in a
+full device->host sync (np.asarray pull). The axon tunnel to the TPU adds a
+measured ~26 ms fixed round-trip latency per dispatch+sync (a dev-tunnel
+artifact, not device time: a no-op jitted add costs the same 26 ms), so each
+timed iteration chains K async dispatches before its single sync — the
+steady-state pipeline throughput a co-located host would see.
 """
 
 from __future__ import annotations
@@ -57,6 +64,20 @@ def _cpu_fm_baseline_rate(text_len=100_000, B=65536, L=20, occ_k=64, iters=3):
     return float(out.stdout.strip().splitlines()[-1])
 
 
+def _best_of(f, n=5) -> float:
+    """Best-of-n seconds for f() (one policy for every reported rate).
+
+    Each f() must end in an np.asarray device->host pull: the axon tunnel
+    adds multi-ms jitter per sync and block_until_ready is unreliable, so
+    the minimum over n full syncs is the honest device throughput."""
+    dt = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        f()
+        dt = min(dt, time.perf_counter() - t0)
+    return dt
+
+
 def _fm_queries_per_s() -> float:
     """Secondary stat: batched FM-index backward searches per second."""
     import jax.numpy as jnp
@@ -78,15 +99,84 @@ def _fm_queries_per_s() -> float:
         pats[i] = tarr[s : s + L]
     plens = np.full(B, L, dtype=np.int32)
     pats_d, plens_d = jnp.asarray(pats), jnp.asarray(plens)
-    out = idx._search_kernel(pats_d, plens_d)
-    _ = np.asarray(out[0]).sum()
-    iters = 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = idx._search_kernel(pats_d, plens_d)
-        _ = np.asarray(out[0]).sum()  # forces full sync
-    dt = (time.perf_counter() - t0) / iters
-    return B / dt
+    K = 8
+
+    def run():
+        s = None
+        for _ in range(K):
+            out = idx._search_kernel(pats_d, plens_d)
+            s = out[3] if s is None else s + out[3]
+        _ = np.asarray(s).sum()  # forces full sync
+
+    run()
+    return K * B / _best_of(run)
+
+
+def _pairhmm_pairs_per_s() -> float:
+    """PairHMM forward pairs/s on the reference bench geometry
+    (benches/pairhmm.rs:9-19): 54 bp Illumina reads vs ~207 bp texts,
+    semiglobal, scaled linear-space Pallas kernel (exact-fallback path)."""
+    import math
+
+    from rust_bio_tpu.stats.pairhmm.device import BatchPairHMMLinear
+
+    PROB_INS, PROB_DEL, PROB_SUBST = 2.8e-6, 5.1e-6, 0.0021
+    B, M, N = 4096, 207, 54
+    rng = np.random.default_rng(13)
+    xs = rng.integers(0, 4, size=(B, M)).astype(np.uint8) + ord("A")
+    ys = np.zeros((B, N), np.uint8)
+    for i in range(B):
+        s = int(rng.integers(0, M - N))
+        ys[i] = xs[i, s : s + N]
+        for _ in range(2):  # a couple of sequencing errors
+            ys[i, int(rng.integers(0, N))] = ord("A") + int(rng.integers(0, 4))
+    emit = np.array(
+        [
+            math.log(1.0 - PROB_SUBST),
+            math.log(PROB_SUBST / 3.0),
+            math.log(1.0 - PROB_SUBST),
+        ]
+    )
+    hmm = BatchPairHMMLinear(
+        prob_gap_x=math.log(PROB_INS),
+        prob_gap_y=math.log(PROB_DEL),
+        prob_gap_x_extend=float("-inf"),
+        prob_gap_y_extend=float("-inf"),
+    )
+
+    # prob_related_batch syncs internally (exact-fallback check); verify
+    # once that no lane underflows on this workload, then time the Pallas
+    # kernel path it dispatches to, chained K deep per sync
+    from rust_bio_tpu.ops.pairhmm_pallas import pairhmm_fwd_scaled
+    import jax.numpy as jnp
+
+    out0 = hmm.prob_related_batch(xs, ys, emit, semiglobal=True)
+    assert np.isfinite(out0).all(), "underflow lanes would hit the fallback"
+    g = hmm.g
+    params = np.exp(
+        np.array(
+            [
+                g["no_gap"], g["no_gap_x_extend"], g["no_gap_y_extend"],
+                g["gap_x"], g["gap_y"], g["gap_x_extend"], g["gap_y_extend"],
+                emit[0], emit[1], emit[2],
+            ],
+            np.float64,
+        ).clip(min=-700)
+    ).astype(np.float32)
+    xs_d, ys_d = jnp.asarray(xs), jnp.asarray(ys)
+    xl = jnp.asarray(np.full(B, M, np.int32))
+    yl = jnp.asarray(np.full(B, N, np.int32))
+    K = 8
+
+    def run():
+        s = None
+        for _ in range(K):
+            o = pairhmm_fwd_scaled(xs_d, ys_d, xl, yl, params, True)
+            s = o if s is None else s + o
+        _ = float(np.asarray(s).sum())
+
+    run()
+    return K * B / _best_of(run)
 
 
 def main() -> None:
@@ -120,23 +210,65 @@ def main() -> None:
         )
     )
 
+    K = 8
+
     def run():
         # full-traceback global alignment on the transposed Pallas engine
-        # (the same path BatchAligner.global_ dispatches to)
-        out = _align_batch_device_global_mp(xb, yb, mlens, nlens, pen8)
+        # (the same path BatchAligner.global_ dispatches to), K batches
+        # chained per sync
+        s = None
+        for _ in range(K):
+            out = _align_batch_device_global_mp(xb, yb, mlens, nlens, pen8)
+            s = out["score"] if s is None else s + out["score"]
         # np.asarray forces a full device->host sync (block_until_ready is
         # not reliable through the axon tunnel)
-        return int(np.asarray(out["score"]).sum())
+        return int(np.asarray(s).sum())
 
     run()  # compile + warmup
-    # best-of: the axon tunnel adds multi-ms jitter per sync, so the
-    # minimum is the honest device throughput
-    dt = float("inf")
-    for _ in range(7):
-        t0 = time.perf_counter()
-        run()
-        dt = min(dt, time.perf_counter() - t0)
-    rate = B / dt
+    rate = K * B / _best_of(run, 7)
+
+    def _score_only():
+        s = None
+        for _ in range(K):
+            out = _align_batch_device_global_mp(
+                xb, yb, mlens, nlens, pen8, with_traceback=False
+            )
+            s = out["score"] if s is None else s + out["score"]
+        return int(np.asarray(s).sum())
+
+    try:
+        _score_only()
+        so_rate = round(K * B / _best_of(_score_only), 2)
+    except Exception as e:
+        print(f"score-only bench failed: {e}", file=sys.stderr)
+        so_rate = None
+
+    def _local_rate():
+        from rust_bio_tpu.alignment.pairwise.batched import (
+            _align_batch_device_custom_mp,
+        )
+
+        pen8_l = jnp.asarray(
+            np.array([-5, -1, 0, 0, 0, 0, 2, -2], np.int32)
+        )
+
+        def run_l():
+            s = None
+            for _ in range(K):
+                out = _align_batch_device_custom_mp(
+                    xb, yb, mlens, nlens, pen8_l
+                )
+                s = out["score"] if s is None else s + out["score"]
+            return int(np.asarray(s).sum())
+
+        run_l()
+        return K * B / _best_of(run_l)
+
+    try:
+        local_rate = round(_local_rate(), 2)
+    except Exception as e:
+        print(f"local bench failed: {e}", file=sys.stderr)
+        local_rate = None
 
     try:
         cpu_rate = _cpu_baseline_rate(M=M, N=N)
@@ -168,17 +300,28 @@ def main() -> None:
             )
         )
         args = (xb, yb, mlens, nlens, pen8)
-        np.asarray(_align_batch_device_semiglobal_mp(*args)["score"])
-        t0 = time.perf_counter()
-        for _ in range(3):
-            np.asarray(_align_batch_device_semiglobal_mp(*args)["score"])
-        return B / ((time.perf_counter() - t0) / 3)
+
+        def run_sg():
+            s = None
+            for _ in range(K):
+                out = _align_batch_device_semiglobal_mp(*args)
+                s = out["score"] if s is None else s + out["score"]
+            np.asarray(s)
+
+        run_sg()
+        return K * B / _best_of(run_sg)
 
     try:
         sg_rate = round(_semiglobal_rate(), 2)
     except Exception as e:
         print(f"semiglobal bench failed: {e}", file=sys.stderr)
         sg_rate = None
+
+    try:
+        ph_rate = round(_pairhmm_pairs_per_s(), 2)
+    except Exception as e:
+        print(f"pairhmm bench failed: {e}", file=sys.stderr)
+        ph_rate = None
 
     print(
         json.dumps(
@@ -189,9 +332,12 @@ def main() -> None:
                 "vs_baseline": round(rate / cpu_rate, 3)
                 if cpu_rate == cpu_rate
                 else None,
+                "score_only_alignments_per_s": so_rate,
+                "local_alignments_per_s": local_rate,
                 "fm_index_queries_per_s": fm_rate,
                 "fm_vs_baseline": fm_vs,
                 "semiglobal_alignments_per_s": sg_rate,
+                "pairhmm_pairs_per_s": ph_rate,
             }
         )
     )

@@ -310,11 +310,20 @@ class DeviceFMIndex:
         # pattern (step t reads pattern position plens-1-t), then map
         # bytes -> symbol index and -> less via tiny-table selects (a
         # (256,)-table gather scalarizes at ~35 ns/lane/step on TPU).
+        # The per-row variable alignment is a log-step barrel shift of the
+        # flipped batch (static rolls + selects) — a take_along_axis here
+        # scalarizes to ~15 ms at B = 64K.
         t_iota = jnp.arange(L, dtype=I32)
-        pos = plens[:, None] - 1 - t_iota[None, :]  # (B, L)
-        a_cols = jnp.take_along_axis(
-            pats, jnp.maximum(pos, 0), axis=1
-        ).astype(I32)  # (B, L), one gather total
+        a_cols = jnp.flip(pats, axis=1).astype(I32)  # row t = pats[L-1-t]
+        shift = (L - plens)[:, None]  # roll left so row t = pats[plens-1-t]
+        k = 1
+        while k < L:
+            a_cols = jnp.where(
+                (shift & k) != 0, jnp.roll(a_cols, -k, axis=1), a_cols
+            )
+            k <<= 1
+        # steps t >= plens read wrapped junk; they are inactive in every
+        # consumer (active = t < plens)
         sym_cols = jnp.full((B, L), -1, I32)
         less_cols = jnp.zeros((B, L), I32)
         fused = self._fs_cfg is not None

@@ -175,7 +175,11 @@ class PairHMM:
         emission_params: EmissionParameters,
         alignment_mode: StartEndGapParameters,
         max_edit_dist: Optional[int] = None,
+        skip_trace: Optional[list] = None,
     ) -> LogProb:
+        """``skip_trace`` (debug): when a list is passed, every banded
+        ``continue`` appends ``(i, j)`` — lets tests assert the device
+        path's integer banding bookkeeping bit-for-bit."""
         g = self.gap_params
         len_x = emission_params.len_x()
         len_y = emission_params.len_y()
@@ -211,6 +215,8 @@ class PairHMM:
                 if max_edit_dist is not None and (
                     min(med_topleft, med_top, med_left) > max_edit_dist
                 ):
+                    if skip_trace is not None:
+                        skip_trace.append((i, j))
                     continue
 
                 emit_xy = emission_params.prob_emit_xy(i, j)
