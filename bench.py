@@ -179,6 +179,56 @@ def _pairhmm_pairs_per_s() -> float:
     return K * B / _best_of(run)
 
 
+def _sw_5kb_rates():
+    """The reference pairwise bench corpus geometry
+    (benches/pairwise.rs:140-158): ~5.1 kb STR-bearing pairs, global mode,
+    full traceback, on the block-row long-sequence Pallas engine.
+
+    Returns (device alignments/s, cpu twin alignments/s)."""
+    import jax.numpy as jnp
+
+    from rust_bio_tpu.alignment.pairwise.batched import (
+        _align_batch_device_global_rows_mp,
+    )
+    from rust_bio_tpu.alignment.pairwise.scoring import MIN_SCORE
+
+    B, M = 8, 5100
+    rng = np.random.default_rng(17)
+    # STR-like corpus: random backbone with repeated motifs spliced in
+    xb = rng.integers(0, 4, size=(B, M)).astype(np.uint8)
+    for i in range(B):
+        motif = rng.integers(0, 4, size=4).astype(np.uint8)
+        for _ in range(6):
+            s = int(rng.integers(0, M - 200))
+            xb[i, s : s + 200] = np.tile(motif, 50)
+    yb = xb.copy()
+    idx = rng.random(size=(B, M)) < 0.05  # diverged copies
+    yb[idx] = rng.integers(0, 4, size=int(idx.sum())).astype(np.uint8)
+    xb += ord("A")
+    yb += ord("A")
+    xd, yd = jnp.asarray(xb), jnp.asarray(yb)
+    lens = jnp.full((B,), M, dtype=jnp.int32)
+    pen8 = jnp.asarray(
+        np.array(
+            [-5, -1, MIN_SCORE, MIN_SCORE, MIN_SCORE, MIN_SCORE, 2, -2],
+            np.int32,
+        )
+    )
+    K = 4
+
+    def run():
+        s = None
+        for _ in range(K):
+            out = _align_batch_device_global_rows_mp(xd, yd, lens, lens, pen8)
+            s = out["score"] if s is None else s + out["score"]
+        return int(np.asarray(s).sum())
+
+    run()
+    dev_rate = K * B / _best_of(run)
+    cpu_rate = _cpu_baseline_rate(B=4, M=M, N=M, iters=1)
+    return dev_rate, cpu_rate
+
+
 def main() -> None:
     import jax
 
@@ -323,6 +373,14 @@ def main() -> None:
         print(f"pairhmm bench failed: {e}", file=sys.stderr)
         ph_rate = None
 
+    try:
+        sw5_dev, sw5_cpu = _sw_5kb_rates()
+        sw5_rate = round(sw5_dev, 2)
+        sw5_vs = round(sw5_dev / sw5_cpu, 3)
+    except Exception as e:
+        print(f"5kb bench failed: {e}", file=sys.stderr)
+        sw5_rate = sw5_vs = None
+
     print(
         json.dumps(
             {
@@ -338,6 +396,8 @@ def main() -> None:
                 "fm_vs_baseline": fm_vs,
                 "semiglobal_alignments_per_s": sg_rate,
                 "pairhmm_pairs_per_s": ph_rate,
+                "sw_5kb_alignments_per_s": sw5_rate,
+                "sw_5kb_vs_baseline": sw5_vs,
             }
         )
     )
