@@ -9,9 +9,10 @@ exceeds ``MAX_CELLS`` (:104, 406-420). Band rasterization replicates
 (:1071-1276) including the lazy diagonal extension, and the traceback
 replicates the out-of-band ending fixups (:833-856).
 
-The banded DP here is the exact host oracle; batched device execution uses
-the full-matrix lockstep kernel (``batched.py``) whose band-predicate
-variant shares the same semantics.
+The banded DP here is the exact host oracle; batched device execution
+lives in ``banded_device.BatchBandedAligner``, whose band-predicate
+transposed Pallas kernel (``ops/sw_pallas.scan_banded_pallas_mp``) is
+bit-identical to this oracle by property test (tests/test_banded_device.py).
 """
 
 from __future__ import annotations
@@ -561,6 +562,12 @@ class Aligner:
                 I[curr][i] = MIN_SCORE
                 D[curr][i] = MIN_SCORE
 
+            if getattr(self, "_snap", None) is not None:
+                self._snap.append(
+                    (S[curr].copy(), I[curr].copy(), D[curr].copy(),
+                     Sn.copy())
+                )
+
         # ---- suffix fixups at j = n (banded.rs:677-766) ----
         curr = n % 2
         for i in range(m + 1):
@@ -689,6 +696,12 @@ class Aligner:
                 ystart = j
 
         operations.reverse()
+        # debug stash for the device-parity harness (cheap, tests only)
+        self._dbg = dict(
+            tb=tb.copy(), S=[S[0].copy(), S[1].copy()],
+            I=[I[0].copy(), I[1].copy()], D=[D[0].copy(), D[1].copy()],
+            Sn=Sn.copy(), Lx=Lx.copy(), Ly=Ly.copy(),
+        )
         return Alignment(
             score=int(S[n % 2][m]),
             ystart=ystart,

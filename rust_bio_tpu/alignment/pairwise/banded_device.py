@@ -1,0 +1,575 @@
+"""Batched banded alignment on device (banded.rs parity).
+
+``BatchBandedAligner`` mirrors ``banded.Aligner``'s API: bands are
+rasterized host-side per pair (kmer matches -> sdpkpp backbone -> Band,
+the reference's own seeding), then the batch runs on the band-predicate
+transposed Pallas kernel (``ops/sw_pallas.scan_banded_pallas_mp``), the
+banded suffix fixups (banded.rs:677-766 twin, vectorized) and a lockstep
+walk that replicates the banded traceback including the out-of-band
+ending fixups (banded.rs:833-856).
+
+Bit-identical to ``banded.Aligner`` (the host oracle, itself embedding the
+reference's golden values) by property test; pairs whose band exceeds
+MAX_CELLS return the host's empty MIN_SCORE alignment, and shapes the
+kernel cannot hold fall back to the host DP per pair.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from rust_bio_tpu.alignment.pairwise import banded as _banded
+from rust_bio_tpu.alignment.pairwise.banded import MAX_CELLS, Band
+from rust_bio_tpu.alignment.pairwise.batched import (
+    _OP_BY_CODE,
+    _decode_ops,
+    MIN,
+)
+from rust_bio_tpu.alignment.pairwise.scalar import (
+    TB_DEL,
+    TB_INS,
+    TB_MATCH,
+    TB_START,
+    TB_SUBST,
+    TB_XCLIP_PREFIX,
+    TB_XCLIP_SUFFIX,
+    TB_YCLIP_PREFIX,
+    TB_YCLIP_SUFFIX,
+)
+from rust_bio_tpu.alignment.pairwise.scoring import (
+    MIN_SCORE,
+    MatchParams,
+    Scoring,
+)
+from rust_bio_tpu.alignment.types import Alignment, AlignmentMode
+from rust_bio_tpu.utils.text import to_bytes
+
+I32 = jnp.int32
+_SENT = np.int32(-(2**31) + 1)
+
+
+def _init_column_banded(B, M, rows, mlens, nlens, pens, st0, en0):
+    """XLA twin of the kernel's banded j = 0 column (banded.py:396-439):
+    returns (tb_col0 (B, Mp1) int32 packed bits, Lx0 (B,))."""
+    go, ge, xcp, xcs, ycp, ycs = pens
+    mlens_c = mlens[:, None]
+    st0c = st0[:, None]
+    en0c = en0[:, None]
+    row_ge1 = rows >= 1
+    in_b0 = row_ge1 & (rows >= st0c) & (rows < en0c)
+    is_row_m = (rows == mlens_c) & (mlens_c >= 1)
+
+    gap_i = go + ge * (rows - 1)
+    clip_i = xcp + go
+    ins_wins = gap_i > clip_i
+    I0v = jnp.where(rows == 1, go, jnp.where(ins_wins, gap_i, clip_i))
+    ib0 = jnp.where(
+        rows == 1, TB_START, jnp.where(ins_wins, TB_INS, TB_XCLIP_PREFIX)
+    )
+    S0 = jnp.full(rows.shape, MIN, I32)
+    sb0 = jnp.full(rows.shape, TB_START, I32)
+    tkI = I0v > S0
+    S0 = jnp.where(tkI, I0v, S0)
+    sb0 = jnp.where(tkI, TB_INS, sb0)
+    tkX = xcp > S0
+    S0 = jnp.where(tkX, xcp, S0)
+    sb0 = jnp.where(tkX, TB_XCLIP_PREFIX, sb0)
+    vals = jnp.where(in_b0 & (rows <= mlens_c - 1), S0 + xcs, _SENT)
+    A = jnp.max(vals, axis=1)
+    updA = A > MIN
+    first = jnp.argmax(vals == A[:, None], axis=1).astype(I32)
+    Lx0 = jnp.where(updA, mlens - first, 0)
+    m_in_b0 = (mlens >= st0) & (mlens < en0) & (mlens >= 1)
+    take_m = lambda a: jnp.take_along_axis(a, mlens_c, axis=1)[:, 0]
+    S_m = jnp.where(updA, A, MIN)
+    sb_m = jnp.full((B,), TB_XCLIP_SUFFIX, I32)
+    I0_m = take_m(jnp.where(in_b0, I0v, MIN))
+    tkIm = I0_m > S_m
+    sb_m = jnp.where(tkIm, TB_INS, sb_m)
+    S_m = jnp.where(tkIm, I0_m, S_m)
+    tkXm = xcp > S_m
+    sb_m = jnp.where(tkXm, TB_XCLIP_PREFIX, sb_m)
+    sb_m = jnp.where(
+        m_in_b0, sb_m, jnp.where(updA, TB_XCLIP_SUFFIX, TB_START)
+    )
+    ib_m = jnp.where(m_in_b0, take_m(jnp.where(in_b0, ib0, TB_START)), TB_START)
+    sb0 = jnp.where(in_b0, sb0, TB_START)
+    ib0 = jnp.where(in_b0, ib0, TB_START)
+    sb0 = jnp.where(is_row_m, sb_m[:, None], sb0)
+    ib0 = jnp.where(is_row_m, ib_m[:, None], ib0)
+    sb0 = jnp.where(rows == 0, TB_START, sb0)
+    ib0 = jnp.where(rows == 0, TB_START, ib0)
+    tb_col0 = ib0 | (sb0 << 8)
+    return tb_col0, Lx0
+
+
+def _banded_suffix_fixups(
+    S_f, I_f, Sn_f, Ly_f, tbk, B, M, mlens, nlens, pens, st_n, en_n
+):
+    """Vectorized twin of banded.py's j = n fixups (banded.rs:677-766) plus
+    the score/tb effects of the final row-0 / column-0 rewrite loops.
+
+    Returns (score, tbfix_cells (B, Mp1) packed 12-bit, Ly_fixed, Lx_n,
+    lx_n_set)."""
+    go, ge, xcp, xcs, ycp, ycs = pens
+    rows = lax.broadcasted_iota(I32, (B, M + 1), 1)
+    mlens_c = mlens[:, None]
+    is_row_m = (rows == mlens_c) & (mlens_c >= 1)
+    take_m = lambda a: jnp.take_along_axis(a, mlens_c, axis=1)[:, 0]
+    tbk = tbk.astype(I32)
+    i_bits = tbk & 0xF
+    d_bits = (tbk >> 4) & 0xF
+    s_bits = (tbk >> 8) & 0xF
+
+    # out-of-band mask (host's exact off-by-one: `i > ends[n]` unmasked)
+    masked = (~is_row_m) & (
+        (rows < st_n[:, None]) | (rows > en_n[:, None])
+    )
+    S0 = jnp.where(masked, MIN, S_f)
+
+    # loop 1: per-row Sn merge, then xclip-suffix accumulation into S[m]
+    y_take = Sn_f > S0
+    S1 = jnp.where(y_take, Sn_f, S0)
+    sb1 = jnp.where(y_take, TB_YCLIP_SUFFIX, s_bits)
+    S_m_base = take_m(S0)
+    vals = jnp.where(rows <= mlens_c - 1, S1 + xcs, _SENT)
+    A = jnp.max(vals, axis=1)
+    x_upd = A > S_m_base
+    firstX = jnp.argmax(vals == A[:, None], axis=1).astype(I32)
+    acc = jnp.where(x_upd, A, S_m_base)
+    sb_m = jnp.where(x_upd, TB_XCLIP_SUFFIX, take_m(sb1))
+    Lx_n = jnp.where(x_upd, mlens - firstX, 0)
+    lx_n_set = x_upd
+    Sn_m = take_m(Sn_f)
+    y_take_m = Sn_m > acc
+    acc = jnp.where(y_take_m, Sn_m, acc)
+    sb_m = jnp.where(y_take_m, TB_YCLIP_SUFFIX, sb_m)
+    S1 = jnp.where(is_row_m, acc[:, None], S1)
+    sb1 = jnp.where(is_row_m, sb_m[:, None], sb1)
+
+    # loop 2: late insertion sweep over [max(1, st_n), en_n)
+    in_sweep = (rows >= jnp.maximum(1, st_n[:, None])) & (
+        rows < en_n[:, None]
+    )
+    U = jnp.where(rows >= st_n[:, None] - 1, S1 - rows * go, _SENT)
+    C = lax.cummax(U, axis=1)
+    Csh = jnp.concatenate(
+        [jnp.full((B, 1), _SENT, I32), C[:, :-1]], axis=1
+    )
+    s_score = Csh + rows * go
+    upd2 = in_sweep & (s_score > S1) & (~is_row_m)
+    S2 = jnp.where(upd2, s_score, S1)
+    sb2 = jnp.where(upd2, TB_INS, sb1)
+    i_take = in_sweep & (s_score > I_f) & (~is_row_m)
+    sb2_prev = jnp.concatenate(
+        [jnp.full((B, 1), TB_START, I32), sb2[:, :-1]], axis=1
+    )
+    I2 = jnp.where(i_take, s_score, I_f)
+    ib2 = jnp.where(i_take, sb2_prev, i_bits)
+    vals3 = jnp.where(upd2 & (rows <= mlens_c - 1), S2 + xcs, _SENT)
+    A3 = jnp.max(vals3, axis=1)
+    acc_m = take_m(S1)
+    x_upd3 = A3 > acc_m
+    first3 = jnp.argmax(vals3 == A3[:, None], axis=1).astype(I32)
+    acc3 = jnp.where(x_upd3, A3, acc_m)
+    sb_m3 = jnp.where(x_upd3, TB_XCLIP_SUFFIX, take_m(sb2))
+    Lx_n = jnp.where(x_upd3, mlens - first3, Lx_n)
+    lx_n_set = lx_n_set | x_upd3
+    # row m's own sweep statements (only when m is inside the sweep)
+    m_in_sweep = (mlens >= jnp.maximum(1, st_n)) & (mlens < en_n)
+    sm_score = take_m(s_score)
+    m_take = m_in_sweep & (sm_score > acc3)
+    S_final_m = jnp.where(m_take, sm_score, acc3)
+    sb_final_m = jnp.where(m_take, TB_INS, sb_m3)
+    i_take_m = m_in_sweep & (sm_score > take_m(I_f))
+    I2 = jnp.where(
+        is_row_m & i_take_m[:, None], sm_score[:, None], I2
+    )
+    ib2 = jnp.where(
+        is_row_m & i_take_m[:, None], take_m(sb2_prev)[:, None], ib2
+    )
+    S2 = jnp.where(is_row_m, S_final_m[:, None], S2)
+    sb2 = jnp.where(is_row_m, sb_final_m[:, None], sb2)
+
+    # final rewrite loops' score/tb effects (banded.py:595-620):
+    # j-loop at j = n ...
+    d_n = go + ge * (nlens - 1)
+    best0 = jnp.maximum(d_n, ycp)
+    sb_0n = jnp.where(d_n > ycp, TB_DEL, TB_YCLIP_PREFIX)
+    y_best = ycs > best0
+    best0 = jnp.where(y_best, ycs, best0)
+    sb_0n = jnp.where(y_best, TB_YCLIP_SUFFIX, sb_0n)
+    S_m_now = take_m(S2)
+    bump1 = (xcs + best0 > S_m_now) & (nlens >= 1)
+    S_m_now = jnp.where(bump1, xcs + best0, S_m_now)
+    Lx_n = jnp.where(bump1, mlens, Lx_n)
+    lx_n_set = lx_n_set | bump1
+    sb_mn = jnp.where(bump1, TB_XCLIP_SUFFIX, take_m(sb2))
+    # ... and i-loop at i = m
+    c_m = go + ge * (mlens - 1)
+    bestm = jnp.maximum(c_m, xcp)
+    x_best = xcs > bestm
+    bestm = jnp.where(x_best, xcs, bestm)
+    bump2 = (ycs + bestm > S_m_now) & (mlens >= 1)
+    S_m_now = jnp.where(bump2, ycs + bestm, S_m_now)
+    Ly_m = jnp.where(bump2, nlens, take_m(Ly_f))
+    sb_mn = jnp.where(bump2, TB_YCLIP_SUFFIX, sb_mn)
+
+    sb2 = jnp.where(is_row_m, sb_mn[:, None], sb2)
+    # row 0 of the fixed column = the rewritten (0, n) s-bits
+    sb2 = sb2.at[:, 0].set(jnp.where(nlens >= 1, sb_0n, sb2[:, 0]))
+    Ly_fixed = jnp.where(is_row_m, Ly_m[:, None], Ly_f)
+
+    score = S_m_now
+    tbfix_cells = (ib2 & 0xF) | ((d_bits & 0xF) << 4) | ((sb2 & 0xF) << 8)
+    return score, tbfix_cells, Ly_fixed, Lx_n, lx_n_set
+
+
+def _walk_banded(tb_xb, tbfix, Lx_full, mlens, nlens, B, M, N, pens):
+    """Banded lockstep walk: the full-clip walk plus (a) the on-the-fly
+    row-0 / column-0 s-bit rewrites (banded.py:595-620 write these into tb
+    after the DP; here they are synthesized at read time) and (b) the
+    out-of-band ending fixups (banded.rs:833-856) emitted as two extra
+    RLE ops when the walk dies at TB_START away from the origin."""
+    go, ge, xcp, xcs, ycp, ycs = pens
+    Mp1 = M + 1
+    T_steps = M + N + 8
+
+    def cond(state):
+        return (state[0] < T_steps) & ~jnp.all(state[10])
+
+    def walk_step(state):
+        (
+            t, i, j, carried, use_s, phase, xstart, ystart, xend, yend,
+            done, buf_c, buf_l,
+        ) = state
+        cm = jnp.take_along_axis(
+            tb_xb, (j * Mp1 + i)[None, :], axis=0
+        )[0].astype(I32)
+        cf = jnp.take_along_axis(tbfix, i[:, None], axis=1)[:, 0]
+        use_fix = j == nlens
+        cell = jnp.where(use_fix, cf & 0xFFF, cm & 0xFFF)
+        ib = cell & 0xF
+        db = (cell >> 4) & 0xF
+        sb = (cell >> 8) & 0xF
+        # row-0 / column-0 rewrites (s-bits only), non-final columns
+        rw0 = jnp.where(go + ge * (j - 1) > ycp, TB_DEL, TB_YCLIP_PREFIX)
+        sb = jnp.where((i == 0) & (j >= 1) & ~use_fix, rw0, sb)
+        c_i = go + ge * (i - 1)
+        rwc = jnp.where(c_i > xcp, TB_INS, TB_XCLIP_PREFIX)
+        rwc = jnp.where(
+            (i == mlens) & (xcs > jnp.maximum(c_i, xcp)),
+            TB_XCLIP_SUFFIX,
+            rwc,
+        )
+        sb = jnp.where((j == 0) & (i >= 1), rwc, sb)
+        ly = cf >> 12
+        lx = jnp.take_along_axis(Lx_full, j[:, None], axis=1)[:, 0]
+        layer = jnp.where(use_s, sb, carried)
+
+        hit_start = (layer == TB_START) & ~done
+        do_x = hit_start & (phase == 0) & (i > 0)
+        do_y = hit_start & (j > 0) & (
+            (phase == 1) | ((phase == 0) & (i == 0))
+        )
+        finish = hit_start & ~do_x & ~do_y
+
+        is_ins = (layer == TB_INS) & ~hit_start
+        is_del = (layer == TB_DEL) & ~hit_start
+        is_mm = ((layer == TB_MATCH) | (layer == TB_SUBST)) & ~hit_start
+        is_xp = (layer == TB_XCLIP_PREFIX) & ~hit_start
+        is_xs = (layer == TB_XCLIP_SUFFIX) & ~hit_start
+        is_yp = (layer == TB_YCLIP_PREFIX) & ~hit_start
+        is_ys = (layer == TB_YCLIP_SUFFIX) & ~hit_start
+
+        # ending fixups: Ins*i / Xclip(i) then Del*j / Yclip(j)
+        iw = go + ge * (i - 1) > xcp
+        dw = go + ge * (j - 1) > ycp
+        fix_code = jnp.where(
+            do_x,
+            jnp.where(iw, TB_INS, TB_XCLIP_PREFIX),
+            jnp.where(dw, TB_DEL, TB_YCLIP_PREFIX),
+        )
+        fix_len = jnp.where(do_x, i, j)
+
+        op_code = jnp.where(
+            done, 0, jnp.where(do_x | do_y, fix_code, layer)
+        ).astype(jnp.uint8)
+        op_code = jnp.where(finish, 0, op_code)
+        op_len = jnp.where(
+            done | finish,
+            0,
+            jnp.where(
+                do_x | do_y,
+                fix_len,
+                is_mm * 1 + is_xp * i + is_xs * lx + is_yp * j + is_ys * ly,
+            ),
+        ).astype(jnp.uint16)
+
+        new_i = jnp.where(
+            done, i,
+            jnp.where(
+                do_x, 0,
+                i - (is_ins * 1 + is_mm * 1 + is_xs * lx + is_xp * i),
+            ),
+        )
+        new_j = jnp.where(
+            done, j,
+            jnp.where(
+                do_y, 0,
+                j - (is_del * 1 + is_mm * 1 + is_ys * ly + is_yp * j),
+            ),
+        )
+        xstart = jnp.where(is_xp & ~done, i, xstart)
+        xstart = jnp.where(do_x, jnp.where(iw, 0, i), xstart)
+        xend = jnp.where(is_xs & ~done, new_i, xend)
+        ystart = jnp.where(is_yp & ~done, j, ystart)
+        ystart = jnp.where(do_y, jnp.where(dw, 0, j), ystart)
+        yend = jnp.where(is_ys & ~done, new_j, yend)
+
+        new_done = done | finish | (do_y & ~do_x)
+        new_phase = jnp.where(do_x, 1, phase)
+        next_carried = jnp.where(is_ins, ib, db)
+        next_use_s = ~(is_ins | is_del | do_x) | new_done
+        next_carried = jnp.where(
+            do_x | new_done, TB_START, next_carried
+        )
+        buf_c = lax.dynamic_update_slice_in_dim(
+            buf_c, op_code[None], t, axis=0
+        )
+        buf_l = lax.dynamic_update_slice_in_dim(
+            buf_l, op_len[None], t, axis=0
+        )
+        return (
+            t + 1, new_i, new_j, next_carried, next_use_s, new_phase,
+            xstart, ystart, xend, yend, new_done, buf_c, buf_l,
+        )
+
+    state0 = (
+        jnp.int32(0),
+        mlens,
+        nlens,
+        jnp.full(B, TB_START, I32),
+        jnp.ones(B, bool),
+        jnp.zeros(B, I32),
+        jnp.zeros(B, I32),
+        jnp.zeros(B, I32),
+        mlens,
+        nlens,
+        jnp.zeros(B, bool),
+        jnp.zeros((T_steps, B), jnp.uint8),
+        jnp.zeros((T_steps, B), jnp.uint16),
+    )
+    (
+        _, fi, fj, _, _, _, xstart, ystart, xend, yend, done,
+        op_codes, op_lens,
+    ) = lax.while_loop(cond, walk_step, state0)
+    return {
+        "op_codes": op_codes,
+        "op_lens": op_lens,
+        "xstart": xstart,
+        "ystart": ystart,
+        "xend": xend,
+        "yend": yend,
+        "walk_done": done,
+    }
+
+
+@partial(jax.jit, static_argnames=("with_traceback",))
+def _align_batch_device_banded_mp(
+    xb, yb, mlens, nlens, penalties8, starts, ends,
+    with_traceback: bool = True,
+):
+    """Banded custom-mode batch on the band-predicate Pallas kernel."""
+    from rust_bio_tpu.ops.sw_pallas import scan_banded_pallas_mp
+
+    B, M = xb.shape
+    N = yb.shape[1]
+    pens = tuple(penalties8[k] for k in range(6))
+
+    tb_cols, lx_cols, S_f, I_f, Sn_f, Ly_f, tbk = scan_banded_pallas_mp(
+        xb, yb, mlens, nlens, penalties8, starts, ends
+    )
+    bidx = jnp.arange(B)
+    st_n = starts[bidx, nlens]
+    en_n = ends[bidx, nlens]
+    score, tbfix_cells, Ly_fixed, Lx_n, lx_n_set = _banded_suffix_fixups(
+        S_f, I_f, Sn_f, Ly_f, tbk, B, M, mlens, nlens, pens, st_n, en_n
+    )
+    if not with_traceback:
+        return {"score": score}
+
+    rows = lax.broadcasted_iota(I32, (B, M + 1), 1)
+    tb_col0, Lx0 = _init_column_banded(
+        B, M, rows, mlens, nlens, pens, starts[:, 0], ends[:, 0]
+    )
+    tb_xb = jnp.concatenate(
+        [jnp.transpose(tb_col0, (1, 0)).astype(jnp.uint16)[None], tb_cols],
+        axis=0,
+    ).reshape(-1, B)
+    tbfix = (tbfix_cells & 0xFFF) | (Ly_fixed << 12)
+    Lx_full = jnp.concatenate(
+        [Lx0[:, None], jnp.transpose(lx_cols, (1, 0))], axis=1
+    )
+    Lx_full = Lx_full.at[bidx, nlens].set(
+        jnp.where(lx_n_set, Lx_n, Lx_full[bidx, nlens])
+    )
+
+    out = _walk_banded(
+        tb_xb, tbfix, Lx_full, mlens, nlens, B, M, N, pens
+    )
+    out["score"] = score
+    return out
+
+
+class BatchBandedAligner:
+    """Batched banded aligner (banded.rs API, device DP).
+
+    Mirrors ``banded.Aligner``'s mode wrappers; band construction and
+    result post-processing are the host aligner's own code, the DP runs
+    batched on device.  Requires MatchParams scoring and gap_open <=
+    gap_extend (like ``BatchAligner``); other scorings fall back to the
+    host aligner per pair.
+    """
+
+    def __init__(self, scoring: Scoring, k: int, w: int) -> None:
+        self.scoring = scoring
+        self.k = k
+        self.w = w
+
+    # ---- mode wrappers ----
+
+    def custom(self, xs: Sequence, ys: Sequence) -> List[Alignment]:
+        return self._run(xs, ys, self.scoring, AlignmentMode.Custom, False)
+
+    def global_(self, xs, ys) -> List[Alignment]:
+        sc = self.scoring.with_clips(*((MIN_SCORE,) * 4))
+        return self._run(xs, ys, sc, AlignmentMode.Global, False)
+
+    def semiglobal(self, xs, ys) -> List[Alignment]:
+        sc = self.scoring.with_clips(MIN_SCORE, MIN_SCORE, 0, 0)
+        return self._run(xs, ys, sc, AlignmentMode.Semiglobal, True)
+
+    def local(self, xs, ys) -> List[Alignment]:
+        sc = self.scoring.with_clips(0, 0, 0, 0)
+        return self._run(xs, ys, sc, AlignmentMode.Local, True)
+
+    # ---- engine ----
+
+    def _host_one(self, sc, x, y, mode, filter_clips):
+        al = _banded.Aligner(sc, self.k, self.w)
+        aln = al.custom(x, y)
+        aln.mode = mode
+        if filter_clips:
+            aln.filter_clip_operations()
+        return aln
+
+    def _run(self, xs, ys, sc, mode, filter_clips) -> List[Alignment]:
+        from rust_bio_tpu.ops.sw_pallas import transposed_feasible
+
+        xs = [to_bytes(x) for x in xs]
+        ys = [to_bytes(y) for y in ys]
+        B = len(xs)
+        assert len(ys) == B
+        M = max((len(x) for x in xs), default=1) or 1
+        N = max((len(y) for y in ys), default=1) or 1
+
+        device_ok = (
+            isinstance(sc.match_fn, MatchParams)
+            and sc.gap_open <= sc.gap_extend
+            and all(len(x) >= 1 for x in xs)
+            and all(len(y) >= 1 for y in ys)
+            and 2 <= M
+            and transposed_feasible(max(B + (-B % 8), 8), M, N)
+        )
+        if not device_ok:
+            return [
+                self._host_one(sc, x, y, mode, filter_clips)
+                for x, y in zip(xs, ys)
+            ]
+
+        # host band rasterization (the reference's own seeding path)
+        bands = [
+            Band.create(x, y, self.k, self.w, sc) for x, y in zip(xs, ys)
+        ]
+        out: List = [None] * B
+        run_idx = []
+        for i, band in enumerate(bands):
+            if band.num_cells() > MAX_CELLS:
+                out[i] = Alignment(
+                    score=MIN_SCORE, ystart=0, xstart=0, yend=0, xend=0,
+                    ylen=0, xlen=0, operations=[], mode=AlignmentMode.Custom,
+                )
+                out[i].mode = mode
+            else:
+                run_idx.append(i)
+        if not run_idx:
+            return out
+
+        nb = len(run_idx)
+        pad = -nb % 8
+        Bp = nb + pad
+        xb = np.zeros((Bp, M), np.uint8)
+        yb = np.zeros((Bp, N), np.uint8)
+        mlens = np.ones(Bp, np.int32)
+        nlens = np.ones(Bp, np.int32)
+        starts = np.zeros((Bp, N + 1), np.int32)
+        ends = np.zeros((Bp, N + 1), np.int32)
+        ends[:, :] = 0
+        starts[:, :] = M + 1
+        for r, i in enumerate(run_idx):
+            x, y, band = xs[i], ys[i], bands[i]
+            xb[r, : len(x)] = np.frombuffer(x, np.uint8)
+            yb[r, : len(y)] = np.frombuffer(y, np.uint8)
+            mlens[r], nlens[r] = len(x), len(y)
+            starts[r, : len(y) + 1] = band.starts
+            ends[r, : len(y) + 1] = band.ends
+        # dummy pad lanes: full 1x1 band
+        for r in range(nb, Bp):
+            starts[r, :2] = 0
+            ends[r, :2] = 2
+
+        mp = sc.match_fn
+        pen8 = np.array(
+            [
+                sc.gap_open, sc.gap_extend,
+                sc.xclip_prefix, sc.xclip_suffix,
+                sc.yclip_prefix, sc.yclip_suffix,
+                mp.match_score, mp.mismatch_score,
+            ],
+            np.int32,
+        )
+        dev = _align_batch_device_banded_mp(
+            jnp.asarray(xb), jnp.asarray(yb),
+            jnp.asarray(mlens), jnp.asarray(nlens),
+            jnp.asarray(pen8),
+            jnp.asarray(starts), jnp.asarray(ends),
+        )
+        scores = np.asarray(dev["score"])
+        codes = np.asarray(dev["op_codes"])
+        lens = np.asarray(dev["op_lens"])
+        xst = np.asarray(dev["xstart"])
+        yst = np.asarray(dev["ystart"])
+        xen = np.asarray(dev["xend"])
+        yen = np.asarray(dev["yend"])
+        for r, i in enumerate(run_idx):
+            ops = _decode_ops(codes[:, r], lens[:, r])
+            aln = Alignment(
+                score=int(scores[r]),
+                ystart=int(yst[r]), xstart=int(xst[r]),
+                yend=int(yen[r]), xend=int(xen[r]),
+                ylen=len(ys[i]), xlen=len(xs[i]),
+                operations=ops, mode=AlignmentMode.Custom,
+            )
+            aln.mode = mode
+            if filter_clips:
+                aln.filter_clip_operations()
+            out[i] = aln
+        return out

@@ -2086,3 +2086,471 @@ def scan_global_rows_pallas_mp(xb, yb, mlens, nlens, pens8):
     )
     tb_cols, score = out
     return score[0], tb_cols, RRB
+
+
+# ---------------------------------------------------------------------------
+# Banded custom-mode engine (banded.rs parity)
+# ---------------------------------------------------------------------------
+#
+# Device twin of alignment/pairwise/banded.py compute_alignment (itself a
+# statement-level twin of banded.rs:282-870): the general-clip DP restricted
+# to per-column row bands [starts[j], ends[j]).  The host rolls two parity
+# buffers and resets only band fringes, so out-of-band cells hold values
+# from TWO columns earlier and ONE of them (row ends[n] at the final column,
+# via the fixups' off-by-one unmask `i > ends[n]`) is observable.  The
+# kernel therefore carries explicit (current, stale) pairs for S and D and
+# applies the host's exact write/reset masks — buffer contents are
+# bit-identical to the host's at every column, monotone bands or not.
+#
+# Banded-vs-custom recurrence deltas replicated here (all per-lane, keyed
+# on is_last = j == nlens): xclip_score gains a max(ycp, Sn[0]) term; the
+# insertion chain gains a Sn[i-1] + go candidate (TB_YCLIP_SUFFIX bits);
+# row 0 has NO Sn merge; column 0 does NO Sn[i] updates; and when row m is
+# out of band its accumulated xclip-suffix value feeds the Sn[m] update and
+# is then discarded (S[m] = MIN, tb s-bits = TB_XCLIP_SUFFIX).
+
+
+def _kernel_scan_banded_mp(
+    pen_ref,  # SMEM [go, ge, ma, mi, N, ycp, ycs, xcp, xcs]
+    xt_ref,  # (M, BB) int32 symbols
+    yt_ref,  # (Np, BB)
+    st_ref,  # (Np, BB) band starts, columns 1..N
+    en_ref,  # (Np, BB) band ends (exclusive)
+    enx_ref,  # (Np, BB) ends[min(n, j+1)] (the host post-reset bound)
+    st0_ref,  # (1, BB) column-0 band
+    en0_ref,  # (1, BB)
+    mlens_ref,
+    nlens_ref,
+    tb_out,  # (K, Mp1, BB) uint16
+    lx_out,  # (K, 1, BB) int32
+    sf_out,
+    if_out,
+    snf_out,
+    lyf_out,
+    tbk_out,
+    S,  # current-parity S buffer
+    Ss,  # stale-parity S buffer
+    D,
+    Ds,
+    SB,  # s-bits of the previous column's tb (0 where unwritten)
+    I,
+    SN,
+    LY,
+    TBK,
+):
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    go = pen_ref[0]
+    ge = pen_ref[1]
+    ma = pen_ref[2]
+    mi = pen_ref[3]
+    n_total = pen_ref[4]
+    ycp = pen_ref[5]
+    ycs = pen_ref[6]
+    xcp = pen_ref[7]
+    xcs = pen_ref[8]
+
+    K = tb_out.shape[0]
+    Mp1, BB = S.shape
+    M = Mp1 - 1
+    rows = jax.lax.broadcasted_iota(I32, (Mp1, BB), 0)
+    row0 = rows == 0
+    row_ge1 = rows >= 1
+    mlens = mlens_ref[:]
+    nlens = nlens_ref[:]
+    is_row_m = (rows == mlens) & (mlens >= 1)
+    xt = xt_ref[:]
+    rge = rows * ge
+    yclip_row = ycp + go + ge * (rows - 1)
+
+    @pl.when(c == 0)
+    def _init():
+        # column j = 0 (banded.py:396-439): band-masked init column
+        st0 = st0_ref[:]
+        en0 = en0_ref[:]
+        in_b0 = row_ge1 & (rows >= st0) & (rows < en0)
+        gap_i = go + ge * (rows - 1)
+        clip_i = xcp + go
+        ins_wins = gap_i > clip_i
+        I0v = jnp.where(rows == 1, go, jnp.where(ins_wins, gap_i, clip_i))
+        ib0 = jnp.where(
+            rows == 1, TB_START, jnp.where(ins_wins, TB_INS, TB_XCLIP_PREFIX)
+        )
+        # cell S: base MIN; I > S -> INS; xcp > S -> XCLIP_PREFIX
+        S0 = jnp.full((Mp1, BB), MIN_I32, I32)
+        sb0 = jnp.full((Mp1, BB), TB_START, I32)
+        tkI = I0v > S0
+        S0 = jnp.where(tkI, I0v, S0)
+        sb0 = jnp.where(tkI, TB_INS, sb0)
+        tkX = xcp > S0
+        S0 = jnp.where(tkX, xcp, S0)
+        sb0 = jnp.where(tkX, TB_XCLIP_PREFIX, sb0)
+        # row-m accumulator over in-band rows < m
+        vals = jnp.where(in_b0 & (rows <= mlens - 1), S0 + xcs, _SENT)
+        A = jnp.max(vals, axis=0, keepdims=True)
+        updA = A > MIN_I32
+        first = jnp.min(
+            jnp.where(vals == A, rows, jnp.int32(2**30)), axis=0,
+            keepdims=True,
+        )
+        del first  # column-0 Lx is recomputed by the XLA init twin
+        m_in_b0 = (mlens >= st0) & (mlens < en0) & (mlens >= 1)
+        S_m = jnp.where(updA, A, MIN_I32)
+        sb_m = jnp.full((1, BB), TB_XCLIP_SUFFIX, I32)
+        take_m = lambda a: jnp.max(
+            jnp.where(is_row_m, a, _SENT), axis=0, keepdims=True
+        )
+        I0_m = take_m(jnp.where(in_b0, I0v, MIN_I32))
+        tkIm = I0_m > S_m
+        S_m = jnp.where(tkIm, I0_m, S_m)
+        sb_m = jnp.where(tkIm, TB_INS, sb_m)
+        tkXm = xcp > S_m
+        S_m = jnp.where(tkXm, xcp, S_m)
+        sb_m = jnp.where(tkXm, TB_XCLIP_PREFIX, sb_m)
+        # `if i_end < m + 1: S[curr][m] = MIN` (no tb write at col 0: the
+        # XCS s-bits exist only if the accumulator ever fired)
+        S_m = jnp.where(m_in_b0, S_m, MIN_I32)
+        sb_m = jnp.where(
+            m_in_b0, sb_m,
+            jnp.where(updA, TB_XCLIP_SUFFIX, TB_START),
+        )
+        S0 = jnp.where(in_b0, S0, MIN_I32)
+        sb0 = jnp.where(in_b0, sb0, TB_START)
+        I0 = jnp.where(in_b0, I0v, MIN_I32)
+        ib0 = jnp.where(in_b0, ib0, TB_START)
+        S0 = jnp.where(is_row_m, S_m, S0)
+        sb0 = jnp.where(is_row_m, sb_m, sb0)
+        S0 = jnp.where(row0, jnp.where(st0 == 0, 0, MIN_I32), S0)
+        sb0 = jnp.where(row0, TB_START, sb0)
+        S[:] = S0
+        Ss[:] = jnp.full((Mp1, BB), MIN_I32, I32)
+        D[:] = jnp.full((Mp1, BB), MIN_I32, I32)
+        Ds[:] = jnp.full((Mp1, BB), MIN_I32, I32)
+        SB[:] = sb0
+        I[:] = I0
+        TBK[:] = ib0 | (TB_START << 4) | (sb0 << 8)
+        # Sn init (banded: ONLY row 0; no per-row ycs merge at column 0)
+        yp_wins = ycp > ycs
+        SN[:] = jnp.where(
+            row0, jnp.where(yp_wins, ycp, ycs), MIN_I32
+        )
+        LY[:] = jnp.where(row0 & ~yp_wins, nlens, 0)
+
+    def column(k, st):
+        S_p, Ss_p, D_p, Ds_p, SB_p, I_p, SN_p, LY_p, TBK_p = st
+        j = (c * K + k + 1).astype(I32)
+        valid = j <= n_total
+        active = j <= nlens
+        is_last = j == nlens
+
+        stj = st_ref[k][None, :]  # (1, BB)
+        enj = en_ref[k][None, :]
+        enx = enx_ref[k][None, :]
+        in_band = row_ge1 & (rows >= stj) & (rows < enj)
+        m_in_band = (mlens >= stj) & (mlens < enj) & (mlens >= 1)
+        r0_comp = stj == 0  # (1, BB): host computes row 0 iff i_start == 0
+
+        y_col = yt_ref[k]  # yt streams per chunk like st/en
+        eq = (xt == y_col[None, :]).astype(I32)
+        subs = mi + (ma - mi) * eq
+
+        neg_row = jnp.full((1, BB), MIN_I32, I32)
+        m_val = jnp.concatenate([neg_row, S_p[:-1] + subs], axis=0)
+        m_bits = jnp.concatenate(
+            [jnp.full((1, BB), TB_START, I32), TB_SUBST + eq], axis=0
+        )
+
+        d_ext = D_p + ge
+        d_open = S_p + go
+        d_wins = d_ext > d_open
+        bestD = jnp.where(d_wins, d_ext, d_open)
+        d_bits = jnp.where(d_wins, TB_DEL, SB_p)
+
+        # row 0 (banded.py:561-599): computed iff the band starts at 0;
+        # NO Sn merge into S (that is the full custom aligner's quirk)
+        d_gap = go + ge * (j - 1)
+        d_clip = ycp + go
+        del_wins0 = d_gap > d_clip
+        Dj0 = jnp.where(j == 1, go, jnp.where(del_wins0, d_gap, d_clip))
+        db0 = jnp.where(
+            j == 1, TB_START, jnp.where(del_wins0, TB_DEL, TB_YCLIP_PREFIX)
+        )
+        d_gt = Dj0 > ycp
+        S0j = jnp.where(d_gt, Dj0, ycp)
+        sb0 = jnp.where(d_gt, TB_DEL, TB_YCLIP_PREFIX)
+        sn0_old = SN_p[0:1]
+        upd_sn0 = (S0j + ycs > sn0_old) & active & r0_comp
+        sn0_new = jnp.where(upd_sn0, S0j + ycs, sn0_old)
+        ly0_new = jnp.where(upd_sn0, nlens - j, LY_p[0:1])
+
+        bestD = jnp.where(row0, jnp.where(r0_comp, Dj0, MIN_I32), bestD)
+        d_bits = jnp.where(row0, jnp.where(r0_comp, db0, TB_START), d_bits)
+
+        # xclip_score (banded.py:480-483): at j == n the ycp term becomes
+        # max(ycp, Sn[0]) with Sn[0] AFTER this column's row-0 update
+        yterm = jnp.where(
+            is_last, jnp.maximum(ycp, sn0_new), jnp.broadcast_to(ycp, sn0_new.shape)
+        )
+        xclip_vec = xcp + jnp.maximum(yterm, go + ge * (j - 1))  # (1, BB)
+
+        s_tilde = jnp.maximum(jnp.maximum(m_val, bestD), yclip_row)
+        s_tilde = jnp.maximum(s_tilde, xclip_vec)
+        s_tilde = jnp.where(row0, jnp.where(r0_comp, S0j, MIN_I32), s_tilde)
+
+        # insertion chain: open from s_tilde(i-1) + go, and at j == n also
+        # from Sn(i-1) + go (banded.py:497-501); Sn values are pre-column
+        # except row 0 (in-column updates are dominated since ycs <= 0)
+        sn_for_i = jnp.concatenate([sn0_new, SN_p[1:]], axis=0)
+        # the in-column open chain must match the host's buffer contents:
+        # row st-1 is RESET (MIN) and rows above it never feed the band's
+        # chain (the host loop starts at max(1, st)).  Chain sentinel: must
+        # sit below every reachable value but leave headroom for the +go /
+        # -rge arithmetic (an int32 _SENT wraps)
+        SENT2 = jnp.int32(-1_500_000_000)
+        s_tilde_eff = jnp.where(
+            rows >= stj,
+            s_tilde,
+            jnp.where(rows == stj - 1, MIN_I32, SENT2),
+        )
+        T_s = jnp.concatenate([neg_row, s_tilde_eff[:-1] + go], axis=0)
+        T_sn = jnp.concatenate([neg_row, sn_for_i[:-1] + go], axis=0)
+        # gate to a sentinel BELOW any reachable chain value (values dip
+        # under MIN_I32 by a few gap units; MIN_I32 itself would win there)
+        T_sn = jnp.where(
+            jnp.broadcast_to(is_last, T_sn.shape), T_sn, SENT2
+        )
+        # I-chain seed: at the first loop row the host reads the RESET
+        # I[st-1] = MIN, so i_score = MIN + ge there (an "open" of value
+        # MIN+ge at that row, extending with ge like any chain)
+        T_seed = jnp.where(
+            rows == jnp.maximum(1, stj), MIN_I32 + ge, SENT2
+        )
+        T = jnp.maximum(jnp.maximum(T_s, T_sn), T_seed)
+        U = T - rge
+        bestI = _cummax_rows(U) + rge
+        i_ext = jnp.concatenate([neg_row, bestI[:-1] + ge], axis=0)
+
+        # priority: M/S > I > D > XCLIP_PREFIX > YCLIP_PREFIX
+        S_col = m_val
+        s_bits = m_bits
+        for cand, bits in (
+            (bestI, TB_INS),
+            (bestD, TB_DEL),
+            (jnp.broadcast_to(xclip_vec, (Mp1, BB)), TB_XCLIP_PREFIX),
+            (yclip_row, TB_YCLIP_PREFIX),
+        ):
+            tk = cand > S_col
+            S_col = jnp.where(tk, cand, S_col)
+            s_bits = jnp.where(tk, bits, s_bits)
+        S_col = jnp.where(row0, S0j, S_col)
+        s_bits = jnp.where(row0, sb0, s_bits)
+
+        # row-m: xclip-suffix accumulator over in-band rows < m, then the
+        # cell's own candidates when m is in band (banded.py:523-547)
+        vals = jnp.where(in_band & (rows <= mlens - 1), S_col + xcs, _SENT)
+        A = jnp.max(vals, axis=0, keepdims=True)
+        updA = A > MIN_I32
+        first = jnp.min(
+            jnp.where(vals == A, rows, jnp.int32(2**30)), axis=0,
+            keepdims=True,
+        )
+        Lx_j = jnp.where(updA & active, mlens - first, 0)
+        take_m = lambda a: jnp.max(
+            jnp.where(is_row_m, a, _SENT), axis=0, keepdims=True
+        )
+        S_m = jnp.where(updA, A, MIN_I32)
+        sb_m = jnp.full((1, BB), TB_XCLIP_SUFFIX, I32)
+        for cand, bits in (
+            (take_m(m_val), take_m(m_bits)),
+            (take_m(bestI), jnp.full((1, BB), TB_INS, I32)),
+            (take_m(bestD), jnp.full((1, BB), TB_DEL, I32)),
+            (
+                jnp.broadcast_to(xclip_vec, (1, BB)),
+                jnp.full((1, BB), TB_XCLIP_PREFIX, I32),
+            ),
+            (take_m(yclip_row), jnp.full((1, BB), TB_YCLIP_PREFIX, I32)),
+        ):
+            tk = cand > S_m
+            S_m = jnp.where(tk, cand, S_m)
+            sb_m = jnp.where(tk, bits, sb_m)
+        S_col = jnp.where(is_row_m, jnp.where(m_in_band, S_m, S_col), S_col)
+        s_bits = jnp.where(is_row_m, jnp.where(m_in_band, sb_m, s_bits), s_bits)
+
+        # i-bits: chained-extend vs fresh open (s-bits of the cell above)
+        # vs the j==n Sn open (TB_YCLIP_SUFFIX)
+        prev_sbits = jnp.concatenate(
+            [jnp.full((1, BB), TB_START, I32), s_bits[:-1]], axis=0
+        )
+        i_score_eff = jnp.maximum(i_ext, T_seed)
+        i_bits = jnp.where(
+            T_sn > jnp.maximum(i_score_eff, T_s),
+            TB_YCLIP_SUFFIX,
+            jnp.where(i_score_eff > T_s, TB_INS, prev_sbits),
+        )
+        i_bits = jnp.where(row0, TB_START, i_bits)
+
+        # Sn updates from in-band cells (banded.py:548-552)
+        upd_sn = (S_col + ycs > SN_p) & in_band & active
+        Sn_new = jnp.where(upd_sn, S_col + ycs, SN_p)
+        Ly_new = jnp.where(upd_sn, nlens - j, LY_p)
+        Sn_new = jnp.where(row0, sn0_new, Sn_new)
+        Ly_new = jnp.where(row0, ly0_new, Ly_new)
+
+        # post-loop: Sn[m] from the accumulated S[m], THEN the out-of-band
+        # row-m override (S[m] = MIN, tb s-bits = XCLIP_SUFFIX)
+        S_m_acc = jnp.where(
+            m_in_band, take_m(S_col), jnp.where(updA, A, MIN_I32)
+        )
+        upd_snm = (S_m_acc + ycs > take_m(Sn_new)) & active & (mlens >= 1)
+        Sn_new = jnp.where(is_row_m & upd_snm, S_m_acc + ycs, Sn_new)
+        Ly_new = jnp.where(is_row_m & upd_snm, nlens - j, Ly_new)
+        S_col = jnp.where(is_row_m & ~m_in_band, MIN_I32, S_col)
+        s_bits = jnp.where(is_row_m & ~m_in_band, TB_XCLIP_SUFFIX, s_bits)
+
+        # host buffer replication: write mask + fringe resets on the
+        # stale-parity base
+        W = in_band | (row0 & r0_comp) | is_row_m
+        R_pre = (rows == stj - 1) | is_row_m  # S-only m pre-reset
+        R_post = (rows >= enj) & (rows < jnp.minimum(mlens + 1, enx))
+        S_full = jnp.where(
+            W, S_col, jnp.where(R_pre | R_post, MIN_I32, Ss_p)
+        )
+        W_id = in_band | (row0 & r0_comp)
+        R_id = (rows == stj - 1) | R_post
+        D_full = jnp.where(W_id, bestD, jnp.where(R_id, MIN_I32, Ds_p))
+        I_col = jnp.where(W_id, bestI, jnp.where(R_id, MIN_I32, I_p))
+        I_col = jnp.where(row0 & r0_comp, MIN_I32, I_col)  # I[curr][0]=MIN
+        SB_col = jnp.where(W, s_bits, TB_START)
+
+        # tb: i/d bits only where the cell was truly computed; the row-m
+        # override writes s-bits only (host tb_set_s)
+        tb_col = (
+            jnp.where(W_id, i_bits, TB_START)
+            | (jnp.where(W_id, d_bits, TB_START) << 4)
+            | (SB_col << 8)
+        ).astype(jnp.uint16)
+        tb_out[k] = tb_col
+        lx_out[k] = Lx_j
+
+        keep = valid & active
+        keep2 = jnp.broadcast_to(keep, (Mp1, BB))
+        return (
+            jnp.where(keep2, S_full, S_p),
+            jnp.where(keep2, S_p, Ss_p),
+            jnp.where(keep2, D_full, D_p),
+            jnp.where(keep2, D_p, Ds_p),
+            jnp.where(keep2, SB_col, SB_p),
+            jnp.where(keep2, I_col, I_p),
+            jnp.where(keep2, Sn_new, SN_p),
+            jnp.where(keep2, Ly_new, LY_p),
+            jnp.where(keep2, tb_col.astype(I32), TBK_p),
+        )
+
+    st = jax.lax.fori_loop(
+        0, K, column,
+        (S[:], Ss[:], D[:], Ds[:], SB[:], I[:], SN[:], LY[:], TBK[:]),
+    )
+    S[:], Ss[:], D[:], Ds[:], SB[:], I[:], SN[:], LY[:], TBK[:] = st
+
+    @pl.when(c == n_chunks - 1)
+    def _finish():
+        sf_out[:] = S[:]
+        if_out[:] = I[:]
+        snf_out[:] = SN[:]
+        lyf_out[:] = LY[:]
+        tbk_out[:] = TBK[:]
+
+
+def scan_banded_pallas_mp(xb, yb, mlens, nlens, pens8, starts, ends):
+    """Banded custom scan (MatchParams).  ``starts``/``ends``: (B, N+1)
+    int32 per-column band rows (host-rasterized, banded.py Band).  Returns
+    (tb_cols (Np, Mp1, B) u16, lx_cols (Np, B) i32, S_f, I_f, Sn_f, Ly_f,
+    tbk) — finals lane-major, like scan_custom_pallas_mp."""
+    B, M = xb.shape
+    N = yb.shape[1]
+    block_b, K = _pick_block_global(B, M, N, n_state=70, stream_bytes=16)
+    # Mosaic sublane rule: a (K, bb) streamed input block needs K % 8 == 0
+    # unless K equals the full array dim
+    if K < N:
+        K = max(8, (K // 8) * 8)
+    else:
+        K = N
+    Mp1 = M + 1
+    n_chunks = -(-N // K)
+    Np = n_chunks * K
+    grid = (B // block_b, n_chunks)
+    xt = jnp.transpose(xb.astype(I32), (1, 0))
+    yt = jnp.transpose(yb.astype(I32), (1, 0))
+    # columns 1..N streams; enx[j] = ends[min(n, j+1)] per lane
+    stT = jnp.transpose(starts[:, 1:], (1, 0))
+    enT = jnp.transpose(ends[:, 1:], (1, 0))
+    jn = jnp.minimum(
+        jnp.arange(1, N + 1, dtype=I32)[:, None] + 1, nlens[None, :]
+    )
+    enxT = jnp.take_along_axis(
+        jnp.transpose(ends, (1, 0)), jn, axis=0
+    )
+    if Np != N:
+        pad = ((0, Np - N), (0, 0))
+        yt = jnp.pad(yt, pad)
+        stT = jnp.pad(stT, pad, constant_values=M + 1)
+        enT = jnp.pad(enT, pad)
+        enxT = jnp.pad(enxT, pad)
+    p8 = jnp.asarray(pens8, I32).reshape(8)
+    pen = jnp.stack(
+        [p8[0], p8[1], p8[6], p8[7], jnp.int32(N), p8[4], p8[5], p8[2], p8[3]]
+    )
+    fspec = lambda: pl.BlockSpec((Mp1, block_b), lambda b, c: (0, b))
+    fshape = lambda: jax.ShapeDtypeStruct((Mp1, B), jnp.int32)
+    out = pl.pallas_call(
+        _kernel_scan_banded_mp,
+        interpret=jax.default_backend() == "cpu",
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((M, block_b), lambda b, c: (0, b)),
+            pl.BlockSpec((K, block_b), lambda b, c: (c, b)),
+            pl.BlockSpec((K, block_b), lambda b, c: (c, b)),
+            pl.BlockSpec((K, block_b), lambda b, c: (c, b)),
+            pl.BlockSpec((K, block_b), lambda b, c: (c, b)),
+            pl.BlockSpec((1, block_b), lambda b, c: (0, b)),
+            pl.BlockSpec((1, block_b), lambda b, c: (0, b)),
+            pl.BlockSpec((1, block_b), lambda b, c: (0, b)),
+            pl.BlockSpec((1, block_b), lambda b, c: (0, b)),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, Mp1, block_b), lambda b, c: (c, 0, b)),
+            pl.BlockSpec((K, 1, block_b), lambda b, c: (c, 0, b)),
+            fspec(), fspec(), fspec(), fspec(), fspec(),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, Mp1, B), jnp.uint16),
+            jax.ShapeDtypeStruct((Np, 1, B), jnp.int32),
+            fshape(), fshape(), fshape(), fshape(), fshape(),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Mp1, block_b), jnp.int32) for _ in range(9)
+        ],
+    )(
+        pen,
+        xt,
+        yt,
+        stT,
+        enT,
+        enxT,
+        starts[:, 0].reshape(1, B),
+        ends[:, 0].reshape(1, B),
+        mlens.reshape(1, B),
+        nlens.reshape(1, B),
+    )
+    tb_cols, lx_cols, S_f, I_f, Sn_f, Ly_f, tbk = out
+    tr = lambda a: jnp.transpose(a, (1, 0))
+    return (
+        tb_cols,
+        lx_cols[:, 0, :],
+        tr(S_f),
+        tr(I_f),
+        tr(Sn_f),
+        tr(Ly_f),
+        tr(tbk),
+    )

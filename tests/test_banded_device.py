@@ -1,0 +1,133 @@
+"""Device banded aligner vs the host oracle (banded.py, itself embedding
+the reference banded.rs golden values)."""
+
+import numpy as np
+import pytest
+
+from rust_bio_tpu.alignment.pairwise import banded
+from rust_bio_tpu.alignment.pairwise.banded_device import BatchBandedAligner
+from rust_bio_tpu.alignment.pairwise.scoring import Scoring
+
+K, W = 5, 8
+
+
+def _gen_pair(rng, mmax=60, nmax=70):
+    m = int(rng.integers(10, mmax))
+    x = rng.choice(list(b"ACGT"), size=m).astype("uint8").tobytes()
+    if rng.random() < 0.8:
+        y = bytearray(x)
+        for _ in range(int(rng.integers(0, 6))):
+            p = int(rng.integers(0, len(y)))
+            op = rng.random()
+            if op < 0.5:
+                y[p] = int(rng.choice(list(b"ACGT")))
+            elif op < 0.75 and len(y) > 12:
+                del y[p]
+            else:
+                y.insert(p, int(rng.choice(list(b"ACGT"))))
+        if rng.random() < 0.4:
+            y = (
+                rng.choice(list(b"ACGT"), size=int(rng.integers(0, 10)))
+                .astype("uint8")
+                .tobytes()
+                + bytes(y)
+            )
+        y = bytes(y)[:nmax] or b"A"
+    else:
+        y = (
+            rng.choice(list(b"ACGT"), size=int(rng.integers(10, nmax)))
+            .astype("uint8")
+            .tobytes()
+        )
+    return x, y
+
+
+def _assert_same(got, want, ctx):
+    assert got.score == want.score, ctx
+    assert got.operations == want.operations, ctx
+    assert (got.xstart, got.ystart, got.xend, got.yend) == (
+        want.xstart,
+        want.ystart,
+        want.xend,
+        want.yend,
+    ), ctx
+
+
+@pytest.mark.parametrize("mode", ["custom", "global_", "semiglobal", "local"])
+def test_banded_device_matches_host(mode):
+    rng = np.random.default_rng(11)
+    sc = Scoring.from_scores(-5, -1, 2, -2)
+    bat = BatchBandedAligner(sc, K, W)
+    pairs = [_gen_pair(rng) for _ in range(12)]
+    xs = [p[0] for p in pairs]
+    ys = [p[1] for p in pairs]
+    got = getattr(bat, mode)(xs, ys)
+    for i, (x, y) in enumerate(pairs):
+        al = banded.Aligner(sc, K, W)
+        want = getattr(al, {"global_": "global_"}.get(mode, mode))(x, y)
+        _assert_same(got[i], want, (mode, i, x, y))
+
+
+def test_banded_device_multichunk_and_short_y(monkeypatch):
+    """Forced multi-chunk streaming + bands that never reach row m (the
+    final-column stale-cell regime) + a different (k, w)."""
+    from rust_bio_tpu.ops import sw_pallas
+
+    real_pick = sw_pallas._pick_block_global
+    monkeypatch.setattr(
+        sw_pallas,
+        "_pick_block_global",
+        lambda B, M, N, n_state=30, stream_bytes=0: (
+            real_pick(B, M, N, n_state, stream_bytes)[0],
+            max(1, N // 4),
+        ),
+    )
+    rng = np.random.default_rng(7)
+    sc = Scoring.from_scores(-5, -1, 2, -2)
+    bat = BatchBandedAligner(sc, 6, 10)
+    pairs = []
+    for t in range(8):
+        x, y = _gen_pair(rng, mmax=120, nmax=140)
+        if t % 3 == 2:
+            y = y[: max(8, len(y) // 3)]
+        pairs.append((x, y))
+    xs = [p[0] for p in pairs]
+    ys = [p[1] for p in pairs]
+    for mode in ("custom", "semiglobal", "local"):
+        got = getattr(bat, mode)(xs, ys)
+        for i, (x, y) in enumerate(pairs):
+            al = banded.Aligner(sc, 6, 10)
+            want = getattr(al, mode)(x, y)
+            _assert_same(got[i], want, (mode, i))
+
+
+def test_banded_device_no_matches_full_matrix():
+    """Pairs with no kmer matches fall back to a full-matrix band —
+    device path must agree with the host there too."""
+    rng = np.random.default_rng(3)
+    sc = Scoring.from_scores(-4, -1, 1, -1)
+    bat = BatchBandedAligner(sc, 8, 4)
+    xs = [rng.choice(list(b"AC"), size=20).astype("uint8").tobytes()
+          for _ in range(4)]
+    ys = [rng.choice(list(b"GT"), size=25).astype("uint8").tobytes()
+          for _ in range(4)]
+    got = bat.global_(xs, ys)
+    for i in range(4):
+        al = banded.Aligner(sc, 8, 4)
+        want = al.global_(xs[i], ys[i])
+        _assert_same(got[i], want, i)
+
+
+def test_banded_device_golden_reference_case():
+    """The reference's own banded test sequences (banded.rs tests, already
+    embedded as goldens in test_banded.py) through the batch path."""
+    x = b"AAAAACCCCCAAAAACCCCCAAAAACCCCCAAAAACCCCC"
+    y = b"AAAAACCCCCAAAAACCCCCAAAAACCCCCAAAAACCCCC"
+    z = b"AAAAACCCCCAAAAAGCCCCAAAAACCCCCAAAAACCCCC"
+    sc = Scoring.from_scores(-5, -1, 1, -1)
+    bat = BatchBandedAligner(sc, 8, 6)
+    got = bat.semiglobal([x, x], [y, z])
+    for i, yy in enumerate((y, z)):
+        al = banded.Aligner(sc, 8, 6)
+        want = al.semiglobal(x, yy)
+        _assert_same(got[i], want, i)
