@@ -489,8 +489,18 @@ class DeviceFMIndex:
         return base + offset
 
     def locate_batch(self, rows) -> np.ndarray:
-        """Text positions for a batch of suffix-array row indices."""
-        return np.asarray(self._locate_kernel(jnp.asarray(rows, np.int32)))
+        """Text positions for a batch of suffix-array row indices.
+
+        The batch is padded to a power-of-two bucket so repeated calls with
+        varying row counts reuse one compiled LF-walk (an unpadded call
+        recompiles the while_loop for every distinct shape)."""
+        rows = np.asarray(rows, np.int32)
+        nb = rows.shape[0]
+        if nb == 0:
+            return rows
+        cap = max(16, 1 << (nb - 1).bit_length())
+        rp = np.pad(rows, (0, cap - nb))
+        return np.asarray(self._locate_kernel(jnp.asarray(rp)))[:nb]
 
     def locate_interval(self, interval: Interval) -> np.ndarray:
         return self.locate_batch(np.arange(interval.lower, interval.upper))

@@ -169,6 +169,11 @@ class ReadMapper:
             MappedRead(ids[i], -1, "+", 0, "", None) for i in range(B)
         ]
         if xs:
+            # pad the pick count to a power-of-two bucket: stable batch
+            # shapes reuse one compiled engine across calls
+            cap = max(8, 1 << (len(xs) - 1).bit_length())
+            xs = xs + [b"A"] * (cap - len(xs))
+            ys = ys + [b"A"] * (cap - len(ys))
             alns = self.aligner.semiglobal(xs, ys)
             for (i, strand, win_start), aln in zip(metas, alns):
                 out[i] = MappedRead(
