@@ -933,9 +933,10 @@ def _walk_semiclip(tb_xb, tbfix, mlens, nlens, B, M, N):
     }
 
 
-@partial(jax.jit, static_argnames=("with_traceback",))
+@partial(jax.jit, static_argnames=("with_traceback", "sweep_walk"))
 def _align_batch_device_semiglobal_mp(
-    xb, yb, mlens, nlens, penalties8, with_traceback: bool = True
+    xb, yb, mlens, nlens, penalties8, with_traceback: bool = True,
+    sweep_walk: bool = True,
 ):
     """Semiglobal-family MatchParams fast path (x-clips MIN, y-clips
     dynamic): transposed Pallas scan + the shared XLA suffix fixups on the
@@ -958,13 +959,33 @@ def _align_batch_device_semiglobal_mp(
     if not with_traceback:
         return {"score": score}
 
+    tbfix = (tb_col_fixed.astype(I32) & 0xFFF) | (Ly_f << 12)
+    if sweep_walk:
+        from rust_bio_tpu.ops.walk_pallas import sweep_walk_semiglobal
+
+        (
+            ins_cnt, exit_op, ins0, fix_ins, fix_exit, fix_ly, ystart, yend
+        ) = sweep_walk_semiglobal(tb_cols, tbfix, mlens, nlens)
+        return {
+            "score": score,
+            "ins_cnt": ins_cnt,
+            "exit_op": exit_op,
+            "ins0": ins0,
+            "fix_ins": fix_ins,
+            "fix_exit": fix_exit,
+            "fix_ly": fix_ly,
+            "xstart": jnp.zeros(B, I32),
+            "ystart": ystart,
+            "xend": mlens,
+            "yend": yend,
+        }
+
     *_, tb_col0, _Lx0 = _init_column(
         B, M, rows, row_ge1, mlens, nlens, mlens_c, is_row_m, pens
     )
     tb_xb = jnp.concatenate(
         [jnp.transpose(tb_col0, (1, 0))[None], tb_cols], axis=0
     ).reshape(-1, B)
-    tbfix = (tb_col_fixed.astype(I32) & 0xFFF) | (Ly_f << 12)
 
     out = _walk_semiclip(tb_xb, tbfix, mlens, nlens, B, M, N)
     out["score"] = score
@@ -1139,10 +1160,10 @@ def _subs2_stream(xb, yb, lut, n_syms: int = 32):
     return subs_nmb * 2 + eq_nmb
 
 
-@partial(jax.jit, static_argnames=("with_traceback", "n_syms"))
+@partial(jax.jit, static_argnames=("with_traceback", "n_syms", "sweep_walk"))
 def _align_batch_device_semiglobal_lut(
     xb, yb, mlens, nlens, lut, penalties, with_traceback: bool = True,
-    n_syms: int = 32,
+    n_syms: int = 32, sweep_walk: bool = True,
 ):
     """Semiglobal-family fast path for arbitrary LUT scorings: streamed
     packed-subs transposed kernel + the shared suffix fixups + y-clip walk
@@ -1165,13 +1186,33 @@ def _align_batch_device_semiglobal_lut(
     if not with_traceback:
         return {"score": score}
 
+    tbfix = (tb_col_fixed.astype(I32) & 0xFFF) | (Ly_f << 12)
+    if sweep_walk:
+        from rust_bio_tpu.ops.walk_pallas import sweep_walk_semiglobal
+
+        (
+            ins_cnt, exit_op, ins0, fix_ins, fix_exit, fix_ly, ystart, yend
+        ) = sweep_walk_semiglobal(tb_cols, tbfix, mlens, nlens)
+        return {
+            "score": score,
+            "ins_cnt": ins_cnt,
+            "exit_op": exit_op,
+            "ins0": ins0,
+            "fix_ins": fix_ins,
+            "fix_exit": fix_exit,
+            "fix_ly": fix_ly,
+            "xstart": jnp.zeros(B, I32),
+            "ystart": ystart,
+            "xend": mlens,
+            "yend": yend,
+        }
+
     *_, tb_col0, _Lx0 = _init_column(
         B, M, rows, row_ge1, mlens, nlens, mlens_c, is_row_m, pens
     )
     tb_xb = jnp.concatenate(
         [jnp.transpose(tb_col0, (1, 0))[None], tb_cols], axis=0
     ).reshape(-1, B)
-    tbfix = (tb_col_fixed.astype(I32) & 0xFFF) | (Ly_f << 12)
 
     out = _walk_semiclip(tb_xb, tbfix, mlens, nlens, B, M, N)
     out["score"] = score
@@ -1347,21 +1388,64 @@ def _decode_ops_colrle(
     return ops
 
 
-def _decode_ops(codes: np.ndarray, lens: np.ndarray) -> List[AlignmentOperation]:
-    ops: List[AlignmentOperation] = []
-    for c, l in zip(codes, lens):
-        if c == 0:
-            break
-        if c in _OP_BY_CODE:
-            # l > 1 on Match/Subst = a same-op diagonal run jumped in one
-            # walk step (run nibble); expand to l copies
-            ops.extend([_OP_BY_CODE[c]] * max(1, int(l)))
-        elif c in (TB_XCLIP_PREFIX, TB_XCLIP_SUFFIX):
-            ops.append(Xclip(int(l)))
-        elif c in (TB_YCLIP_PREFIX, TB_YCLIP_SUFFIX):
-            ops.append(Yclip(int(l)))
+_OP_ARR = np.empty(16, object)
+for _c, _o in _OP_BY_CODE.items():
+    _OP_ARR[_c] = _o
+
+
+def _decode_ops_colrle_semi(
+    ins_cnt, exit_op, ins0: int,
+    fix_ins: int, fix_exit: int, fix_ly: int, nlen: int,
+) -> List[AlignmentOperation]:
+    """Decode the semiglobal column-RLE walk: per sweep column an
+    ``[Ins x cnt][exit]`` group (exit may be Yclip-prefix of length j),
+    then the fixed final column's group, emitted end -> start and
+    reconstructed here start -> end (bit-identical order to the
+    sequential ``_walk_semiclip``)."""
+    ops: List[AlignmentOperation] = [Ins] * int(ins0)
+    for j in range(nlen):
+        c = int(exit_op[j])
+        if c:
+            if c == TB_YCLIP_PREFIX:
+                ops.append(Yclip(j + 1))
+            else:
+                ops.append(_OP_BY_CODE[c])
+        ops.extend([Ins] * int(ins_cnt[j]))
+    c = int(fix_exit)
+    if c:
+        if c in (TB_YCLIP_PREFIX, TB_YCLIP_SUFFIX):
+            ops.append(Yclip(int(fix_ly)))
         else:
-            raise AssertionError(f"invalid op code {c}")
+            ops.append(_OP_BY_CODE[c])
+    ops.extend([Ins] * int(fix_ins))
+    return ops
+
+
+def _decode_ops(codes: np.ndarray, lens: np.ndarray) -> List[AlignmentOperation]:
+    """Decode one lane's (T,) walk buffers into the op list (end -> start
+    reversed to start -> end).  Vectorized: a per-entry Python loop costs
+    ~100 ms per thousand-lane batch; the numpy object-LUT expansion is
+    ~10x cheaper."""
+    nz = np.nonzero(codes == 0)[0]
+    end = int(nz[0]) if nz.size else len(codes)
+    if end == 0:
+        return []
+    c = codes[:end].astype(np.intp)
+    l = lens[:end].astype(np.int64)
+    # l > 1 on Match/Subst (run nibble) or on the banded ending fixups'
+    # Ins/Del runs: expand to l copies; clip entries stay single
+    is_clip = c >= TB_XCLIP_PREFIX
+    reps = np.where(is_clip, 1, np.maximum(l, 1))
+    ops = _OP_ARR[np.repeat(c, reps)].tolist()
+    if is_clip.any():
+        offs = np.concatenate([[0], np.cumsum(reps)])
+        for j in np.nonzero(is_clip)[0]:
+            code = int(c[j])
+            ops[int(offs[j])] = (
+                Xclip(int(l[j]))
+                if code in (TB_XCLIP_PREFIX, TB_XCLIP_SUFFIX)
+                else Yclip(int(l[j]))
+            )
     ops.reverse()
     return ops
 
@@ -1568,9 +1652,20 @@ class BatchAligner:
         out = jax.tree.map(np.asarray, out)
 
         colrle = "ins_cnt" in out
+        semi_rle = "fix_exit" in out
         results = []
         for k in range(B):
-            if colrle:
+            if semi_rle:
+                ops = _decode_ops_colrle_semi(
+                    out["ins_cnt"][:, k],
+                    out["exit_op"][:, k],
+                    out["ins0"][k],
+                    out["fix_ins"][k],
+                    out["fix_exit"][k],
+                    out["fix_ly"][k],
+                    int(nlens[k]),
+                )
+            elif colrle:
                 ops = _decode_ops_colrle(
                     out["ins_cnt"][:, k],
                     out["exit_op"][:, k],

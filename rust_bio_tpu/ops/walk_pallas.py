@@ -42,6 +42,8 @@ from rust_bio_tpu.alignment.pairwise.scalar import (
     TB_MATCH,
     TB_START,
     TB_SUBST,
+    TB_YCLIP_PREFIX,
+    TB_YCLIP_SUFFIX,
 )
 
 I32 = jnp.int32
@@ -503,3 +505,245 @@ def _sweep_walk_global_seg(tb_cols, mlens, nlens):
     )
     ins_cnt, exit_op, ins0 = out
     return ins_cnt[:Np, 0], exit_op[:Np, 0], ins0[0]
+
+
+# ---------------------------------------------------------------------------
+# Semiglobal variant
+# ---------------------------------------------------------------------------
+#
+# Same reverse column sweep, with the semiglobal family's y-clip layers:
+# the walk STARTS in the suffix-fixed final column (tbfix, which packs
+# Ly(i) above the 12-bit cell and is the only place TB_YCLIP_SUFFIX
+# s/i-bits occur), resolved vectorized in XLA before the sweep; sweep
+# columns may additionally exit via TB_YCLIP_PREFIX (a jump to column 0,
+# length = the column index).  Emission order per lane is bit-identical
+# to the sequential ``batched._walk_semiclip``.
+
+
+def _resolve_fixed_column(tbfix, mlens, nlens):
+    """Entry resolution at j == nlens over ``tbfix`` (B, Mp1) int32.
+
+    Returns (fix_ins, fix_exit, fix_ly, i1, j1, ca1, us1, dn1, ystart0,
+    yend0) — all (B,) int32."""
+    B, Mp1 = tbfix.shape
+    cols = jnp.arange(Mp1, dtype=I32)[None, :]
+    bidx = jnp.arange(B)
+    ib = tbfix & 0xF
+    db = (tbfix >> 4) & 0xF
+    sb = (tbfix >> 8) & 0xF
+    ly = tbfix >> 12
+
+    entry_sb = tbfix[bidx, mlens] >> 8 & 0xF
+
+    # vertical Ins-run lengths: continue while the i-bits chain stays Ins
+    cont = ib == TB_INS
+    z = jnp.where(~cont, cols, jnp.int32(-(2**20)))
+    k = 1
+    lz = z
+    while k < Mp1:
+        shifted = jnp.concatenate(
+            [jnp.full((B, k), -(2**20), I32), lz[:, :-k]], axis=1
+        )
+        lz = jnp.maximum(lz, shifted)
+        k *= 2
+    rl = jnp.where(cont, cols - lz, 0)
+
+    is_ins = entry_sb == TB_INS
+    m = jnp.where(is_ins, rl[bidx, mlens], 0)
+    fix_ins = jnp.where(is_ins, m + 1, 0)
+    i2 = jnp.where(is_ins, mlens - m - 1, mlens)
+    layer2 = jnp.where(is_ins, ib[bidx, jnp.maximum(mlens - m, 0)], entry_sb)
+    db2 = db[bidx, i2]
+    ly2 = ly[bidx, i2]
+
+    is_mm = (layer2 == TB_MATCH) | (layer2 == TB_SUBST)
+    is_del = layer2 == TB_DEL
+    is_ycs = layer2 == TB_YCLIP_SUFFIX
+    is_ycp = layer2 == TB_YCLIP_PREFIX
+    is_start = layer2 == TB_START
+
+    fix_exit = jnp.where(is_start, 0, layer2)
+    fix_ly = jnp.where(is_ycs, ly2, jnp.where(is_ycp, nlens, 0))
+    i1 = jnp.where(is_mm, i2 - 1, i2)
+    j1 = jnp.where(
+        is_mm | is_del,
+        nlens - 1,
+        jnp.where(is_ycs, nlens - ly2, jnp.where(is_ycp, 0, nlens)),
+    )
+    ca1 = jnp.where(is_del, db2, TB_START)
+    us1 = jnp.where(is_del, 0, 1)
+    dn1 = is_start.astype(I32)
+    ystart0 = jnp.where(is_ycp, nlens, 0)
+    yend0 = jnp.where(is_ycs, nlens - ly2, nlens)
+    return fix_ins, fix_exit, fix_ly, i1, j1, ca1, us1, dn1, ystart0, yend0
+
+
+def _kernel_sweep_walk_semi(
+    i1_ref,
+    j1_ref,
+    ca1_ref,
+    us1_ref,
+    dn1_ref,
+    tb_ref,  # (K, X, BB) uint16, descending chunks
+    ins_out,
+    exit_out,
+    ins0_out,
+    icur,
+    jcur,
+    carried,
+    use_s,
+    done,
+):
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+
+    K, X, BB = tb_ref.shape
+    rows_x = jax.lax.broadcasted_iota(I32, (X, BB), 0)
+
+    @pl.when(c == 0)
+    def _init():
+        icur[:] = i1_ref[:]
+        jcur[:] = j1_ref[:]
+        carried[:] = ca1_ref[:]
+        use_s[:] = us1_ref[:]
+        done[:] = dn1_ref[:]
+
+    base = (n_chunks - 1 - c) * K
+
+    def column(kk, st):
+        i_s, j_s, ca_s, us_s, dn_s = st
+        k = K - 1 - kk
+        j = base + k + 1
+
+        at = (j_s == j) & (dn_s == 0)
+        col = tb_ref[k].astype(I32)
+        ibv = col & 0xF
+        dbv = (col >> 4) & 0xF
+        sbv = (col >> 8) & 0xF
+
+        g1 = _gather_row(sbv | (dbv << 4), i_s)
+        sb_i = g1 & 0xF
+        db_i = (g1 >> 4) & 0xF
+        entry = jnp.where(us_s == 1, sb_i, ca_s)
+        is_ins = at & (entry == TB_INS)
+
+        next_layer = ibv  # no TB_REREAD in the semiglobal kernels
+        cont = (next_layer == TB_INS).astype(I32)
+        z = jnp.where(cont == 0, rows_x, _NEGBIG)
+        k_step = 1
+        lz = z
+        while k_step < X:
+            lz = jnp.maximum(lz, _shift_down(lz, _NEGBIG, k_step))
+            k_step *= 2
+        rl = jnp.where(cont == 1, rows_x - lz, 0)
+
+        m = jnp.where(is_ins, _gather_row(rl, i_s), 0)
+        ins_cnt = jnp.where(is_ins, m + 1, 0)
+
+        g2 = _gather_row(next_layer | (_shift_down(dbv, 0) << 4), i_s - m)
+        layer2 = jnp.where(is_ins, g2 & 0xF, entry)
+        db2 = jnp.where(is_ins, (g2 >> 4) & 0xF, db_i)
+        i2 = jnp.where(is_ins, i_s - m - 1, i_s)
+
+        is_mm = (layer2 == TB_MATCH) | (layer2 == TB_SUBST)
+        is_del = layer2 == TB_DEL
+        is_ycp = layer2 == TB_YCLIP_PREFIX
+        finish = at & (layer2 == TB_START)
+        exit_code = jnp.where(at & (is_mm | is_del | is_ycp), layer2, 0)
+
+        ins_out[k] = ins_cnt.astype(jnp.uint16)
+        exit_out[k] = exit_code.astype(jnp.uint16)
+
+        new_i = jnp.where(
+            at & is_mm, i2 - 1, jnp.where(at & (is_del | is_ycp), i2, i_s)
+        )
+        new_j = jnp.where(
+            at & (is_mm | is_del), j - 1, jnp.where(at & is_ycp, 0, j_s)
+        )
+        new_ca = jnp.where(at & is_del, db2, ca_s)
+        new_us = jnp.where(at, jnp.where(is_mm | is_ycp, 1, 0), us_s)
+        new_dn = jnp.where(finish, 1, dn_s)
+        return new_i, new_j, new_ca, new_us, new_dn
+
+    st = jax.lax.fori_loop(
+        0, K, column, (icur[:], jcur[:], carried[:], use_s[:], done[:])
+    )
+    icur[:], jcur[:], carried[:], use_s[:], done[:] = st
+
+    @pl.when(c == n_chunks - 1)
+    def _column0():
+        # column 0 in semiglobal mode: s_bits = Ins (i >= 1) / Start,
+        # same analytic column as global (x-clips are MIN by contract)
+        live = done[:] == 0
+        ins0_out[:] = jnp.where(live, icur[:], 0).astype(jnp.uint16)
+
+
+def sweep_walk_semiglobal(tb_cols, tbfix, mlens, nlens):
+    """Column-sweep walk for the semiglobal family.
+
+    ``tb_cols``: (Np, X, B) uint16 raw kernel columns; ``tbfix``:
+    (B, X) int32 suffix-fixed final column with Ly << 12.
+
+    Returns (ins_cnt (Np, B), exit_op (Np, B), ins0 (B,), fix_ins,
+    fix_exit, fix_ly, ystart, yend) — decode with
+    ``batched._decode_ops_colrle_semi``."""
+    Np, X, B = tb_cols.shape
+    (
+        fix_ins, fix_exit, fix_ly, i1, j1, ca1, us1, dn1, ystart0, yend0
+    ) = _resolve_fixed_column(tbfix, mlens, nlens)
+
+    block_b, K = _pick_block_walk(B, X, Np)
+    n_chunks = -(-Np // K)
+    Npad = n_chunks * K
+    if Npad != Np:
+        tb_cols = jnp.pad(tb_cols, ((0, Npad - Np), (0, 0), (0, 0)))
+    grid = (B // block_b, n_chunks)
+    out = pl.pallas_call(
+        _kernel_sweep_walk_semi,
+        interpret=jax.default_backend() == "cpu",
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_b), lambda b, c: (0, b))
+            for _ in range(5)
+        ]
+        + [
+            pl.BlockSpec(
+                (K, X, block_b), lambda b, c, n=n_chunks: (n - 1 - c, 0, b)
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (K, 1, block_b), lambda b, c, n=n_chunks: (n - 1 - c, 0, b)
+            ),
+            pl.BlockSpec(
+                (K, 1, block_b), lambda b, c, n=n_chunks: (n - 1 - c, 0, b)
+            ),
+            pl.BlockSpec((1, block_b), lambda b, c: (0, b)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Npad, 1, B), jnp.uint16),
+            jax.ShapeDtypeStruct((Npad, 1, B), jnp.uint16),
+            jax.ShapeDtypeStruct((1, B), jnp.uint16),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, block_b), I32) for _ in range(5)],
+    )(
+        i1.reshape(1, B),
+        j1.reshape(1, B),
+        ca1.reshape(1, B),
+        us1.reshape(1, B),
+        dn1.reshape(1, B),
+        tb_cols,
+    )
+    ins_cnt, exit_op, ins0 = out
+    ins_cnt = ins_cnt[:Np, 0]
+    exit_op = exit_op[:Np, 0]
+
+    # ystart: the (at most one) YCLIP_PREFIX exit's column index
+    jcols = jnp.arange(1, Np + 1, dtype=I32)[:, None]
+    ystart = jnp.max(
+        jnp.where(exit_op == TB_YCLIP_PREFIX, jcols, 0), axis=0
+    )
+    ystart = jnp.maximum(ystart, ystart0)
+    return (
+        ins_cnt, exit_op, ins0[0], fix_ins, fix_exit, fix_ly, ystart, yend0
+    )
