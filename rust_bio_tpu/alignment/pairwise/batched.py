@@ -683,6 +683,55 @@ def _postlude(
     return out
 
 
+def _pack_rle(
+    score, ins_cnt, exit_op, ins0, fix_ins, fix_exit, fix_ly,
+    xstart, ystart, xend, yend,
+):
+    """Single-pull packing of a column-RLE walk result: (10 + 2*Np, B)
+    uint16.  Through the dev tunnel every device->host transfer pays a
+    ~26 ms round trip, so pulling the walk dict leaf-by-leaf costs 10x
+    the compute; one packed tensor amortizes it."""
+    small = jnp.stack(
+        [
+            (score >> 16) & 0xFFFF,
+            score & 0xFFFF,
+            ins0.astype(I32),
+            fix_ins,
+            fix_exit,
+            fix_ly,
+            xstart,
+            ystart,
+            xend,
+            yend,
+        ]
+    ).astype(jnp.uint16)
+    return jnp.concatenate(
+        [small, ins_cnt.astype(jnp.uint16), exit_op.astype(jnp.uint16)],
+        axis=0,
+    )
+
+
+def _unpack_rle(packed: np.ndarray):
+    """Host-side inverse of _pack_rle: returns (score i32 (B,), out dict
+    of numpy arrays)."""
+    small = packed[:10].astype(np.int64)
+    v = (small[0] << 16) | small[1]
+    score = np.where(v >= 2**31, v - 2**32, v).astype(np.int64)
+    Np = (packed.shape[0] - 10) // 2
+    return score, {
+        "ins0": small[2],
+        "fix_ins": small[3],
+        "fix_exit": small[4],
+        "fix_ly": small[5],
+        "xstart": small[6],
+        "ystart": small[7],
+        "xend": small[8],
+        "yend": small[9],
+        "ins_cnt": packed[10 : 10 + Np],
+        "exit_op": packed[10 + Np :],
+    }
+
+
 def _geometry(B, M, mlens):
     rows = lax.broadcasted_iota(I32, (B, M + 1), 1)  # i index per row
     row_ge1 = rows >= 1
@@ -968,16 +1017,10 @@ def _align_batch_device_semiglobal_mp(
         ) = sweep_walk_semiglobal(tb_cols, tbfix, mlens, nlens)
         return {
             "score": score,
-            "ins_cnt": ins_cnt,
-            "exit_op": exit_op,
-            "ins0": ins0,
-            "fix_ins": fix_ins,
-            "fix_exit": fix_exit,
-            "fix_ly": fix_ly,
-            "xstart": jnp.zeros(B, I32),
-            "ystart": ystart,
-            "xend": mlens,
-            "yend": yend,
+            "packed": _pack_rle(
+                score, ins_cnt, exit_op, ins0, fix_ins, fix_exit, fix_ly,
+                jnp.zeros(B, I32), ystart, mlens, yend,
+            ),
         }
 
     *_, tb_col0, _Lx0 = _init_column(
@@ -1195,16 +1238,10 @@ def _align_batch_device_semiglobal_lut(
         ) = sweep_walk_semiglobal(tb_cols, tbfix, mlens, nlens)
         return {
             "score": score,
-            "ins_cnt": ins_cnt,
-            "exit_op": exit_op,
-            "ins0": ins0,
-            "fix_ins": fix_ins,
-            "fix_exit": fix_exit,
-            "fix_ly": fix_ly,
-            "xstart": jnp.zeros(B, I32),
-            "ystart": ystart,
-            "xend": mlens,
-            "yend": yend,
+            "packed": _pack_rle(
+                score, ins_cnt, exit_op, ins0, fix_ins, fix_exit, fix_ly,
+                jnp.zeros(B, I32), ystart, mlens, yend,
+            ),
         }
 
     *_, tb_col0, _Lx0 = _init_column(
@@ -1247,15 +1284,12 @@ def _align_batch_device_global_lut(
         from rust_bio_tpu.ops.walk_pallas import sweep_walk_global
 
         ins_cnt, exit_op, ins0 = sweep_walk_global(tb_cols, mlens, nlens)
+        z = jnp.zeros(B, I32)
         return {
             "score": score,
-            "ins_cnt": ins_cnt,
-            "exit_op": exit_op,
-            "ins0": ins0,
-            "xstart": jnp.zeros(B, I32),
-            "ystart": jnp.zeros(B, I32),
-            "xend": mlens,
-            "yend": nlens,
+            "packed": _pack_rle(
+                score, ins_cnt, exit_op, ins0, z, z, z, z, z, mlens, nlens,
+            ),
         }
 
     rows, row_ge1, mlens_c, is_row_m = _geometry(B, M, mlens)
@@ -1304,15 +1338,12 @@ def _align_batch_device_global_mp(
         from rust_bio_tpu.ops.walk_pallas import sweep_walk_global
 
         ins_cnt, exit_op, ins0 = sweep_walk_global(tb_cols, mlens, nlens)
+        z = jnp.zeros(B, I32)
         return {
             "score": score,
-            "ins_cnt": ins_cnt,
-            "exit_op": exit_op,
-            "ins0": ins0,
-            "xstart": jnp.zeros(B, I32),
-            "ystart": jnp.zeros(B, I32),
-            "xend": mlens,
-            "yend": nlens,
+            "packed": _pack_rle(
+                score, ins_cnt, exit_op, ins0, z, z, z, z, z, mlens, nlens,
+            ),
         }
 
     rows, row_ge1, mlens_c, is_row_m = _geometry(B, M, mlens)
@@ -1351,15 +1382,12 @@ def _align_batch_device_global_rows_mp(
         return {"score": score}
 
     ins_cnt, exit_op, ins0 = sweep_walk_global(tb_cols, mlens, nlens)
+    z = jnp.zeros(B, I32)
     return {
         "score": score,
-        "ins_cnt": ins_cnt,
-        "exit_op": exit_op,
-        "ins0": ins0,
-        "xstart": jnp.zeros(B, I32),
-        "ystart": jnp.zeros(B, I32),
-        "xend": mlens,
-        "yend": nlens,
+        "packed": _pack_rle(
+            score, ins_cnt, exit_op, ins0, z, z, z, z, z, mlens, nlens,
+        ),
     }
 
 
@@ -1649,7 +1677,11 @@ class BatchAligner:
         pen = np.array([go, ge, *clips], dtype=np.int32)
 
         out = self._dispatch(xb, yb, mlens, nlens, pen, with_traceback=True)
-        out = jax.tree.map(np.asarray, out)
+        if "packed" in out:
+            score_np, out = _unpack_rle(np.asarray(out["packed"]))
+            out["score"] = score_np
+        else:
+            out = jax.tree.map(np.asarray, out)
 
         colrle = "ins_cnt" in out
         semi_rle = "fix_exit" in out

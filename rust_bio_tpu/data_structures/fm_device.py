@@ -79,9 +79,8 @@ class DeviceFMIndex:
         less = np.zeros(257, dtype=np.int64)
         np.cumsum(counts[:-1], out=less[1:])
 
-        self._fused = jnp.asarray(
-            np.stack([bits.view(np.int32), ckpt], axis=-1)
-        )
+        packed = np.stack([bits.view(np.int32), ckpt], axis=-1)
+        self._fused = jnp.asarray(packed)
         self.bits = jnp.asarray(bits)
         self.ckpt = jnp.asarray(ckpt)
         # MXU rank path: one-hot-matmul table scan (byte-plane table is
@@ -296,6 +295,7 @@ class DeviceFMIndex:
         return self._rank(r, self.sym_of[jnp.asarray(a, I32)])
 
     # ------------------------------------------------------------------
+        # ------------------------------------------------------------------
     @partial(jax.jit, static_argnums=(0,))
     def _search_kernel(self, pats, plens):
         """Batched backward search. pats (B, L) uint8, plens (B,) int32.

@@ -248,29 +248,34 @@ class SmemReadMapper(ReadMapper):
         B = len(seqs)
         rcs = [dna.revcomp(s) for s in seqs]
 
-        # one seed suffices for extension: query SMEMs overlapping the read
-        # middle (one batched kernel call); reads without a long-enough
-        # SMEM there retry at the quarter positions (full-batch calls with
-        # stable shapes, so the kernel compiles once)
+        # one seed suffices for extension: query SMEMs overlapping the
+        # read middle AND the two quarter positions in ONE 3B-lane kernel
+        # call (a retry loop would re-run the full batch — one read
+        # without a middle SMEM used to cost a whole extra sweep)
+        fracs = (2, 4, 8)
+        all_seqs = [s for _ in fracs for s in seqs]
+        all_pos = [
+            max(0, len(s) // frac - 1) for frac in fracs for s in seqs
+        ]
+        smems = self.fmd.smems_batch(
+            all_seqs,
+            all_pos,
+            self.min_seed_len,
+            max_slots=16,
+            host_oracle_fn=lambda: self.host_fmd,
+        )
         best_of = {}
-        for frac in (2, 4, 8):
-            pending = [i for i in range(B) if i not in best_of and seqs[i]]
-            if not pending:
-                break
-            smems = self.fmd.smems_batch(
-                seqs,
-                [max(0, len(s) // frac - 1) for s in seqs],
-                self.min_seed_len,
-                max_slots=16,
-                host_oracle_fn=lambda: self.host_fmd,
-            )
-            for i in pending:
+        for i in range(B):
+            if not seqs[i]:
+                continue
+            for f in range(len(fracs)):
                 best = None
-                for itv, q0, mlen in smems[i]:
+                for itv, q0, mlen in smems[f * B + i]:
                     if best is None or mlen > best[2]:
                         best = (itv, q0, mlen)
                 if best is not None:
                     best_of[i] = best
+                    break
         rows, meta = [], []
         for i in sorted(best_of):
             itv, q0, mlen = best_of[i]

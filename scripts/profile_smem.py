@@ -72,7 +72,8 @@ def main():
 
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and __import__("sys").argv[-1] not in (
+        "extend", "extend2"):
     main()
 
 
@@ -109,3 +110,64 @@ def profile_extend():
 
 if __name__ == "__main__" and __import__("sys").argv[-1] == "extend":
     profile_extend()
+    raise SystemExit
+
+
+def profile_extend2():
+    import time
+    import numpy as np
+    import jax, jax.numpy as jnp
+    print("backend:", jax.default_backend(), flush=True)
+    from rust_bio_tpu.alignment.pairwise.batched import (
+        BatchAligner, _align_batch_device_semiglobal_mp,
+    )
+    from rust_bio_tpu.alignment.pairwise.scoring import Scoring, MIN_SCORE
+
+    rng = np.random.default_rng(5)
+    B, L, W = 1024, 100, 116
+    xs, ys = [], []
+    for _ in range(B):
+        y = rng.choice(list(b"ACGT"), size=W).astype("uint8").tobytes()
+        s = int(rng.integers(0, W - L))
+        x = bytearray(y[s:s + L])
+        x[int(rng.integers(0, L))] = int(rng.choice(list(b"ACGT")))
+        xs.append(bytes(x)); ys.append(y)
+    ba = BatchAligner(Scoring.from_scores(-5, -1, 2, -2))
+
+    xb, yb, mlens, nlens = ba._pad(xs, ys)
+    pen = np.array([-5, -1, MIN_SCORE, MIN_SCORE, 0, 0], np.int32)
+
+    def dev_only():
+        out = ba._dispatch(xb, yb, mlens, nlens, pen, with_traceback=True)
+        np.asarray(out["packed"])
+        return out
+
+    out = dev_only()
+    t = min(
+        (lambda: (lambda t0: (dev_only(), time.perf_counter() - t0)[1])(
+            time.perf_counter()))() for _ in range(3)
+    )
+    print(f"device dispatch+pull: {t*1e3:.0f} ms", flush=True)
+
+    from rust_bio_tpu.alignment.pairwise.batched import (
+        _decode_ops_colrle_semi, _unpack_rle,
+    )
+    _, up = _unpack_rle(np.asarray(out["packed"]))
+    t0 = time.perf_counter()
+    for k in range(B):
+        _decode_ops_colrle_semi(
+            up["ins_cnt"][:, k], up["exit_op"][:, k], up["ins0"][k],
+            up["fix_ins"][k], up["fix_exit"][k], up["fix_ly"][k],
+            int(nlens[k]),
+        )
+    print(f"decode x{B}: {(time.perf_counter()-t0)*1e3:.0f} ms", flush=True)
+
+    t0 = time.perf_counter()
+    ba.semiglobal(xs, ys)
+    print(f"full semiglobal(): {(time.perf_counter()-t0)*1e3:.0f} ms",
+          flush=True)
+
+
+if __name__ == "__main__" and __import__("sys").argv[-1] == "extend2":
+    profile_extend2()
+    raise SystemExit

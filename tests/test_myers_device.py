@@ -83,3 +83,75 @@ def test_chunked_long_pattern_multiword():
     got = dev.find_all_end(text, 3, chunk=96)
     want = list(Myers(pat).find_all_end(text, 3))
     assert got[0] == want
+
+
+def test_device_find_all_end_covers_ukkonen_unit_cost():
+    """The reference's approximate-matching bench runs Myers AND Ukkonen
+    on the same (pattern, k) workload; with unit cost their (end, dist)
+    hits coincide, so the batched device matcher covers both
+    (approximate_matching.rs:225-236)."""
+    import numpy as np
+
+    from rust_bio_tpu.pattern_matching.myers_device import ChunkedMyers
+    from rust_bio_tpu.pattern_matching.ukkonen import Ukkonen, unit_cost
+
+    rng = np.random.default_rng(17)
+    text = rng.choice(list(b"ACGT"), size=800).astype("uint8").tobytes()
+    pats = []
+    tarr = np.frombuffer(text, np.uint8)
+    for _ in range(4):
+        s = int(rng.integers(0, 780))
+        p = bytearray(tarr[s : s + 18].tobytes())
+        p[int(rng.integers(0, 18))] = int(rng.choice(list(b"ACGT")))
+        pats.append(bytes(p))
+    cm = ChunkedMyers(pats)
+    got = cm.find_all_end(text, 2)
+    uk = Ukkonen(unit_cost)
+    for b, p in enumerate(pats):
+        want = list(uk.find_all_end(p, text, 2))
+        assert got[b] == want, b
+
+
+def test_states_traceback_matches_dp_walk():
+    """The O(m+k) stored-states traceback (myers/traceback.rs mechanism)
+    must produce exactly the ops of the full DP-matrix walk."""
+    import numpy as np
+
+    from rust_bio_tpu.pattern_matching.myers import Myers, Subst, Ins, Del, Match
+
+    rng = np.random.default_rng(23)
+    for trial in range(20):
+        m = int(rng.integers(3, 40))
+        pat = rng.choice(list(b"ACGT"), size=m).astype("uint8").tobytes()
+        text = rng.choice(list(b"ACGT"), size=int(rng.integers(m, 120))
+                          ).astype("uint8").tobytes()
+        if rng.random() < 0.5:  # plant the pattern with errors
+            s = int(rng.integers(0, len(text) - m))
+            t = bytearray(text)
+            t[s : s + m] = pat
+            t[s + int(rng.integers(0, m))] = int(rng.choice(list(b"ACGT")))
+            text = bytes(t)
+        my = Myers(pat)
+        dists, states = my._scan_dists(text, keep_states=True)
+        for end in range(0, len(text), 7):
+            # states walk
+            start_s, dist_s, ops_s = my._traceback(
+                text, end, (dists, states)
+            )
+            # reference DP-matrix walk (the previous oracle)
+            D = my._dp_matrix(text[: end + 1])
+            i, j = my.m, end + 1
+            ops_d = []
+            while i > 0:
+                if j > 0 and D[i - 1, j - 1] + 1 == D[i, j]:
+                    ops_d.append(Subst); i -= 1; j -= 1
+                elif D[i - 1, j] + 1 == D[i, j]:
+                    ops_d.append(Ins); i -= 1
+                elif j > 0 and D[i, j - 1] + 1 == D[i, j]:
+                    ops_d.append(Del); j -= 1
+                else:
+                    ops_d.append(Match); i -= 1; j -= 1
+            ops_d.reverse()
+            assert ops_s == ops_d, (trial, end)
+            assert start_s == j
+            assert dist_s == int(D[my.m, end + 1])

@@ -404,11 +404,14 @@ def test_sweep_walk_matches_gather_walk(monkeypatch):
         jnp.asarray(xb), jnp.asarray(yb), jnp.asarray(ml), jnp.asarray(nl),
         jnp.asarray(pen8),
     )
-    new = {k: np.asarray(v) for k, v in
-           _align_batch_device_global_mp(*args, sweep_walk=True).items()}
+    from rust_bio_tpu.alignment.pairwise.batched import _unpack_rle
+
+    new_out = _align_batch_device_global_mp(*args, sweep_walk=True)
+    new_score, new = _unpack_rle(np.asarray(new_out["packed"]))
+    assert (np.asarray(new_out["score"]) == new_score).all()
     old = {k: np.asarray(v) for k, v in
            _align_batch_device_global_mp(*args, sweep_walk=False).items()}
-    assert (new["score"] == old["score"]).all()
+    assert (new_score == old["score"]).all()
     for k in range(B):
         ops_new = _decode_ops_colrle(
             new["ins_cnt"][:, k], new["exit_op"][:, k], new["ins0"][k],
@@ -453,11 +456,15 @@ def test_block_row_engine_matches_single_block(monkeypatch):
         [-5, -1, MIN_SCORE, MIN_SCORE, MIN_SCORE, MIN_SCORE, 2, -2], np.int32
     )
     args = tuple(map(jnp.asarray, (xb, yb, ml, nl, pen8)))
-    rows = {k: np.asarray(v)
-            for k, v in _align_batch_device_global_rows_mp(*args).items()}
-    ref = {k: np.asarray(v)
-           for k, v in _align_batch_device_global_mp(*args).items()}
-    assert (rows["score"] == ref["score"]).all()
+    from rust_bio_tpu.alignment.pairwise.batched import _unpack_rle
+
+    rows_s, rows = _unpack_rle(
+        np.asarray(_align_batch_device_global_rows_mp(*args)["packed"])
+    )
+    ref_s, ref = _unpack_rle(
+        np.asarray(_align_batch_device_global_mp(*args)["packed"])
+    )
+    assert (rows_s == ref_s).all()
     for k in range(B):
         o1 = _decode_ops_colrle(
             rows["ins_cnt"][:, k], rows["exit_op"][:, k], rows["ins0"][k],
