@@ -732,6 +732,55 @@ def _unpack_rle(packed: np.ndarray):
     }
 
 
+def _pack_rle_custom(
+    score, pre, ins_cnt, exit_op, elen, post, fix_codes, fix_lens,
+    xstart, ystart, xend, yend,
+):
+    """Single-pull packing of the general-clip column-RLE walk:
+    (14 + 5*Nc, B) uint16."""
+    small = jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    (score >> 16) & 0xFFFF,
+                    score & 0xFFFF,
+                    xstart,
+                    ystart,
+                    xend,
+                    yend,
+                ]
+            ),
+            jnp.transpose(fix_codes, (1, 0)),
+            jnp.transpose(fix_lens, (1, 0)),
+        ]
+    ).astype(jnp.uint16)
+    arrs = [pre, ins_cnt, exit_op, elen, post]
+    return jnp.concatenate(
+        [small] + [a.astype(jnp.uint16) for a in arrs], axis=0
+    )
+
+
+def _unpack_rle_custom(packed: np.ndarray):
+    small = packed[:14].astype(np.int64)
+    v = (small[0] << 16) | small[1]
+    score = np.where(v >= 2**31, v - 2**32, v).astype(np.int64)
+    Nc = (packed.shape[0] - 14) // 5
+    arrs = [packed[14 + t * Nc : 14 + (t + 1) * Nc] for t in range(5)]
+    return score, {
+        "xstart": small[2],
+        "ystart": small[3],
+        "xend": small[4],
+        "yend": small[5],
+        "fix_codes": small[6:10],
+        "fix_lens": small[10:14],
+        "pre": arrs[0],
+        "ins_cnt": arrs[1],
+        "exit_op": arrs[2],
+        "elen": arrs[3],
+        "post": arrs[4],
+    }
+
+
 def _geometry(B, M, mlens):
     rows = lax.broadcasted_iota(I32, (B, M + 1), 1)  # i index per row
     row_ge1 = rows >= 1
@@ -1134,9 +1183,10 @@ def _walk_fullclip(tb_xb, tbfix, Lx_full, mlens, nlens, B, M, N):
     }
 
 
-@partial(jax.jit, static_argnames=("with_traceback",))
+@partial(jax.jit, static_argnames=("with_traceback", "sweep_walk"))
 def _align_batch_device_custom_mp(
-    xb, yb, mlens, nlens, penalties8, with_traceback: bool = True
+    xb, yb, mlens, nlens, penalties8, with_traceback: bool = True,
+    sweep_walk: bool = True,
 ):
     """General-clip MatchParams fast path (local/custom modes): the
     transposed general kernel streams per-column Lx clip lengths, the
@@ -1162,15 +1212,50 @@ def _align_batch_device_custom_mp(
     *_, tb_col0, Lx0 = _init_column(
         B, M, rows, row_ge1, mlens, nlens, mlens_c, is_row_m, pens
     )
+    tbfix = (tb_col_fixed.astype(I32) & 0xFFF) | (Ly_f << 12)
+    bidx = jnp.arange(B)
+    lx_n_patched = jnp.where(
+        lx_n_set,
+        Lx_n,
+        jnp.where(
+            nlens == 0,
+            Lx0,
+            jnp.take_along_axis(
+                jnp.transpose(lx_cols, (1, 0)),
+                jnp.maximum(nlens - 1, 0)[:, None],
+                axis=1,
+            )[:, 0],
+        ),
+    )
+    if sweep_walk:
+        from rust_bio_tpu.ops.walk_pallas import sweep_walk_custom
+
+        tb_all = jnp.concatenate(
+            [jnp.transpose(tb_col0, (1, 0)).astype(jnp.uint16)[None], tb_cols],
+            axis=0,
+        )
+        lx_all = jnp.concatenate([Lx0[None, :], lx_cols], axis=0)
+        (
+            pre, ins_cnt, exit_op, elen, post,
+            fix_codes, fix_lens, xstart, ystart, xend, yend,
+        ) = sweep_walk_custom(
+            tb_all, tbfix, lx_all, lx_n_patched, mlens, nlens
+        )
+        return {
+            "score": score,
+            "packed_custom": _pack_rle_custom(
+                score, pre, ins_cnt, exit_op, elen, post,
+                fix_codes, fix_lens, xstart, ystart, xend, yend,
+            ),
+        }
+
     tb_xb = jnp.concatenate(
         [jnp.transpose(tb_col0, (1, 0))[None], tb_cols], axis=0
     ).reshape(-1, B)
-    tbfix = (tb_col_fixed.astype(I32) & 0xFFF) | (Ly_f << 12)
     Np = tb_cols.shape[0]
     Lx_full = jnp.concatenate(
         [Lx0[:, None], jnp.transpose(lx_cols, (1, 0))], axis=1
     )  # (B, Np+1)
-    bidx = jnp.arange(B)
     Lx_full = Lx_full.at[bidx, nlens].set(
         jnp.where(lx_n_set, Lx_n, Lx_full[bidx, nlens])
     )
@@ -1449,6 +1534,46 @@ def _decode_ops_colrle_semi(
     return ops
 
 
+def _decode_ops_colrle_custom(
+    pre, ins_cnt, exit_op, elen, post, fix_codes, fix_lens, nlen: int,
+) -> List[AlignmentOperation]:
+    """Decode the general-clip column-RLE walk (columns 0..nlen ascending;
+    per column the reversed emission is [post][exit][Ins x cnt][Xclip-
+    suffix]; then the fixed final column's slots, newest last)."""
+    ops: List[AlignmentOperation] = []
+    for j in range(nlen + 1):
+        p = int(post[j])
+        if p:
+            if p == TB_YCLIP_PREFIX:
+                ops.append(Yclip(j))
+            else:
+                ops.append(_OP_BY_CODE[p])
+        e = int(exit_op[j])
+        if e:
+            if e == TB_XCLIP_PREFIX:
+                ops.append(Xclip(int(elen[j])))
+            elif e == TB_YCLIP_PREFIX:
+                ops.append(Yclip(int(elen[j])))
+            else:
+                ops.append(_OP_BY_CODE[e])
+        ops.extend([Ins] * int(ins_cnt[j]))
+        if pre[j]:
+            ops.append(Xclip(int(pre[j])))
+    for t in range(3, -1, -1):
+        c = int(fix_codes[t])
+        if not c:
+            continue
+        if c == TB_INS:
+            ops.extend([Ins] * int(fix_lens[t]))
+        elif c in (TB_XCLIP_PREFIX, TB_XCLIP_SUFFIX):
+            ops.append(Xclip(int(fix_lens[t])))
+        elif c in (TB_YCLIP_PREFIX, TB_YCLIP_SUFFIX):
+            ops.append(Yclip(int(fix_lens[t])))
+        else:
+            ops.append(_OP_BY_CODE[c])
+    return ops
+
+
 def _decode_ops(codes: np.ndarray, lens: np.ndarray) -> List[AlignmentOperation]:
     """Decode one lane's (T,) walk buffers into the op list (end -> start
     reversed to start -> end).  Vectorized: a per-entry Python loop costs
@@ -1677,7 +1802,12 @@ class BatchAligner:
         pen = np.array([go, ge, *clips], dtype=np.int32)
 
         out = self._dispatch(xb, yb, mlens, nlens, pen, with_traceback=True)
-        if "packed" in out:
+        custom_rle = False
+        if "packed_custom" in out:
+            score_np, out = _unpack_rle_custom(np.asarray(out["packed_custom"]))
+            out["score"] = score_np
+            custom_rle = True
+        elif "packed" in out:
             score_np, out = _unpack_rle(np.asarray(out["packed"]))
             out["score"] = score_np
         else:
@@ -1687,7 +1817,18 @@ class BatchAligner:
         semi_rle = "fix_exit" in out
         results = []
         for k in range(B):
-            if semi_rle:
+            if custom_rle:
+                ops = _decode_ops_colrle_custom(
+                    out["pre"][:, k],
+                    out["ins_cnt"][:, k],
+                    out["exit_op"][:, k],
+                    out["elen"][:, k],
+                    out["post"][:, k],
+                    out["fix_codes"][:, k],
+                    out["fix_lens"][:, k],
+                    int(nlens[k]),
+                )
+            elif semi_rle:
                 ops = _decode_ops_colrle_semi(
                     out["ins_cnt"][:, k],
                     out["exit_op"][:, k],

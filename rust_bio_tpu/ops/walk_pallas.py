@@ -747,3 +747,340 @@ def sweep_walk_semiglobal(tb_cols, tbfix, mlens, nlens):
     return (
         ins_cnt, exit_op, ins0[0], fix_ins, fix_exit, fix_ly, ystart, yend0
     )
+
+
+# ---------------------------------------------------------------------------
+# General-clip (local/custom) variant
+# ---------------------------------------------------------------------------
+#
+# All clip layers live.  Within one DP column a lane's walk is at most
+# ``[Xclip-suffix][Ins x m][exit][after-XCP op]``: an XCLIP_SUFFIX s-bit
+# occurs only at row mlens (jump up by the streamed per-column Lx), an
+# XCLIP_PREFIX exit jumps to row 0 of the SAME column whose cell then
+# yields one more op (Del / Yclip-prefix / Start), and YCLIP_SUFFIX occurs
+# only in the suffix-fixed final column (resolved in the XLA prelude).
+# Column 0 (the analytic init column's tb) is swept like any other
+# column: its cells only hold Ins chains / clip opens / Start, which the
+# generic body already resolves.  Emission order per lane is
+# bit-identical to ``batched._walk_fullclip``.
+
+from rust_bio_tpu.alignment.pairwise.scalar import (  # noqa: E402
+    TB_XCLIP_PREFIX,
+    TB_XCLIP_SUFFIX,
+)
+
+
+def _resolve_fixed_column_custom(tbfix, lx_n, mlens, nlens):
+    """Entry resolution at j == nlens with every clip layer live.
+
+    Returns (fix_codes (B, 4), fix_lens (B, 4) — op slots in emission
+    (end -> start) order, 0-padded — plus i1, j1, ca1, us1, dn1, xstart0,
+    ystart0, xend0, yend0)."""
+    B, Mp1 = tbfix.shape
+    cols = jnp.arange(Mp1, dtype=I32)
+    bidx = jnp.arange(B)
+    ib = tbfix & 0xF
+    db = (tbfix >> 4) & 0xF
+    sb = (tbfix >> 8) & 0xF
+    ly = tbfix >> 12
+
+    # vertical Ins-run lengths down the fixed column (i-bit chain)
+    cont = ib == TB_INS
+    z = jnp.where(~cont, cols[None, :], jnp.int32(-(2**20)))
+    k = 1
+    lz = z
+    while k < Mp1:
+        shifted = jnp.concatenate(
+            [jnp.full((B, k), -(2**20), I32), lz[:, :-k]], axis=1
+        )
+        lz = jnp.maximum(lz, shifted)
+        k *= 2
+    rl = jnp.where(cont, cols[None, :] - lz, 0)
+
+    i = mlens
+    j = nlens
+    carried = jnp.full(B, TB_START, I32)
+    use_s = jnp.ones(B, bool)
+    done = jnp.zeros(B, bool)
+    left = jnp.zeros(B, bool)  # moved out of the fixed column
+    xstart = jnp.zeros(B, I32)
+    ystart = jnp.zeros(B, I32)
+    xend = mlens
+    yend = nlens
+    fix_codes = jnp.zeros((B, 4), I32)
+    fix_lens = jnp.zeros((B, 4), I32)
+    nslot = jnp.zeros(B, I32)
+
+    def emit(fc, fl, ns, act, code, length):
+        oh = (jnp.arange(4)[None, :] == ns[:, None]) & act[:, None]
+        fc = jnp.where(oh, code[:, None], fc)
+        fl = jnp.where(oh, length[:, None], fl)
+        return fc, fl, ns + act
+
+    for _ in range(3):
+        act = (~done) & (~left)
+        entry = jnp.where(use_s, sb[bidx, i], carried)
+        # Xclip-suffix (row mlens only)
+        is_xs = act & (entry == TB_XCLIP_SUFFIX)
+        fix_codes, fix_lens, nslot = emit(
+            fix_codes, fix_lens, nslot, is_xs,
+            jnp.full(B, TB_XCLIP_SUFFIX, I32), lx_n,
+        )
+        i = jnp.where(is_xs, i - lx_n, i)
+        xend = jnp.where(is_xs, i, xend)
+        use_s = jnp.where(is_xs, True, use_s)
+        entry = jnp.where(is_xs, sb[bidx, i], entry)
+        # vertical Ins run
+        is_ins = act & (entry == TB_INS)
+        m = jnp.where(is_ins, rl[bidx, i], 0)
+        cnt = jnp.where(is_ins, m + 1, 0)
+        fix_codes, fix_lens, nslot = emit(
+            fix_codes, fix_lens, nslot, is_ins,
+            jnp.full(B, TB_INS, I32), cnt,
+        )
+        i2 = jnp.where(is_ins, i - m - 1, i)
+        layer2 = jnp.where(is_ins, ib[bidx, jnp.maximum(i - m, 0)], entry)
+        db2 = db[bidx, i2]
+        ly2 = ly[bidx, i2]
+
+        is_mm = act & ((layer2 == TB_MATCH) | (layer2 == TB_SUBST))
+        is_del = act & (layer2 == TB_DEL)
+        is_ycs = act & (layer2 == TB_YCLIP_SUFFIX)
+        is_ycp = act & (layer2 == TB_YCLIP_PREFIX)
+        is_xcp = act & (layer2 == TB_XCLIP_PREFIX)
+        is_start = act & (layer2 == TB_START)
+
+        do_emit = is_mm | is_del | is_ycs | is_ycp | is_xcp
+        code = jnp.where(do_emit, layer2, 0)
+        length = jnp.where(
+            is_ycs, ly2,
+            jnp.where(is_ycp, j, jnp.where(is_xcp, i2, 0)),
+        )
+        fix_codes, fix_lens, nslot = emit(
+            fix_codes, fix_lens, nslot, do_emit, code, length
+        )
+
+        # state transitions
+        i = jnp.where(is_mm, i2 - 1, jnp.where(is_xcp, 0, i2))
+        yend = jnp.where(is_ycs, j - ly2, yend)
+        ystart = jnp.where(is_ycp, j, ystart)
+        xstart = jnp.where(is_xcp, i2, xstart)
+        carried = jnp.where(is_del, db2, carried)
+        use_s = jnp.where(is_del, False, jnp.where(do_emit, True, use_s))
+        done = done | is_start
+        left_now = is_mm | is_del
+        j = jnp.where(left_now, j - 1, jnp.where(is_ycp, 0, jnp.where(is_ycs, j - ly2, j)))
+        left = left | left_now | is_ycp | is_ycs
+    return (
+        fix_codes, fix_lens, i, j, carried, use_s, done,
+        xstart, ystart, xend, yend,
+    )
+
+
+def _kernel_sweep_walk_custom(
+    i1_ref,
+    j1_ref,
+    ca1_ref,
+    us1_ref,
+    dn1_ref,
+    mlens_ref,
+    tb_ref,  # (K, X, BB) uint16, descending chunks (incl. column 0)
+    lx_ref,  # (K, 1, BB) int32 per-column Lx (incl. Lx[0])
+    pre_out,  # (K, 1, BB) u16: Xclip-suffix length (0 = none)
+    ins_out,
+    exit_out,
+    elen_out,  # exit length (XCP: i2; YCP: j)
+    post_out,  # after-XCP op at row 0 (TB_DEL / TB_YCLIP_PREFIX, 0 = none)
+    icur,
+    jcur,
+    carried,
+    use_s,
+    done,
+):
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+
+    K, X, BB = tb_ref.shape
+    rows_x = jax.lax.broadcasted_iota(I32, (X, BB), 0)
+
+    @pl.when(c == 0)
+    def _init():
+        icur[:] = i1_ref[:]
+        jcur[:] = j1_ref[:]
+        carried[:] = ca1_ref[:]
+        use_s[:] = us1_ref[:]
+        done[:] = dn1_ref[:]
+
+    base = (n_chunks - 1 - c) * K
+
+    def column(kk, st):
+        i_s, j_s, ca_s, us_s, dn_s = st
+        k = K - 1 - kk
+        j = base + k  # DP column index, 0-based (column 0 included)
+
+        at = (j_s == j) & (dn_s == 0)
+        col = tb_ref[k].astype(I32)
+        lx = lx_ref[k]
+        ibv = col & 0xF
+        dbv = (col >> 4) & 0xF
+        sbv = (col >> 8) & 0xF
+
+        g1 = _gather_row(sbv, i_s)
+        entry = jnp.where(us_s == 1, g1, ca_s)
+
+        # Xclip-suffix pre-op (row mlens only)
+        is_xs = at & (entry == TB_XCLIP_SUFFIX)
+        pre_len = jnp.where(is_xs, lx, 0)
+        i_p = jnp.where(is_xs, i_s - lx, i_s)
+        entry = jnp.where(is_xs, _gather_row(sbv, i_p), entry)
+
+        is_ins = at & (entry == TB_INS)
+
+        next_layer = ibv
+        cont = (next_layer == TB_INS).astype(I32)
+        z = jnp.where(cont == 0, rows_x, _NEGBIG)
+        k_step = 1
+        lz = z
+        while k_step < X:
+            lz = jnp.maximum(lz, _shift_down(lz, _NEGBIG, k_step))
+            k_step *= 2
+        rl = jnp.where(cont == 1, rows_x - lz, 0)
+
+        m = jnp.where(is_ins, _gather_row(rl, i_p), 0)
+        ins_cnt = jnp.where(is_ins, m + 1, 0)
+
+        g2 = _gather_row(next_layer | (_shift_down(dbv, 0) << 4), i_p - m)
+        layer2 = jnp.where(is_ins, g2 & 0xF, entry)
+        db2 = jnp.where(
+            is_ins, (g2 >> 4) & 0xF, _gather_row(dbv, i_p)
+        )
+        i2 = jnp.where(is_ins, i_p - m - 1, i_p)
+
+        is_mm = (layer2 == TB_MATCH) | (layer2 == TB_SUBST)
+        is_del = layer2 == TB_DEL
+        is_ycp = layer2 == TB_YCLIP_PREFIX
+        is_xcp = layer2 == TB_XCLIP_PREFIX
+        finish = at & (layer2 == TB_START)
+        exit_code = jnp.where(
+            at & (is_mm | is_del | is_ycp | is_xcp), layer2, 0
+        )
+        exit_len = jnp.where(
+            at & is_xcp, i2, jnp.where(at & is_ycp, j, 0)
+        )
+
+        # after-XCP op: row 0 of this column
+        sb0 = sbv[0:1]
+        db0 = dbv[0:1]
+        post = jnp.where(at & is_xcp, sb0, 0)
+
+        pre_out[k] = pre_len.astype(jnp.uint16)
+        ins_out[k] = ins_cnt.astype(jnp.uint16)
+        exit_out[k] = exit_code.astype(jnp.uint16)
+        elen_out[k] = exit_len.astype(jnp.uint16)
+        post_out[k] = post.astype(jnp.uint16)
+
+        post_del = at & is_xcp & (sb0 == TB_DEL)
+        post_ycp = at & is_xcp & (sb0 == TB_YCLIP_PREFIX)
+        post_start = at & is_xcp & (sb0 == TB_START)
+
+        new_i = jnp.where(
+            at & is_mm, i2 - 1,
+            jnp.where(at & is_xcp, 0, jnp.where(at, i2, i_s)),
+        )
+        new_j = jnp.where(
+            at & (is_mm | is_del | post_del), j - 1,
+            jnp.where(at & (is_ycp | post_ycp), 0, j_s),
+        )
+        new_ca = jnp.where(
+            at & is_del, db2, jnp.where(post_del, db0, ca_s)
+        )
+        new_us = jnp.where(
+            at, jnp.where(is_del | post_del, 0, 1), us_s
+        )
+        new_dn = jnp.where(finish | post_start, 1, dn_s)
+        return new_i, new_j, new_ca, new_us, new_dn
+
+    st = jax.lax.fori_loop(
+        0, K, column, (icur[:], jcur[:], carried[:], use_s[:], done[:])
+    )
+    icur[:], jcur[:], carried[:], use_s[:], done[:] = st
+
+
+def sweep_walk_custom(tb_cols0, tbfix, lx_cols0, lx_n, mlens, nlens):
+    """Column-sweep walk with every clip layer live (local/custom modes).
+
+    ``tb_cols0``: (Np+1, X, B) uint16 — column 0 (the init column's tb)
+    followed by the kernel columns 1..N; ``lx_cols0``: (Np+1, B) int32
+    per-column Lx including Lx[0]; ``lx_n``: (B,) the fixups-patched Lx
+    at each lane's final column.
+
+    Returns (pre, ins_cnt, exit_op, exit_len, post — all (Np+1, B) —
+    fix_codes (B, 4), fix_lens (B, 4), xstart, ystart, xend, yend)."""
+    Nc, X, B = tb_cols0.shape
+    (
+        fix_codes, fix_lens, i1, j1, ca1, us1, dn1,
+        xstart0, ystart0, xend0, yend0,
+    ) = _resolve_fixed_column_custom(tbfix, lx_n, mlens, nlens)
+
+    block_b, K = _pick_block_walk(B, X, Nc)
+    n_chunks = -(-Nc // K)
+    Npad = n_chunks * K
+    if Npad != Nc:
+        tb_cols0 = jnp.pad(tb_cols0, ((0, Npad - Nc), (0, 0), (0, 0)))
+        lx_cols0 = jnp.pad(lx_cols0, ((0, Npad - Nc), (0, 0)))
+    grid = (B // block_b, n_chunks)
+    out = pl.pallas_call(
+        _kernel_sweep_walk_custom,
+        interpret=jax.default_backend() == "cpu",
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_b), lambda b, c: (0, b))
+            for _ in range(6)
+        ]
+        + [
+            pl.BlockSpec(
+                (K, X, block_b), lambda b, c, n=n_chunks: (n - 1 - c, 0, b)
+            ),
+            pl.BlockSpec(
+                (K, 1, block_b), lambda b, c, n=n_chunks: (n - 1 - c, 0, b)
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (K, 1, block_b), lambda b, c, n=n_chunks: (n - 1 - c, 0, b)
+            )
+            for _ in range(5)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Npad, 1, B), jnp.uint16) for _ in range(5)
+        ],
+        scratch_shapes=[pltpu.VMEM((1, block_b), I32) for _ in range(5)],
+    )(
+        i1.reshape(1, B),
+        j1.reshape(1, B),
+        ca1.reshape(1, B),
+        us1.astype(I32).reshape(1, B),
+        dn1.astype(I32).reshape(1, B),
+        mlens.reshape(1, B),
+        tb_cols0,
+        lx_cols0[:, None, :],
+    )
+    pre, ins_cnt, exit_op, elen, post = (o[:Nc, 0] for o in out)
+
+    jcols = jnp.arange(Nc, dtype=I32)[:, None]
+    xcp_hit = exit_op == TB_XCLIP_PREFIX
+    xstart = jnp.max(jnp.where(xcp_hit, elen.astype(I32), 0), axis=0)
+    xstart = jnp.maximum(xstart, xstart0)
+    xs_hit = pre > 0
+    xend = jnp.where(
+        jnp.any(xs_hit, axis=0),
+        mlens - jnp.max(jnp.where(xs_hit, pre.astype(I32), 0), axis=0),
+        xend0,
+    )
+    ycp_hit = (exit_op == TB_YCLIP_PREFIX) | (post == TB_YCLIP_PREFIX)
+    ystart = jnp.max(jnp.where(ycp_hit, jcols, 0), axis=0)
+    ystart = jnp.maximum(ystart, ystart0)
+    return (
+        pre, ins_cnt, exit_op, elen, post,
+        fix_codes, fix_lens, xstart, ystart, xend, yend0,
+    )

@@ -570,3 +570,65 @@ def test_lut_rank_compaction_edge_bytes():
         want = host.global_(xs2[i], ys2[i])
         assert got2[i].score == want.score, i
         assert got2[i].operations == want.operations, i
+
+
+def test_custom_sweep_walk_matches_gather_walk(monkeypatch):
+    """The general-clip column-sweep walk must produce exactly the ops of
+    the per-step-gather walk (multi-chunk forced), across clip configs
+    incl. local, half-clipped and custom, with ragged lens."""
+    import random
+
+    import numpy as np
+
+    from rust_bio_tpu.alignment.pairwise.batched import (
+        _align_batch_device_custom_mp,
+        _decode_ops,
+        _decode_ops_colrle_custom,
+        _unpack_rle_custom,
+    )
+    from rust_bio_tpu.alignment.pairwise.scoring import MIN_SCORE
+    from rust_bio_tpu.ops import walk_pallas
+
+    real_pick = walk_pallas._pick_block_walk
+    monkeypatch.setattr(
+        walk_pallas, "_pick_block_walk",
+        lambda B, X, N: (real_pick(B, X, N)[0], max(1, N // 3)),
+    )
+
+    rng = random.Random(47)
+    B, M, N = 16, 19, 23
+    for clips in (
+        (0, 0, 0, 0),                               # local
+        (MIN_SCORE, 0, 0, MIN_SCORE),               # mixed
+        (-3, -7, -2, -5),                           # custom finite
+        (0, MIN_SCORE, MIN_SCORE, 0),               # mixed 2
+    ):
+        xb = np.zeros((B, M), np.uint8)
+        yb = np.zeros((B, N), np.uint8)
+        ml = np.zeros(B, np.int32)
+        nl = np.zeros(B, np.int32)
+        for k in range(B):
+            ml[k] = rng.randint(1, M)
+            nl[k] = rng.randint(1, N)
+            xb[k, : ml[k]] = [rng.choice(b"ACGT") for _ in range(ml[k])]
+            yb[k, : nl[k]] = [rng.choice(b"ACGT") for _ in range(nl[k])]
+        pen8 = np.array([-5, -1, *clips, 2, -2], np.int32)
+        args = (
+            jnp.asarray(xb), jnp.asarray(yb), jnp.asarray(ml),
+            jnp.asarray(nl), jnp.asarray(pen8),
+        )
+        new_out = _align_batch_device_custom_mp(*args, sweep_walk=True)
+        score_new, up = _unpack_rle_custom(np.asarray(new_out["packed_custom"]))
+        old = {k: np.asarray(v) for k, v in
+               _align_batch_device_custom_mp(*args, sweep_walk=False).items()}
+        assert (score_new == old["score"]).all(), clips
+        for k in range(B):
+            ops_new = _decode_ops_colrle_custom(
+                up["pre"][:, k], up["ins_cnt"][:, k], up["exit_op"][:, k],
+                up["elen"][:, k], up["post"][:, k],
+                up["fix_codes"][:, k], up["fix_lens"][:, k], int(nl[k]),
+            )
+            ops_old = _decode_ops(old["op_codes"][:, k], old["op_lens"][:, k])
+            assert ops_new == ops_old, (clips, k, ops_new, ops_old)
+            for key in ("xstart", "ystart", "xend", "yend"):
+                assert int(up[key][k]) == int(old[key][k]), (clips, k, key)
