@@ -229,6 +229,61 @@ def _sw_5kb_rates():
     return dev_rate, cpu_rate
 
 
+def _smem_reads_per_s() -> float:
+    """End-to-end SMEM-seeded read mapping (bwa-mem-style): 500 kb genome,
+    100 bp reads with 2 errors, both strands, full CIGARs."""
+    from rust_bio_tpu.pipelines.read_mapper import SmemReadMapper
+
+    rng = np.random.default_rng(29)
+    G = 500_000
+    genome = rng.choice(list(b"ACGT"), size=G).astype(np.uint8).tobytes()
+    mapper = SmemReadMapper(genome, min_seed_len=19)
+    B, L = 1024, 100
+    starts = rng.integers(0, G - L, size=B)
+    reads = []
+    for s in starts:
+        r = bytearray(genome[s : s + L])
+        for _ in range(2):
+            r[int(rng.integers(0, L))] = int(rng.choice(list(b"ACGT")))
+        reads.append(bytes(r))
+    out = mapper.map_batch(reads)
+    ok = sum(1 for m, s in zip(out, starts) if m.pos == s)
+    assert ok >= B * 9 // 10, f"only {ok}/{B} mapped"
+
+    def run():
+        mapper.map_batch(reads)
+
+    return B / _best_of(run, 3)
+
+
+def _banded_pairs_per_s() -> float:
+    """Banded aligner (kmer band, banded.rs semantics), semiglobal, incl.
+    host band construction."""
+    from rust_bio_tpu.alignment.pairwise.banded_device import (
+        BatchBandedAligner,
+    )
+    from rust_bio_tpu.alignment.pairwise.scoring import Scoring
+
+    rng = np.random.default_rng(31)
+    B = 256
+    xs, ys = [], []
+    for _ in range(B):
+        y = rng.choice(list(b"ACGT"), size=250).astype(np.uint8).tobytes()
+        s = int(rng.integers(0, 100))
+        x = bytearray(y[s : s + 150])
+        for _ in range(4):
+            x[int(rng.integers(0, 150))] = int(rng.choice(list(b"ACGT")))
+        xs.append(bytes(x))
+        ys.append(y)
+    bat = BatchBandedAligner(Scoring.from_scores(-5, -1, 2, -2), 8, 8)
+    bat.semiglobal(xs, ys)
+
+    def run():
+        bat.semiglobal(xs, ys)
+
+    return B / _best_of(run, 3)
+
+
 def main() -> None:
     import jax
 
@@ -381,6 +436,18 @@ def main() -> None:
         print(f"5kb bench failed: {e}", file=sys.stderr)
         sw5_rate = sw5_vs = None
 
+    try:
+        smem_rate = round(_smem_reads_per_s(), 2)
+    except Exception as e:
+        print(f"smem bench failed: {e}", file=sys.stderr)
+        smem_rate = None
+
+    try:
+        banded_rate = round(_banded_pairs_per_s(), 2)
+    except Exception as e:
+        print(f"banded bench failed: {e}", file=sys.stderr)
+        banded_rate = None
+
     print(
         json.dumps(
             {
@@ -398,6 +465,8 @@ def main() -> None:
                 "pairhmm_pairs_per_s": ph_rate,
                 "sw_5kb_alignments_per_s": sw5_rate,
                 "sw_5kb_vs_baseline": sw5_vs,
+                "smem_mapper_reads_per_s": smem_rate,
+                "banded_pairs_per_s": banded_rate,
             }
         )
     )
