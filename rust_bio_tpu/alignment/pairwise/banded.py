@@ -94,21 +94,73 @@ class Band:
         r, c = pos
         istart = max(r - w, 0)
         iend = min(r + w + 1, self.rows)
-        for j in range(max(c - w, 0), min(c + w + 1, self.cols)):
-            self.starts[j] = min(self.starts[j], istart)
-            self.ends[j] = max(self.ends[j], iend)
+        lo = max(c - w, 0)
+        hi = min(c + w + 1, self.cols)
+        np.minimum(self.starts[lo:hi], istart, out=self.starts[lo:hi])
+        np.maximum(self.ends[lo:hi], iend, out=self.ends[lo:hi])
+
+    def add_entries(self, rs: np.ndarray, cs: np.ndarray, w: int) -> None:
+        """Batched ``add_entry`` over arrays of positions: per-column
+        extreme then a sliding-window min/max of radius w (log-step
+        doubling).  Pure min/max rasterization, so order-independent —
+        byte-identical bands to the sequential calls."""
+        if len(rs) == 0:
+            return
+        # entries with c outside [-w, cols-1+w] touch no column; the rest
+        # go into a w-padded accumulator so out-of-range windows keep the
+        # sequential semantics (clipping c would SHIFT its window)
+        sel = (cs >= -w) & (cs <= self.cols - 1 + w)
+        if not sel.all():
+            rs, cs = rs[sel], cs[sel]
+        if len(rs) == 0:
+            return
+        P = self.cols + 2 * w
+        INF = np.iinfo(np.int64).max
+        lo = np.full(P, INF, np.int64)
+        hi = np.full(P, -INF - 1 + 1, np.int64)
+        hi[:] = np.iinfo(np.int64).min
+        np.minimum.at(lo, cs + w, np.maximum(rs - w, 0))
+        np.maximum.at(hi, cs + w, np.minimum(rs + w + 1, self.rows))
+
+        # sliding extreme over [j-w, j+w] via the two-block trick: combine
+        # the (w+1)-wide block ending at j with the one ending at j+w
+        W = w + 1
+
+        def sliding(a, combine, fill):
+            p = a.copy()
+            k = 1
+            while k < W:
+                step = min(k, W - k)
+                shifted = np.concatenate(
+                    [np.full(step, fill, a.dtype), p[:-step]]
+                )
+                p = combine(p, shifted)
+                k += step
+            # p[j] = extreme of a[j-w .. j]
+            endj = np.concatenate(
+                [p[w:], np.full(min(w, len(a)), fill, a.dtype)]
+            )[: len(a)]
+            return combine(p, endj)
+
+        slo = sliding(lo, np.minimum, np.iinfo(np.int64).max)[
+            w : w + self.cols
+        ]
+        shi = sliding(hi, np.maximum, np.iinfo(np.int64).min)[
+            w : w + self.cols
+        ]
+        np.minimum(self.starts, slo, out=self.starts)
+        np.maximum(self.ends, shi, out=self.ends)
 
     def add_gap(self, start: Tuple[int, int], end: Tuple[int, int], w: int) -> None:
         nrows = end[0] - start[0]
         ncols = end[1] - start[1]
         if nrows > ncols:
-            for r in range(start[0], end[0]):
-                c = start[1] + (end[1] - start[1]) * (r - start[0]) // (end[0] - start[0])
-                self.add_entry((r, c), w)
+            rs = np.arange(start[0], end[0], dtype=np.int64)
+            cs = start[1] + (end[1] - start[1]) * (rs - start[0]) // (end[0] - start[0])
         else:
-            for c in range(start[1], end[1]):
-                r = start[0] + (end[0] - start[0]) * (c - start[1]) // (end[1] - start[1])
-                self.add_entry((r, c), w)
+            cs = np.arange(start[1], end[1], dtype=np.int64)
+            rs = start[0] + (end[0] - start[0]) * (cs - start[1]) // (end[1] - start[1])
+        self.add_entries(rs, cs, w)
 
     def set_boundaries(
         self, start: Tuple[int, int], end: Tuple[int, int], k: int, w: int,
@@ -227,15 +279,21 @@ class Band:
         ps, pe = path[0], path[-1]
         band.set_boundaries(matches[ps], matches[pe], k, w, scoring)
         prev: Optional[Tuple[int, int]] = None
+        diag_rs: List[int] = []
+        diag_cs: List[int] = []
         for idx in path:
             curr = matches[idx]
             if prev is not None and curr == (prev[0] + 1, prev[1] + 1):
-                band.add_entry((prev[0] + k, prev[1] + k), w)
+                diag_rs.append(prev[0] + k)
+                diag_cs.append(prev[1] + k)
             else:
                 if prev is not None:
                     band.add_gap((prev[0] + k - 1, prev[1] + k - 1), curr, w)
                 band.add_kmer(curr, k, w)
             prev = curr
+        band.add_entries(
+            np.asarray(diag_rs, np.int64), np.asarray(diag_cs, np.int64), w
+        )
         return band
 
 
