@@ -65,12 +65,12 @@ def main():
         rows.append((f"pattern_matching/{name} (host oracle)",
                      f"{dt * 10_000 * 1e3:,.0f} ms / 10k searches"))
 
-    B = 512
+    B = 4096
     bsa = BatchShiftAnd([PATTERN] * B)
     want = len(list(ShiftAnd(PATTERN).find_all(text)))
 
     def dev_sa():
-        got = np.asarray(bsa.counts(text))
+        got = np.asarray(bsa.counts(text, chunk=512))
         assert int(got[0]) == want, (got[0], want)
 
     rate = call_rate(dev_sa, B)
