@@ -32,9 +32,6 @@ from rust_bio_tpu.alignment.pairwise.scalar import (
     TB_XCLIP_SUFFIX,
     TB_YCLIP_PREFIX,
     TB_YCLIP_SUFFIX,
-    get_d_bits,
-    get_i_bits,
-    get_s_bits,
 )
 from rust_bio_tpu.alignment.pairwise.scoring import MIN_SCORE, Scoring
 from rust_bio_tpu.alignment.types import (

@@ -28,7 +28,6 @@ from jax import lax
 from rust_bio_tpu.alignment.pairwise import banded as _banded
 from rust_bio_tpu.alignment.pairwise.banded import MAX_CELLS, Band
 from rust_bio_tpu.alignment.pairwise.batched import (
-    _OP_BY_CODE,
     _decode_ops,
     MIN,
 )

@@ -36,7 +36,7 @@ chained opens are dominated by extends.
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -1252,7 +1252,6 @@ def _align_batch_device_custom_mp(
     tb_xb = jnp.concatenate(
         [jnp.transpose(tb_col0, (1, 0))[None], tb_cols], axis=0
     ).reshape(-1, B)
-    Np = tb_cols.shape[0]
     Lx_full = jnp.concatenate(
         [Lx0[:, None], jnp.transpose(lx_cols, (1, 0))], axis=1
     )  # (B, Np+1)

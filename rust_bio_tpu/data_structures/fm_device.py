@@ -31,7 +31,6 @@ import numpy as np
 
 from rust_bio_tpu.alphabets import Alphabet
 from rust_bio_tpu.data_structures.fmindex import (
-    BackwardSearchKind,
     BackwardSearchResult,
     Interval,
 )

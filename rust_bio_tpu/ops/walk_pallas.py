@@ -533,7 +533,7 @@ def _resolve_fixed_column(tbfix, mlens, nlens):
     sb = (tbfix >> 8) & 0xF
     ly = tbfix >> 12
 
-    entry_sb = tbfix[bidx, mlens] >> 8 & 0xF
+    entry_sb = sb[bidx, mlens]
 
     # vertical Ins-run lengths: continue while the i-bits chain stays Ins
     cont = ib == TB_INS

@@ -31,7 +31,6 @@ from rust_bio_tpu.alignment.types import Alignment
 from rust_bio_tpu.alphabets import dna
 from rust_bio_tpu.data_structures.bwt import bwt
 from rust_bio_tpu.data_structures.fm_device import DeviceFMIndex
-from rust_bio_tpu.data_structures.fmindex import BackwardSearchKind
 from rust_bio_tpu.data_structures.suffix_array import suffix_array
 from rust_bio_tpu.utils.text import to_bytes
 
