@@ -68,14 +68,21 @@ class ReadMapper:
         self.seed_tries = seed_tries
         self.flank = flank
 
-    def _seed_search(self, pats: np.ndarray, plens: np.ndarray):
-        """(status, lower) arrays for a (N, L) seed batch; the sharded
-        mapper overrides this with a mesh-sharded execution."""
+    def _seed_search_dispatch(self, pats: np.ndarray, plens: np.ndarray):
+        """Async seed-search dispatch: returns DEVICE arrays (no host
+        sync) so a stream driver can overlap the next batch's seeding
+        with this batch's locate/extend/assembly."""
         import jax.numpy as jnp
 
         status, lower, _u, _m = self.index._search_kernel(
             jnp.asarray(pats), jnp.asarray(plens)
         )
+        return status, lower
+
+    def _seed_search(self, pats: np.ndarray, plens: np.ndarray):
+        """(status, lower) arrays for a (N, L) seed batch; the sharded
+        mapper overrides this with a mesh-sharded execution."""
+        status, lower = self._seed_search_dispatch(pats, plens)
         return np.asarray(status), np.asarray(lower)
 
     def map_batch(self, reads: Sequence, ids: Optional[Sequence[str]] = None
@@ -87,6 +94,11 @@ class ReadMapper:
             ids = [
                 getattr(r, "id", str(i)) for i, r in enumerate(reads)
             ]
+        B = len(seqs)
+        rcs, pats, plens, starts, K, L = self._prepare_seeds(seqs)
+        return self._run_seeds(seqs, rcs, ids, pats, plens, starts, B, K, L)
+
+    def _prepare_seeds(self, seqs):
         B = len(seqs)
         L = self.seed_len
 
@@ -108,10 +120,21 @@ class ReadMapper:
         win_idx = np.minimum(win_idx, Lr - 1)
         pats = ob[np.arange(2 * B)[:, None, None], win_idx]  # (2B, K, L)
         plens = np.minimum(np.broadcast_to(olens[:, None], (2 * B, K)), L)
+        return rcs, pats, plens, starts, K, L
 
+    def _run_seeds(self, seqs, rcs, ids, pats, plens, starts, B, K, L):
         status, lower = self._seed_search(
             pats.reshape(2 * B * K, L), plens.reshape(-1).astype(np.int32)
         )
+        return self._finish_batch(
+            seqs, rcs, ids, status, lower, starts, B, K
+        )
+
+    def _finish_batch(self, seqs, rcs, ids, status, lower, starts, B, K):
+        from rust_bio_tpu.data_structures.fm_device import COMPLETE
+
+        status = np.asarray(status)
+        lower = np.asarray(lower)
         status = status.reshape(2, B, K)
         lower = lower.reshape(2, B, K)
         starts2 = starts.reshape(2, B, K)
@@ -150,6 +173,36 @@ class ReadMapper:
             )
             picks[i] = (strand, win_start, win_end)
         return self._extend(seqs, rcs, ids, picks)
+
+    def map_stream(self, read_batches, ids_batches=None):
+        """Software-pipelined mapping over a stream of read batches
+        (SURVEY pipeline parallelism): batch i+1's seed search is
+        DISPATCHED (async, device-side) before batch i's locate/extend/
+        host assembly runs, so the seeding stage overlaps the rest of the
+        pipeline.  Yields one result list per batch, identical to
+        ``map_batch`` outputs."""
+        pending = None
+        for bi, reads in enumerate(read_batches):
+            seqs = [
+                to_bytes(r) if not hasattr(r, "seq") else bytes(r.seq)
+                for r in reads
+            ]
+            ids = (
+                list(ids_batches[bi])
+                if ids_batches is not None
+                else [getattr(r, "id", str(i)) for i, r in enumerate(reads)]
+            )
+            B = len(seqs)
+            rcs, pats, plens, starts, K, L = self._prepare_seeds(seqs)
+            fut = self._seed_search_dispatch(
+                pats.reshape(2 * B * K, L),
+                plens.reshape(-1).astype(np.int32),
+            )
+            if pending is not None:
+                yield self._finish_batch(*pending)
+            pending = (seqs, rcs, ids, fut[0], fut[1], starts, B, K)
+        if pending is not None:
+            yield self._finish_batch(*pending)
 
     def _extend(self, seqs, rcs, ids, picks) -> List[MappedRead]:
         """Batched semiglobal extension + result assembly.

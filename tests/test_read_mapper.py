@@ -144,3 +144,32 @@ def test_smem_beats_fixed_window_seeding(genome, mapper, smem_mapper):
     out_smem = smem_mapper.map_batch([bytes(r)])
     assert out_classic[0].pos == -1
     assert out_smem[0].pos == s
+
+
+def test_map_stream_pipelined_matches_map_batch():
+    """The software-pipelined stream driver (batch i+1's seeding
+    dispatched before batch i finishes) must yield exactly map_batch's
+    results."""
+    import numpy as np
+
+    from rust_bio_tpu.pipelines import ReadMapper
+
+    rng = np.random.default_rng(41)
+    genome = rng.choice(list(b"ACGT"), size=3000).astype("uint8").tobytes()
+    mapper = ReadMapper(genome, seed_len=20, flank=8)
+    batches = []
+    for _ in range(3):
+        starts = [int(s) for s in rng.integers(0, len(genome) - 80, size=6)]
+        batches.append([genome[s : s + 80] for s in starts])
+
+    streamed = list(mapper.map_stream(batches))
+    assert len(streamed) == 3
+    for bi, reads in enumerate(batches):
+        direct = mapper.map_batch(reads)
+        for a, b in zip(streamed[bi], direct):
+            assert (a.pos, a.strand, a.score, a.cigar) == (
+                b.pos,
+                b.strand,
+                b.score,
+                b.cigar,
+            )
