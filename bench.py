@@ -99,7 +99,7 @@ def _fm_queries_per_s() -> float:
         pats[i] = tarr[s : s + L]
     plens = np.full(B, L, dtype=np.int32)
     pats_d, plens_d = jnp.asarray(pats), jnp.asarray(plens)
-    K = 8
+    K = 16
 
     def run():
         s = None
@@ -166,7 +166,7 @@ def _pairhmm_pairs_per_s() -> float:
     xs_d, ys_d = jnp.asarray(xs), jnp.asarray(ys)
     xl = jnp.asarray(np.full(B, M, np.int32))
     yl = jnp.asarray(np.full(B, N, np.int32))
-    K = 8
+    K = 16
 
     def run():
         s = None
@@ -315,7 +315,7 @@ def main() -> None:
         )
     )
 
-    K = 8
+    K = 16
 
     def run():
         # full-traceback global alignment on the transposed Pallas engine
