@@ -23,6 +23,7 @@ from rust_bio_tpu.alignment.pairwise.scoring import (
 )
 from rust_bio_tpu.alignment.pairwise.scalar import Aligner
 from rust_bio_tpu.alignment.pairwise.batched import BatchAligner
+from rust_bio_tpu.alignment.pairwise.banded_device import BatchBandedAligner
 
 __all__ = [
     "MIN_SCORE",
@@ -30,4 +31,5 @@ __all__ = [
     "Scoring",
     "Aligner",
     "BatchAligner",
+    "BatchBandedAligner",
 ]
