@@ -279,6 +279,14 @@ class SmemReadMapper(ReadMapper):
         self.min_seed_len = min_seed_len
         self.flank = flank
 
+    def map_stream(self, read_batches, ids_batches=None):
+        """SMEM seeding is a multi-call device pipeline of its own; the
+        base class's seed-dispatch overlap does not apply. Sequential
+        per-batch mapping keeps results identical."""
+        for bi, reads in enumerate(read_batches):
+            ids = list(ids_batches[bi]) if ids_batches is not None else None
+            yield self.map_batch(reads, ids)
+
     @property
     def host_fmd(self):
         if self._host_fmd is None:
