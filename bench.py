@@ -13,7 +13,7 @@ Timing policy: every rate is best-of-N over timed iterations that END in a
 full device->host sync (np.asarray pull). The axon tunnel to the TPU adds a
 measured ~26 ms fixed round-trip latency per dispatch+sync (a dev-tunnel
 artifact, not device time: a no-op jitted add costs the same 26 ms), so each
-timed iteration chains K async dispatches before its single sync — the
+timed iteration chains K=64 async dispatches before its single sync — the
 steady-state pipeline throughput a co-located host would see.
 """
 
@@ -99,7 +99,7 @@ def _fm_queries_per_s() -> float:
         pats[i] = tarr[s : s + L]
     plens = np.full(B, L, dtype=np.int32)
     pats_d, plens_d = jnp.asarray(pats), jnp.asarray(plens)
-    K = 16
+    K = 64
 
     def run():
         s = None
@@ -166,7 +166,7 @@ def _pairhmm_pairs_per_s() -> float:
     xs_d, ys_d = jnp.asarray(xs), jnp.asarray(ys)
     xl = jnp.asarray(np.full(B, M, np.int32))
     yl = jnp.asarray(np.full(B, N, np.int32))
-    K = 16
+    K = 64
 
     def run():
         s = None
@@ -315,7 +315,7 @@ def main() -> None:
         )
     )
 
-    K = 16
+    K = 64
 
     def run():
         # full-traceback global alignment on the transposed Pallas engine
