@@ -632,3 +632,23 @@ def test_custom_sweep_walk_matches_gather_walk(monkeypatch):
             assert ops_new == ops_old, (clips, k, ops_new, ops_old)
             for key in ("xstart", "ystart", "xend", "yend"):
                 assert int(up[key][k]) == int(old[key][k]), (clips, k, key)
+
+
+def test_sweep_walks_degenerate_lengths():
+    """1-char and highly ragged pairs through all sweep-walked modes."""
+    from rust_bio_tpu.alignment.pairwise.scalar import Aligner
+
+    sc = Scoring.from_scores(-5, -1, 2, -2)
+    ba = BatchAligner(sc)
+    host = Aligner.with_scoring(sc)
+    xs = [b"A", b"ACGT", b"A", b"ACGTACGTACGTACGT"]
+    ys = [b"A", b"A", b"ACGTACGT", b"T"]
+    for mode in ("global_", "semiglobal", "local"):
+        got = getattr(ba, mode)(xs, ys)
+        for i in range(len(xs)):
+            want = getattr(host, mode)(xs[i], ys[i])
+            assert got[i].score == want.score, (mode, i)
+            assert got[i].operations == want.operations, (mode, i)
+            assert (got[i].xstart, got[i].ystart, got[i].xend, got[i].yend) == (
+                want.xstart, want.ystart, want.xend, want.yend
+            ), (mode, i)
