@@ -1492,11 +1492,15 @@ def _decode_ops_colrle(
     reversed, the sequence is ``Ins*ins0`` then per column j ascending the
     exit op followed by that column's insertion run."""
     ops: List[AlignmentOperation] = [Ins] * int(ins0)
+    exits = exit_op[:nlen].tolist()
+    cnts = ins_cnt[:nlen].tolist()
     for j in range(nlen):
-        c = int(exit_op[j])
+        c = exits[j]
         if c:
             ops.append(_OP_BY_CODE[c])
-        ops.extend([Ins] * int(ins_cnt[j]))
+        n = cnts[j]
+        if n:
+            ops.extend([Ins] * n)
     return ops
 
 
@@ -1515,14 +1519,20 @@ def _decode_ops_colrle_semi(
     reconstructed here start -> end (bit-identical order to the
     sequential ``_walk_semiclip``)."""
     ops: List[AlignmentOperation] = [Ins] * int(ins0)
+    # tolist first: indexing numpy scalars in the column loop costs ~0.2 ms
+    # per lane at read-mapper batch sizes
+    exits = exit_op[:nlen].tolist()
+    cnts = ins_cnt[:nlen].tolist()
     for j in range(nlen):
-        c = int(exit_op[j])
+        c = exits[j]
         if c:
             if c == TB_YCLIP_PREFIX:
                 ops.append(Yclip(j + 1))
             else:
                 ops.append(_OP_BY_CODE[c])
-        ops.extend([Ins] * int(ins_cnt[j]))
+        n = cnts[j]
+        if n:
+            ops.extend([Ins] * n)
     c = int(fix_exit)
     if c:
         if c in (TB_YCLIP_PREFIX, TB_YCLIP_SUFFIX):
@@ -1540,24 +1550,31 @@ def _decode_ops_colrle_custom(
     per column the reversed emission is [post][exit][Ins x cnt][Xclip-
     suffix]; then the fixed final column's slots, newest last)."""
     ops: List[AlignmentOperation] = []
+    posts = post[: nlen + 1].tolist()
+    exits = exit_op[: nlen + 1].tolist()
+    elens = elen[: nlen + 1].tolist()
+    cnts = ins_cnt[: nlen + 1].tolist()
+    pres = pre[: nlen + 1].tolist()
     for j in range(nlen + 1):
-        p = int(post[j])
+        p = posts[j]
         if p:
             if p == TB_YCLIP_PREFIX:
                 ops.append(Yclip(j))
             else:
                 ops.append(_OP_BY_CODE[p])
-        e = int(exit_op[j])
+        e = exits[j]
         if e:
             if e == TB_XCLIP_PREFIX:
-                ops.append(Xclip(int(elen[j])))
+                ops.append(Xclip(elens[j]))
             elif e == TB_YCLIP_PREFIX:
-                ops.append(Yclip(int(elen[j])))
+                ops.append(Yclip(elens[j]))
             else:
                 ops.append(_OP_BY_CODE[e])
-        ops.extend([Ins] * int(ins_cnt[j]))
-        if pre[j]:
-            ops.append(Xclip(int(pre[j])))
+        n = cnts[j]
+        if n:
+            ops.extend([Ins] * n)
+        if pres[j]:
+            ops.append(Xclip(pres[j]))
     for t in range(3, -1, -1):
         c = int(fix_codes[t])
         if not c:

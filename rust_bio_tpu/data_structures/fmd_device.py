@@ -272,17 +272,30 @@ class DeviceFMDIndex:
             pb[i, : len(p)] = p
             plens[i] = len(p)
         iis = np.asarray(positions, np.int32)
-        m_lo, m_lor, m_sz, m_st, m_ml, mcnt, ovf = (
-            np.asarray(v)
-            for v in self._smems_kernel(
-                jnp.asarray(pb),
-                jnp.asarray(plens),
-                jnp.asarray(iis),
-                max_slots,
-                max_matches,
-                jnp.int32(l),
+        outs = self._smems_kernel(
+            jnp.asarray(pb),
+            jnp.asarray(plens),
+            jnp.asarray(iis),
+            max_slots,
+            max_matches,
+            jnp.int32(l),
+        )
+        # ONE device->host pull: each np.asarray pays a full tunnel round
+        # trip (~26 ms), so 7 separate pulls cost more than the kernel
+        packed = np.asarray(
+            jnp.concatenate(
+                [jnp.asarray(v, jnp.int32).reshape(len(pats), -1) for v in outs],
+                axis=1,
             )
         )
+        MC5 = max_matches
+        m_lo = packed[:, 0:MC5]
+        m_lor = packed[:, MC5 : 2 * MC5]
+        m_sz = packed[:, 2 * MC5 : 3 * MC5]
+        m_st = packed[:, 3 * MC5 : 4 * MC5]
+        m_ml = packed[:, 4 * MC5 : 5 * MC5]
+        mcnt = packed[:, 5 * MC5]
+        ovf = packed[:, 5 * MC5 + 1].astype(bool)
         out: List[List[Tuple[BiInterval, int, int]]] = []
         for b in range(B):
             if ovf[b]:

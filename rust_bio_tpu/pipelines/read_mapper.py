@@ -309,33 +309,45 @@ class SmemReadMapper(ReadMapper):
         rcs = [dna.revcomp(s) for s in seqs]
 
         # one seed suffices for extension: query SMEMs overlapping the
-        # read middle AND the two quarter positions in ONE 3B-lane kernel
-        # call (a retry loop would re-run the full batch — one read
-        # without a middle SMEM used to cost a whole extra sweep)
-        fracs = (2, 4, 8)
-        all_seqs = [s for _ in fracs for s in seqs]
-        all_pos = [
-            max(0, len(s) // frac - 1) for frac in fracs for s in seqs
-        ]
+        # read middle (one full-batch call); the few reads without a
+        # long-enough SMEM there retry at the quarter positions in SMALL
+        # power-of-two buckets (stable shapes, tiny lane counts)
+        def pick(lane):
+            best = None
+            for itv, q0, mlen in lane:
+                if best is None or mlen > best[2]:
+                    best = (itv, q0, mlen)
+            return best
+
         smems = self.fmd.smems_batch(
-            all_seqs,
-            all_pos,
+            seqs,
+            [max(0, len(s) // 2 - 1) for s in seqs],
             self.min_seed_len,
             max_slots=16,
             host_oracle_fn=lambda: self.host_fmd,
         )
         best_of = {}
         for i in range(B):
-            if not seqs[i]:
-                continue
-            for f in range(len(fracs)):
-                best = None
-                for itv, q0, mlen in smems[f * B + i]:
-                    if best is None or mlen > best[2]:
-                        best = (itv, q0, mlen)
+            if seqs[i]:
+                best = pick(smems[i])
                 if best is not None:
                     best_of[i] = best
-                    break
+        for frac in (4, 8):
+            pending = [i for i in range(B) if i not in best_of and seqs[i]]
+            if not pending:
+                break
+            cap = max(32, 1 << (len(pending) - 1).bit_length())
+            sub = [seqs[i] for i in pending]
+            sub += [b"A" * 1] * (cap - len(sub))
+            pos = [max(0, len(s) // frac - 1) for s in sub]
+            smems2 = self.fmd.smems_batch(
+                sub, pos, self.min_seed_len, max_slots=16,
+                host_oracle_fn=lambda: self.host_fmd,
+            )
+            for r, i in enumerate(pending):
+                best = pick(smems2[r])
+                if best is not None:
+                    best_of[i] = best
         rows, meta = [], []
         for i in sorted(best_of):
             itv, q0, mlen = best_of[i]
