@@ -11,6 +11,7 @@
 //   - hamming_u8: vectorizable byte-difference count.
 // Exposed with a plain C ABI for ctypes binding (no pybind11 in the image).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -125,6 +126,56 @@ void sais_core(const int64_t* T, int64_t* SA, int64_t n, int64_t K) {
   induce();
 }
 
+
+// ---------------------------------------------------------------------------
+// Gap-penalized sparse DP chaining (sdpkpp), the banded aligner's backbone.
+// Statement-level twin of alignment/sparse.py::sdpkpp (itself mirroring the
+// reference sparse.rs:188): event sweep + prefix-max Fenwick tree over the
+// column axis with the 6-field lexicographic PrevPtr ordering.
+// ---------------------------------------------------------------------------
+
+namespace sdp {
+
+struct P6 {
+  int64_t a, b, c, d, e, f;
+};
+
+static inline bool lt6(const P6& x, const P6& y) {
+  if (x.a != y.a) return x.a < y.a;
+  if (x.b != y.b) return x.b < y.b;
+  if (x.c != y.c) return x.c < y.c;
+  if (x.d != y.d) return x.d < y.d;
+  if (x.e != y.e) return x.e < y.e;
+  return x.f < y.f;
+}
+
+struct Fenwick {
+  std::vector<P6> tree;  // 1-based, prefix-max
+  explicit Fenwick(int64_t n) : tree(n + 1, P6{0, 0, 0, 0, 0, 0}) {}
+  P6 get(int64_t idx) const {
+    ++idx;
+    P6 best{0, 0, 0, 0, 0, 0};
+    while (idx > 0) {
+      if (lt6(best, tree[idx])) best = tree[idx];
+      idx -= idx & (-idx);
+    }
+    return best;
+  }
+  void set(int64_t idx, const P6& val) {
+    ++idx;
+    while (idx < (int64_t)tree.size()) {
+      if (lt6(tree[idx], val)) tree[idx] = val;
+      idx += idx & (-idx);
+    }
+  }
+};
+
+struct Ev {
+  int64_t x, y, eidx;
+};
+
+}  // namespace sdp
+
 }  // namespace
 
 extern "C" {
@@ -133,6 +184,91 @@ extern "C" {
 void sais_i64(const int64_t* text, int64_t n, int64_t K, int64_t* sa) {
   sais_core(text, sa, n, K);
 }
+
+// sdpkpp chaining over nm sorted (x, y) kmer matches.  go_neg/ge_neg are the
+// POSITIVE gap penalties (-gap_open, -gap_extend).  Outputs: per-match
+// dp_score/dp_prev and best_out = {best_score, best_end_index_or_-1}.
+void sdpkpp_i64(const int64_t* xs, const int64_t* ys, int64_t nm, int64_t k,
+                int64_t match_score, int64_t go_neg, int64_t ge_neg,
+                int64_t* dp_score, int64_t* dp_prev, int64_t* best_out) {
+  using sdp::Ev;
+  using sdp::Fenwick;
+  using sdp::P6;
+  std::vector<Ev> events;
+  events.reserve(2 * nm);
+  int64_t n = 0;
+  for (int64_t i = 0; i < nm; ++i) {
+    events.push_back(Ev{xs[i], ys[i], i + nm});
+    events.push_back(Ev{xs[i] + k, ys[i] + k, i});
+    n = std::max(n, std::max(xs[i] + k, ys[i] + k));
+  }
+  std::sort(events.begin(), events.end(), [](const Ev& a, const Ev& b) {
+    if (a.x != b.x) return a.x < b.x;
+    if (a.y != b.y) return a.y < b.y;
+    return a.eidx < b.eidx;
+  });
+
+  Fenwick max_col_dp(n);
+  for (int64_t i = 0; i < nm; ++i) {
+    dp_score[i] = 0;
+    dp_prev[i] = 0;
+  }
+  int64_t best_score = k, best_idx = 0;
+
+  auto dp_max = [&](int64_t p, int64_t s, int64_t prev) {
+    if (s > dp_score[p] || (s == dp_score[p] && prev > dp_prev[p])) {
+      dp_score[p] = s;
+      dp_prev[p] = prev;
+    }
+  };
+  auto best_max = [&](int64_t s, int64_t idx) {
+    if (s > best_score || (s == best_score && idx > best_idx)) {
+      best_score = s;
+      best_idx = idx;
+    }
+  };
+
+  for (const Ev& ev : events) {
+    int64_t p = ev.eidx % nm;
+    if (ev.eidx >= nm) {  // chain start
+      dp_score[p] = k * match_score;
+      dp_prev[p] = -1;
+      P6 t = max_col_dp.get(ev.y);
+      if (t.b > 0) {
+        int64_t gap = std::max(ev.x - t.e, ev.y - t.f);
+        int64_t gap_penalty = gap > 0 ? go_neg + gap * ge_neg : 0;
+        int64_t reward = k * match_score;
+        int64_t new_score = std::max(t.b + reward - gap_penalty, (int64_t)0);
+        dp_max(p, new_score, t.d);
+        best_max(dp_score[p], p);
+      }
+    } else {
+      if (ev.x > k && ev.y > k) {
+        // lower_bound for the diagonal predecessor match
+        int64_t tx = ev.x - k - 1, ty = ev.y - k - 1;
+        int64_t lo = 0, hi = nm;
+        while (lo < hi) {
+          int64_t mid = (lo + hi) / 2;
+          if (xs[mid] < tx || (xs[mid] == tx && ys[mid] < ty)) {
+            lo = mid + 1;
+          } else {
+            hi = mid;
+          }
+        }
+        if (lo < nm && xs[lo] == tx && ys[lo] == ty) {
+          dp_max(p, dp_score[lo] + match_score, lo);
+          best_max(dp_score[p], p);
+        }
+      }
+      int64_t d = ev.x + ev.y;
+      max_col_dp.set(ev.y,
+                     P6{dp_score[p] + d * ge_neg, dp_score[p], d, p, ev.x, ev.y});
+    }
+  }
+  best_out[0] = best_score;
+  best_out[1] = best_idx;
+}
+
 
 // Bit-parallel (block-based Myers) global edit distance; any lengths.
 int64_t myers_distance_u64(const uint8_t* a, int64_t na, const uint8_t* b,

@@ -83,11 +83,49 @@ def sdpkpp(
     gap_open: int,
     gap_extend: int,
 ) -> SparseAlignmentResult:
-    """Gap-penalized sparse DP chaining (sparse.rs:188)."""
+    """Gap-penalized sparse DP chaining (sparse.rs:188).
+
+    Hot path of the banded aligner's seeding; runs on the native C++
+    twin (native/biotpu.cpp::sdpkpp_i64) when available, with this
+    module's pure-Python implementation as the fallback/oracle
+    (property-tested equal)."""
     if not matches:
         return SparseAlignmentResult()
     assert gap_open <= 0 and gap_extend <= 0, "gap parameters cannot be positive"
     _check_sorted(matches)
+
+    from rust_bio_tpu import native as _native
+    import numpy as _np
+
+    nm = len(matches)
+    xs = _np.fromiter((m[0] for m in matches), dtype=_np.int64, count=nm)
+    ys = _np.fromiter((m[1] for m in matches), dtype=_np.int64, count=nm)
+    nat = _native.sdpkpp_native(
+        xs, ys, k, match_score, -gap_open, -gap_extend
+    )
+    if nat is not None:
+        dp_score, dp_prev, best_score, best_idx = nat
+        dp = [
+            (int(s), int(p)) for s, p in zip(dp_score, dp_prev)
+        ] + [(0, 0)] * nm
+        path: List[int] = []
+        prev = best_idx
+        while prev >= 0:
+            path.append(prev)
+            prev = dp[prev][1]
+        path.reverse()
+        return SparseAlignmentResult(path, int(best_score), dp)
+    return _sdpkpp_py(matches, k, match_score, gap_open, gap_extend)
+
+
+def _sdpkpp_py(
+    matches: List[Tuple[int, int]],
+    k: int,
+    match_score: int,
+    gap_open: int,
+    gap_extend: int,
+) -> SparseAlignmentResult:
+    """Pure-Python sdpkpp (the native kernel's oracle)."""
     go, ge = -gap_open, -gap_extend
     nm = len(matches)
 

@@ -60,6 +60,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         i64p = ctypes.POINTER(ctypes.c_int64)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.sais_i64.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64, i64p]
+        lib.sdpkpp_i64.argtypes = [
+            i64p, i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p,
+        ]
+        lib.sdpkpp_i64.restype = None
         lib.sais_i64.restype = None
         lib.myers_distance_u64.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
         lib.myers_distance_u64.restype = ctypes.c_int64
@@ -119,3 +124,33 @@ def hamming(a: bytes, b: bytes) -> Optional[int]:
             len(a),
         )
     )
+
+
+def sdpkpp_native(xs, ys, k, match_score, go_neg, ge_neg):
+    """Native sdpkpp chaining: returns (dp_score, dp_prev, best_score,
+    best_idx) or None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import numpy as _np
+
+    xs = _np.ascontiguousarray(xs, dtype=_np.int64)
+    ys = _np.ascontiguousarray(ys, dtype=_np.int64)
+    nm = len(xs)
+    dp_score = _np.zeros(nm, dtype=_np.int64)
+    dp_prev = _np.zeros(nm, dtype=_np.int64)
+    best = _np.zeros(2, dtype=_np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.sdpkpp_i64(
+        xs.ctypes.data_as(i64p),
+        ys.ctypes.data_as(i64p),
+        ctypes.c_int64(nm),
+        ctypes.c_int64(k),
+        ctypes.c_int64(match_score),
+        ctypes.c_int64(go_neg),
+        ctypes.c_int64(ge_neg),
+        dp_score.ctypes.data_as(i64p),
+        dp_prev.ctypes.data_as(i64p),
+        best.ctypes.data_as(i64p),
+    )
+    return dp_score, dp_prev, int(best[0]), int(best[1])

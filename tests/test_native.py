@@ -56,3 +56,33 @@ def test_native_hamming():
     a = rng.choice(list(b"ACGT"), size=257).astype("uint8").tobytes()
     b = rng.choice(list(b"ACGT"), size=257).astype("uint8").tobytes()
     assert native.hamming(a, b) == hamming(a, b)
+
+
+def test_native_sdpkpp_matches_python_oracle():
+    """The C++ sdpkpp chaining must reproduce the pure-Python oracle's
+    path, score and dp vector exactly."""
+    import random
+
+    from rust_bio_tpu.alignment import sparse
+    from rust_bio_tpu import native
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = random.Random(9)
+    for _ in range(100):
+        nm = rng.randint(1, 40)
+        pts = sorted(
+            set((rng.randint(0, 60), rng.randint(0, 60)) for _ in range(nm))
+        )
+        k = rng.randint(1, 6)
+        ms = rng.randint(1, 4)
+        go = -rng.randint(0, 8)
+        ge = -rng.randint(0, 4)
+        a = sparse.sdpkpp(pts, k, ms, go, ge)
+        b = sparse._sdpkpp_py(pts, k, ms, go, ge)
+        assert a.path == b.path
+        assert a.score == b.score
+        assert a.dp_vector == b.dp_vector
