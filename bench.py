@@ -179,6 +179,163 @@ def _pairhmm_pairs_per_s() -> float:
     return K * B / _best_of(run)
 
 
+def _pairhmm_exact_pairs_per_s() -> float:
+    """The PARITY path: oracle-order f64 PairHMM (stats/pairhmm/exact.py,
+    4.3e-15 rel on chip) on the reference bench geometry. f64 on TPU is
+    emulated double-float, so this documents the exact-path cost next to
+    the f32 kernel's fast number."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from rust_bio_tpu.stats.pairhmm.exact import BatchPairHMMExact
+
+    PROB_INS, PROB_DEL, PROB_SUBST = 2.8e-6, 5.1e-6, 0.0021
+    B, M, N = 1024, 207, 54
+    rng = np.random.default_rng(13)
+    xs = rng.integers(0, 4, size=(B, M)).astype(np.uint8) + ord("A")
+    ys = np.zeros((B, N), np.uint8)
+    for i in range(B):
+        s = int(rng.integers(0, M - N))
+        ys[i] = xs[i, s : s + N]
+        for _ in range(2):
+            ys[i, int(rng.integers(0, N))] = ord("A") + int(rng.integers(0, 4))
+    emit = np.array(
+        [
+            math.log(1.0 - PROB_SUBST),
+            math.log(PROB_SUBST / 3.0),
+            math.log(1.0 - PROB_SUBST),
+        ]
+    )
+    with jax.enable_x64(True):
+        hmm = BatchPairHMMExact(
+            prob_gap_x=math.log(PROB_INS),
+            prob_gap_y=math.log(PROB_DEL),
+            prob_gap_x_extend=float("-inf"),
+            prob_gap_y_extend=float("-inf"),
+        )
+        xs_d, ys_d = jnp.asarray(xs), jnp.asarray(ys)
+        xl = jnp.asarray(np.full(B, M, np.int32))
+        yl = jnp.asarray(np.full(B, N, np.int32))
+        ed = jnp.asarray(emit, jnp.float64)
+        K = 4
+
+        def run():
+            s = None
+            for _ in range(K):
+                o = hmm._forward(xs_d, ys_d, xl, yl, ed, semiglobal=True)
+                s = o if s is None else s + o
+            _ = float(np.asarray(s).sum())
+
+        run()
+        return K * B / _best_of(run, 3)
+
+
+def _homopoly_pairs_per_s() -> float:
+    """HomopolyPairHMM device path (14-state, f32) on the bench geometry."""
+    import math
+
+    import jax.numpy as jnp
+
+    from rust_bio_tpu.stats.pairhmm.homopoly_device import BatchHomopolyPairHMM
+
+    PROB_INS, PROB_DEL, PROB_SUBST = 2.8e-6, 5.1e-6, 0.0021
+    B, M, N = 2048, 207, 54
+    rng = np.random.default_rng(15)
+    xs = rng.integers(0, 4, size=(B, M)).astype(np.uint8) + ord("A")
+    ys = np.zeros((B, N), np.uint8)
+    for i in range(B):
+        s = int(rng.integers(0, M - N))
+        ys[i] = xs[i, s : s + N]
+    p_match = math.log1p(-PROB_SUBST)
+    emit = np.array([p_match, math.log(PROB_SUBST / 3.0), p_match, p_match])
+    hmm = BatchHomopolyPairHMM(
+        prob_gap_x=math.log(PROB_INS),
+        prob_gap_y=math.log(PROB_DEL),
+        prob_gap_x_extend=float("-inf"),
+        prob_gap_y_extend=float("-inf"),
+        prob_hop_x=math.log(1e-4),
+        prob_hop_y=math.log(1e-4),
+        prob_hop_x_extend=math.log(0.5),
+        prob_hop_y_extend=math.log(0.5),
+    )
+    xs_d, ys_d = jnp.asarray(xs), jnp.asarray(ys)
+    xl = jnp.asarray(np.full(B, M, np.int32))
+    yl = jnp.asarray(np.full(B, N, np.int32))
+    ed = jnp.asarray(emit, jnp.float32)
+    K = 16
+
+    def run():
+        s = None
+        for _ in range(K):
+            o = hmm._forward(xs_d, ys_d, xl, yl, ed, True)
+            s = o if s is None else s + o
+        _ = float(np.asarray(s).sum())
+
+    run()
+    return K * B / _best_of(run, 3)
+
+
+def _poa_rates():
+    """Batched POA scorer on a consensus graph (7 reads threaded through a
+    200 bp backbone): device scores/s and the host Poa twin's rate."""
+    import jax.numpy as jnp
+
+    from rust_bio_tpu.alignment.poa import Aligner
+    from rust_bio_tpu.alignment.poa_batch import BatchPoa, _poa_scores_kernel
+    from rust_bio_tpu.alignment.pairwise.scoring import Scoring
+
+    rng = np.random.default_rng(41)
+    sc = Scoring.from_scores(-4, -4, 3, -2)
+    L = 200
+    backbone = rng.choice(list(b"ACGT"), size=L).astype(np.uint8)
+    al = Aligner(sc, backbone.tobytes())
+    for _ in range(7):
+        r = backbone.copy()
+        idx = rng.random(L) < 0.04
+        r[idx] = rng.choice(list(b"ACGT"), size=int(idx.sum()))
+        al.global_(r.tobytes()).add_to_graph()
+    bp = BatchPoa(sc, al)
+
+    B = 512
+    qb = np.zeros((B, L), np.uint8)
+    for k in range(B):
+        r = backbone.copy()
+        idx = rng.random(L) < 0.04
+        r[idx] = rng.choice(list(b"ACGT"), size=int(idx.sum()))
+        qb[k] = r
+    # device == host parity spot-check (3 queries)
+    got = bp.global_scores([qb[k].tobytes() for k in range(3)])
+    for k in range(3):
+        want = al.global_(qb[k].tobytes()).alignment().score
+        assert int(got[k]) == want
+
+    qb_d = jnp.asarray(qb.astype(np.int32))
+    ql_d = jnp.asarray(np.full(B, L, np.int32))
+    K = 16
+
+    def run():
+        s = None
+        for _ in range(K):
+            o = _poa_scores_kernel(
+                qb_d, ql_d, bp.topo, bp.pred_rows, bp.pred_mask,
+                bp.is_root, bp.weights, bp.pens, bp.last_row,
+            )
+            s = o if s is None else s + o
+        _ = float(np.asarray(s).sum())
+
+    run()
+    rate = K * B / _best_of(run, 3)
+
+    t0 = time.perf_counter()
+    nh = 3
+    for k in range(nh):
+        al.global_(qb[k].tobytes())
+    host_rate = nh / (time.perf_counter() - t0)
+    return rate, host_rate
+
+
 def _sw_5kb_rates():
     """The reference pairwise bench corpus geometry
     (benches/pairwise.rs:140-158): ~5.1 kb STR-bearing pairs, global mode,
@@ -361,7 +518,7 @@ def main() -> None:
             s = None
             for _ in range(K):
                 out = _align_batch_device_custom_mp(
-                    xb, yb, mlens, nlens, pen8_l
+                    xb, yb, mlens, nlens, pen8_l, local_engine=True
                 )
                 s = out["score"] if s is None else s + out["score"]
             return int(np.asarray(s).sum())

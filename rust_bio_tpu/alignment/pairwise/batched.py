@@ -1183,22 +1183,33 @@ def _walk_fullclip(tb_xb, tbfix, Lx_full, mlens, nlens, B, M, N):
     }
 
 
-@partial(jax.jit, static_argnames=("with_traceback", "sweep_walk"))
+@partial(
+    jax.jit, static_argnames=("with_traceback", "sweep_walk", "local_engine")
+)
 def _align_batch_device_custom_mp(
     xb, yb, mlens, nlens, penalties8, with_traceback: bool = True,
-    sweep_walk: bool = True,
+    sweep_walk: bool = True, local_engine: bool = False,
 ):
     """General-clip MatchParams fast path (local/custom modes): the
     transposed general kernel streams per-column Lx clip lengths, the
     shared XLA suffix fixups run on the transposed finals, and the
-    full-clip kernel-native walk emits reference-exact operations."""
-    from rust_bio_tpu.ops.sw_pallas import scan_custom_pallas_mp
+    full-clip kernel-native walk emits reference-exact operations.
+
+    ``local_engine=True`` (caller guarantees all four clip penalties are
+    0, i.e. the reference's local() preset) swaps in the specialized
+    local-mode kernel — byte-identical scan outputs at ~40% of the
+    arithmetic; everything downstream is shared."""
+    from rust_bio_tpu.ops.sw_pallas import (
+        scan_custom_pallas_mp,
+        scan_local_pallas_mp,
+    )
 
     B, M = xb.shape
     N = yb.shape[1]
     pens = tuple(penalties8[k] for k in range(6))
 
-    tb_cols, lx_cols, S_f, I_f, Sn_f, Ly_f, tbk = scan_custom_pallas_mp(
+    scan = scan_local_pallas_mp if local_engine else scan_custom_pallas_mp
+    tb_cols, lx_cols, S_f, I_f, Sn_f, Ly_f, tbk = scan(
         xb, yb, mlens, nlens, penalties8
     )
     rows, row_ge1, mlens_c, is_row_m = _geometry(B, M, mlens)
@@ -1721,7 +1732,14 @@ class BatchAligner:
                     jnp.asarray(pen8),
                     with_traceback=with_traceback,
                 )
-            # general clips (local/custom): transposed general kernel
+            # general clips (local/custom): transposed general kernel;
+            # the all-clips-zero local() preset gets the lean kernel
+            # (guarded by the packed-reduction int32 headroom check)
+            from rust_bio_tpu.ops.sw_pallas import local_engine_headroom_ok
+
+            use_local = all(int(c) == 0 for c in pen[2:6]) and (
+                local_engine_headroom_ok(M, yb.shape[1], mp.match_score)
+            )
             return _align_batch_device_custom_mp(
                 jnp.asarray(xb),
                 jnp.asarray(yb),
@@ -1729,6 +1747,7 @@ class BatchAligner:
                 jnp.asarray(nlens),
                 jnp.asarray(pen8),
                 with_traceback=with_traceback,
+                local_engine=use_local,
             )
         if eligible and x_clips_off and B % 8 == 0:
             # arbitrary LUT scoring (BLOSUM/PAM/callable): streamed

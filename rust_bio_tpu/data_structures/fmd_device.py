@@ -89,6 +89,24 @@ class DeviceFMDIndex:
         k2, l2, s2 = self._backward_ext(lor, lo, sz, ca)
         return l2, k2, s2
 
+    def _backward_ext_nolor(self, lo, sz, a):
+        """Backward extension WITHOUT the reverse-interval update: rank of
+        only the queried symbol at both ends (1 gather column instead of
+        KE).  Valid when the result is never forward-extended (the SMEM
+        backward phase) and the caller ignores ``lor`` — the mapper path.
+        Returns (lo', sz')."""
+        N = lo.shape[0]
+        hi = lo + sz - 1
+        sym = self.fm.sym_of[a.astype(I32)]  # (N,)
+        symc = jnp.maximum(sym, 0)
+        r2 = self.fm._rank(
+            jnp.concatenate([lo - 1, hi]), jnp.concatenate([symc, symc])
+        )
+        o = jnp.where((lo > 0) & (sym >= 0), r2[:N], 0)
+        s = jnp.where(sym >= 0, r2[N:], 0) - o
+        lo_new = self.less_b[a.astype(I32)] + o
+        return lo_new, s
+
     # -- batched SMEMs ---------------------------------------------------
     @partial(jax.jit, static_argnums=(0, 4, 5))
     def _smems_kernel(self, pats, plens, iis, E: int, MC: int, l_min):

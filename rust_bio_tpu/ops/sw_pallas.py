@@ -1835,6 +1835,286 @@ def scan_custom_pallas_mp(xb, yb, mlens, nlens, pens8):
 
 
 # ---------------------------------------------------------------------------
+# Local-mode transposed engine (all four clip penalties == 0)
+# ---------------------------------------------------------------------------
+#
+# Specialization of the general-clip kernel for the reference's local()
+# preset (pairwise/mod.rs:986-1015, clips = (0,0,0,0)): with zero clip
+# penalties the x-prefix-clip candidate is the constant 0 (the classic SW
+# floor), the y-prefix-clip row candidate go+ge*(i-1) < 0 can never beat
+# it (strict-> priority, checked X before Y in the custom chain), row 0 is
+# the constant (0, Yclip-prefix) except for the last-column Sn exit, and
+# the run-length chain is dead (the column-sweep walk reads bits 0-11
+# only).  Emits byte-identical (tb_cols, lx_cols, finals) to
+# scan_custom_pallas_mp at clips == 0 (property-tested) with ~40% of its
+# per-column arithmetic.
+
+
+def _kernel_scan_local_mp(
+    pen_ref,
+    xt_ref,  # (M, BB) int32 symbols
+    yt_ref,  # (Np, BB) int32 symbols
+    mlens_ref,
+    nlens_ref,
+    tb_out,  # (K, Mp1, BB) uint16
+    lx_out,  # (K, 1, BB) int32 per-column Lx
+    sf_out,
+    if_out,
+    snf_out,
+    lyf_out,
+    tbk_out,
+    S,
+    D,
+    SB,
+    I,
+    SN,
+    LY,
+    TBK,
+    *,
+    CROW: int,
+    LOG2C: int,
+):
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    go = pen_ref[0]
+    ge = pen_ref[1]
+    ma = pen_ref[2]
+    mi = pen_ref[3]
+    n_total = pen_ref[4]
+
+    K = tb_out.shape[0]
+    Mp1, BB = S.shape
+    rows = jax.lax.broadcasted_iota(I32, (Mp1, BB), 0)
+    row0 = rows == 0
+    row_ge1 = rows >= 1
+    mlens = mlens_ref[:]  # (1, BB)
+    nlens = nlens_ref[:]
+    in_x = row_ge1 & (rows <= mlens)
+    is_row_m = (rows == mlens) & (mlens >= 1)
+    mid_rows = row_ge1 & (rows <= mlens - 1)
+    xt = xt_ref[:]
+    rge = rows * ge
+
+    @pl.when(c == 0)
+    def _init():
+        # column j = 0 with all clips free: S0 == 0 everywhere; bits are
+        # Xclip-prefix except row 0 (Start) and row m (Xclip-suffix when
+        # m >= 2, via the suffix accumulator over rows 1..m-1)
+        S[:] = jnp.zeros((Mp1, BB), I32)
+        sb0 = jnp.where(row0, TB_START, TB_XCLIP_PREFIX)
+        sb0 = jnp.where(
+            is_row_m & (mlens >= 2), TB_XCLIP_SUFFIX, sb0
+        )
+        SB[:] = sb0
+        ib0 = jnp.where(rows <= 1, TB_START, TB_XCLIP_PREFIX)
+        TBK[:] = ib0 | (TB_START << 4) | (sb0 << 8)
+        D[:] = jnp.full((Mp1, BB), MIN_I32, I32)
+        I[:] = jnp.full((Mp1, BB), MIN_I32, I32)
+        SN[:] = jnp.where(row0 | in_x, 0, MIN_I32)
+        LY[:] = jnp.where(row0 | in_x, nlens, 0)
+
+    def column(k, st):
+        S_p, D_p, SB_p, I_p, SN_p, LY_p, TBK_p = st
+        j = (c * K + k + 1).astype(I32)
+        valid = j <= n_total
+        active = j <= nlens
+        is_last = j == nlens
+
+        y_col = yt_ref[c * K + k]
+        eq = (xt == y_col[None, :]).astype(I32)
+        subs = mi + (ma - mi) * eq
+
+        neg_row = jnp.full((1, BB), MIN_I32, I32)
+        m_val = jnp.concatenate([neg_row, S_p[:-1] + subs], axis=0)
+        m_bits = jnp.concatenate(
+            [jnp.full((1, BB), TB_START, I32), TB_SUBST + eq], axis=0
+        )
+
+        d_ext = D_p + ge
+        d_open = S_p + go
+        d_wins = d_ext > d_open
+        bestD = jnp.where(d_wins, d_ext, d_open)
+        d_bits = jnp.where(d_wins, TB_DEL, SB_p)
+
+        # row 0 boundary: Dj0 == go always (gap run never beats clip+open),
+        # S0 == 0 via the free y-prefix clip, except the last-column Sn exit
+        db0 = jnp.where(j == 1, TB_START, TB_YCLIP_PREFIX)
+        sn0 = SN_p[0:1]
+        take_sn = is_last & (sn0 > 0)
+        S0j = jnp.where(take_sn, sn0, 0)
+        sb0 = jnp.where(take_sn, TB_YCLIP_SUFFIX, TB_YCLIP_PREFIX)
+
+        bestD = jnp.where(row0, go, bestD)
+        d_bits = jnp.where(row0, db0, d_bits)
+
+        s_tilde = jnp.maximum(jnp.maximum(m_val, bestD), 0)
+        s_tilde = jnp.where(row0, S0j, s_tilde)
+
+        T = jnp.concatenate([neg_row, s_tilde[:-1] + go], axis=0)
+        U = T - rge
+        bestI = _cummax_rows(U) + rge
+        i_ext = jnp.concatenate([neg_row, bestI[:-1] + ge], axis=0)
+
+        # priority: Match/Subst > Ins > Del > Xclip-prefix (the 0 floor);
+        # the y-prefix candidate go+ge*(i-1) < 0 is provably dead
+        S_col = m_val
+        s_bits = m_bits
+        takeI = bestI > S_col
+        S_col = jnp.where(takeI, bestI, S_col)
+        s_bits = jnp.where(takeI, TB_INS, s_bits)
+        takeD = bestD > S_col
+        S_col = jnp.where(takeD, bestD, S_col)
+        s_bits = jnp.where(takeD, TB_DEL, s_bits)
+        takeX = S_col < 0
+        S_col = jnp.where(takeX, 0, S_col)
+        s_bits = jnp.where(takeX, TB_XCLIP_PREFIX, s_bits)
+        S_col = jnp.where(row0, S0j, S_col)
+        s_bits = jnp.where(row0, sb0, s_bits)
+
+        # row-m replacement: free-suffix-clip accumulator (xcs == 0).
+        # Every S_col in local mode is >= 0 (the Xclip floor), so two
+        # packed masked reductions suffice (dispatch guards the headroom:
+        # max score * CROW/16 stays < 2^31):
+        #   PA = max over mid rows of S*CROW + (CROW-1-row): value = best
+        #        mid-row S, tie-break = SMALLEST row (for Lx), one reduction
+        #   P  = the row-m cell's own chain winner packed as S*16 | bits
+        #        (exactly one row survives the mask: a gather-by-reduction)
+        # The custom kernel's candidate chain at row m reduces to: A wins
+        # iff not (W > A) — it seeds (A, Xclip-suffix) and every take is
+        # strict.
+        PA = jnp.max(
+            jnp.where(mid_rows, S_col * CROW + (CROW - 1 - rows), -1),
+            axis=0,
+            keepdims=True,
+        )
+        A = PA >> LOG2C
+        updA = PA >= 0
+        first = (CROW - 1) - (PA & (CROW - 1))
+        Lx_j = jnp.where(updA & active, mlens - first, 0)  # (1, BB)
+        P = jnp.max(
+            jnp.where(is_row_m, S_col * 16 + s_bits, -1),
+            axis=0,
+            keepdims=True,
+        )
+        Wv = P >> 4
+        Wb = P & 15
+        a_wins = updA & jnp.logical_not(Wv > A)
+        S_m = jnp.where(a_wins, A, Wv)
+        sb_m = jnp.where(a_wins, TB_XCLIP_SUFFIX, Wb)
+        S_col = jnp.where(is_row_m, S_m, S_col)
+        s_bits = jnp.where(is_row_m, sb_m, s_bits)
+
+        prev_sbits = jnp.concatenate(
+            [jnp.full((1, BB), TB_START, I32), s_bits[:-1]], axis=0
+        )
+        i_bits = jnp.where(i_ext > T, TB_INS, prev_sbits)
+        i_bits = jnp.where(row0, TB_START, i_bits)
+
+        upd_sn = (S_col > SN_p) & in_x & active
+        Sn_new = jnp.where(upd_sn, S_col, SN_p)
+        Ly_new = jnp.where(upd_sn, nlens - j, LY_p)
+        Sn_new = jnp.where(row0, sn0, Sn_new)
+        Ly_new = jnp.where(row0, LY_p, Ly_new)
+
+        tb_col = (i_bits | (d_bits << 4) | (s_bits << 8)).astype(jnp.uint16)
+        tb_out[k] = tb_col
+        lx_out[k] = Lx_j
+
+        keep = valid & active
+        return (
+            jnp.where(keep, S_col, S_p),
+            jnp.where(keep, bestD, D_p),
+            jnp.where(keep, s_bits, SB_p),
+            jnp.where(keep, bestI, I_p),
+            jnp.where(valid, Sn_new, SN_p),
+            jnp.where(valid, Ly_new, LY_p),
+            jnp.where(keep, tb_col.astype(I32), TBK_p),
+        )
+
+    st = jax.lax.fori_loop(
+        0, K, column,
+        (S[:], D[:], SB[:], I[:], SN[:], LY[:], TBK[:]),
+    )
+    S[:], D[:], SB[:], I[:], SN[:], LY[:], TBK[:] = st
+
+    @pl.when(c == n_chunks - 1)
+    def _finish():
+        sf_out[:] = S[:]
+        if_out[:] = I[:]
+        snf_out[:] = SN[:]
+        lyf_out[:] = LY[:]
+        tbk_out[:] = TBK[:]
+
+
+def local_engine_headroom_ok(M: int, N: int, match_score: int) -> bool:
+    """Whether the packed row-m reductions have int32 headroom for this
+    shape: max local score (min(M,N)*match) times CROW must stay < 2^31."""
+    crow = 1 << max(M + 1, 2).bit_length()
+    smax = max(1, int(match_score)) * min(M, N)
+    return smax < (2**31) // max(crow, 16) - crow
+
+
+def scan_local_pallas_mp(xb, yb, mlens, nlens, pens8):
+    """Local-mode scan (clips == 0): same outputs/layout as
+    scan_custom_pallas_mp (tb run nibble always 0; the sweep walk reads
+    bits 0-11 only)."""
+    B, M = xb.shape
+    N = yb.shape[1]
+    block_b, K = _pick_block_global(B, M, N, n_state=33)
+    CROW = 1 << max(M + 1, 2).bit_length()
+    Mp1 = M + 1
+    n_chunks = -(-N // K)
+    Np = n_chunks * K
+    grid = (B // block_b, n_chunks)
+    xt = jnp.transpose(xb.astype(I32), (1, 0))
+    yt = jnp.transpose(yb.astype(I32), (1, 0))
+    if Np != N:
+        yt = jnp.pad(yt, ((0, Np - N), (0, 0)))
+    p8 = jnp.asarray(pens8, I32).reshape(8)
+    pen = jnp.stack([p8[0], p8[1], p8[6], p8[7], jnp.int32(N)])
+    fspec = lambda: pl.BlockSpec((Mp1, block_b), lambda b, c: (0, b))
+    fshape = lambda: jax.ShapeDtypeStruct((Mp1, B), jnp.int32)
+    out = pl.pallas_call(
+        partial(
+            _kernel_scan_local_mp, CROW=CROW, LOG2C=CROW.bit_length() - 1
+        ),
+        interpret=jax.default_backend() == "cpu",
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((M, block_b), lambda b, c: (0, b)),
+            pl.BlockSpec((Np, block_b), lambda b, c: (0, b)),
+            pl.BlockSpec((1, block_b), lambda b, c: (0, b)),
+            pl.BlockSpec((1, block_b), lambda b, c: (0, b)),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, Mp1, block_b), lambda b, c: (c, 0, b)),
+            pl.BlockSpec((K, 1, block_b), lambda b, c: (c, 0, b)),
+            fspec(), fspec(), fspec(), fspec(), fspec(),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, Mp1, B), jnp.uint16),
+            jax.ShapeDtypeStruct((Np, 1, B), jnp.int32),
+            fshape(), fshape(), fshape(), fshape(), fshape(),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Mp1, block_b), jnp.int32) for _ in range(7)
+        ],
+    )(
+        pen,
+        xt,
+        yt,
+        mlens.reshape(1, B),
+        nlens.reshape(1, B),
+    )
+    tb_cols, lx_cols, S_f, I_f, Sn_f, Ly_f, tbk = out
+    tp = lambda a: jnp.transpose(a, (1, 0))
+    return (
+        tb_cols, lx_cols[:, 0], tp(S_f), tp(I_f), tp(Sn_f), tp(Ly_f), tp(tbk)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Block-row long-sequence global engine
 # ---------------------------------------------------------------------------
 #

@@ -652,3 +652,80 @@ def test_sweep_walks_degenerate_lengths():
             assert (got[i].xstart, got[i].ystart, got[i].xend, got[i].yend) == (
                 want.xstart, want.ystart, want.xend, want.yend
             ), (mode, i)
+
+
+def test_local_engine_matches_custom_engine(monkeypatch):
+    """The specialized local kernel (clips == 0) must emit byte-identical
+    scan outputs to the general-clip kernel (tb layer bits, Lx columns,
+    finals), and reference-exact alignments end-to-end; multi-chunk
+    forced."""
+    import random
+
+    from rust_bio_tpu.alignment.pairwise.scalar import Aligner
+    from rust_bio_tpu.alignment.pairwise.scoring import MatchParams
+    from rust_bio_tpu.ops import sw_pallas
+
+    real_pick = sw_pallas._pick_block_global
+    monkeypatch.setattr(
+        sw_pallas, "_pick_block_global",
+        lambda B, M, N, n_state=30, stream_bytes=0: (
+            real_pick(B, M, N, n_state, stream_bytes)[0], max(1, N // 4)
+        ),
+    )
+
+    rng = random.Random(131)
+    B, M, N = 16, 19, 23
+    for trial in range(3):
+        go = rng.randint(-9, -1)
+        ge = rng.randint(go, 0)
+        ma, mi = 2, rng.randint(-4, -1)
+        xb = np.zeros((B, M), np.uint8)
+        yb = np.zeros((B, N), np.uint8)
+        ml = np.zeros(B, np.int32)
+        nl = np.zeros(B, np.int32)
+        for k in range(B):
+            ml[k] = rng.randint(1, M)
+            nl[k] = rng.randint(1, N)
+            xb[k, : ml[k]] = [rng.choice(b"ACGT") for _ in range(ml[k])]
+            yb[k, : nl[k]] = [rng.choice(b"ACGT") for _ in range(nl[k])]
+        pen8 = jnp.asarray(np.array([go, ge, 0, 0, 0, 0, ma, mi], np.int32))
+        args = (jnp.asarray(xb), jnp.asarray(yb), jnp.asarray(ml),
+                jnp.asarray(nl), pen8)
+        got = sw_pallas.scan_local_pallas_mp(*args)
+        want = sw_pallas.scan_custom_pallas_mp(*args)
+        # tb layer bits (run nibble is walk-dead and local omits it)
+        np.testing.assert_array_equal(
+            np.asarray(got[0][:N]) & 0x0FFF, np.asarray(want[0][:N]) & 0x0FFF,
+            err_msg=f"trial {trial} tb",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got[1][:N]), np.asarray(want[1][:N]),
+            err_msg=f"trial {trial} lx",
+        )
+        for name, g, w in (
+            ("S_f", got[2], want[2]), ("I_f", got[3], want[3]),
+            ("Sn_f", got[4], want[4]), ("Ly_f", got[5], want[5]),
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(g), np.asarray(w), err_msg=f"trial {trial} {name}"
+            )
+        np.testing.assert_array_equal(
+            np.asarray(got[6]) & 0x0FFF, np.asarray(want[6]) & 0x0FFF,
+            err_msg=f"trial {trial} tbk",
+        )
+
+        # end-to-end local() vs the scalar oracle (dispatch routes to the
+        # local engine for the all-zeros preset)
+        sc = Scoring(
+            gap_open=go, gap_extend=ge, match_fn=MatchParams(ma, mi),
+            xclip_prefix=0, xclip_suffix=0, yclip_prefix=0, yclip_suffix=0,
+        )
+        ba = BatchAligner(sc)
+        sa = Aligner.with_scoring(sc)
+        xs = [xb[k, : ml[k]].tobytes() for k in range(B)]
+        ys = [yb[k, : nl[k]].tobytes() for k in range(B)]
+        res = ba.local(xs, ys)
+        for k, (x, y) in enumerate(zip(xs, ys)):
+            want_a = sa.local(x, y)
+            assert res[k].score == want_a.score, (trial, k, x, y)
+            assert res[k].operations == want_a.operations, (trial, k, x, y)
