@@ -20,19 +20,16 @@
 #include <algorithm>
 
 // ---------------------------------------------------------------------------
-// index construction (build time is not measured; any correct SA works)
+// index construction (build time is not measured; any correct SA works).
+// SA-IS from the shared header — O(n), required for the 50 Mbp regime.
 // ---------------------------------------------------------------------------
-static std::vector<int64_t> suffix_array_naive(const std::vector<uint8_t>& t) {
-  std::vector<int64_t> sa(t.size());
-  for (size_t i = 0; i < t.size(); i++) sa[i] = (int64_t)i;
-  std::sort(sa.begin(), sa.end(), [&](int64_t a, int64_t b) {
-    size_t n = t.size();
-    while (a < (int64_t)n && b < (int64_t)n) {
-      if (t[a] != t[b]) return t[a] < t[b];
-      a++; b++;
-    }
-    return a == (int64_t)n;
-  });
+#include "../native/sais.hpp"
+
+static std::vector<int64_t> suffix_array_sais(const std::vector<uint8_t>& t) {
+  int64_t n = (int64_t)t.size();
+  std::vector<int64_t> T(n), sa(n);
+  for (int64_t i = 0; i < n; i++) T[i] = t[i];
+  sais::sais_core(T.data(), sa.data(), n, 256);
   return sa;
 }
 
@@ -86,7 +83,7 @@ struct FM {
   Occ occ;
 
   void build(const std::vector<uint8_t>& text, int occ_k) {
-    auto sa = suffix_array_naive(text);
+    auto sa = suffix_array_sais(text);
     int64_t n = (int64_t)text.size();
     bwt.resize(n);
     for (int64_t i = 0; i < n; i++)

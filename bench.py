@@ -349,7 +349,11 @@ def _sw_5kb_rates():
     )
     from rust_bio_tpu.alignment.pairwise.scoring import MIN_SCORE
 
-    B, M = 8, 5100
+    # B = 128 fills the 128 VPU lanes (the per-batch vector op count is
+    # lane-padded and therefore ~constant in B: 141 ms at B=8 vs 154 ms at
+    # B=128 measured); the uint16 traceback tensor is 6.9 GB at this shape,
+    # so one batch is in flight per sync (K=1)
+    B, M = 128, 5100
     rng = np.random.default_rng(17)
     # STR-like corpus: random backbone with repeated motifs spliced in
     xb = rng.integers(0, 4, size=(B, M)).astype(np.uint8)
@@ -371,7 +375,7 @@ def _sw_5kb_rates():
             np.int32,
         )
     )
-    K = 4
+    K = 1
 
     def run():
         s = None

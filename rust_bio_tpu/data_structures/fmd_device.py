@@ -108,8 +108,11 @@ class DeviceFMDIndex:
         return lo_new, s
 
     # -- batched SMEMs ---------------------------------------------------
-    @partial(jax.jit, static_argnums=(0, 4, 5))
-    def _smems_kernel(self, pats, plens, iis, E: int, MC: int, l_min):
+    @partial(jax.jit, static_argnums=(0, 4, 5, 7))
+    def _smems_kernel(
+        self, pats, plens, iis, E: int, MC: int, l_min,
+        mapper_mode: bool = False,
+    ):
         B, L = pats.shape
         bidx = jnp.arange(B)
 
@@ -201,9 +204,18 @@ class DeviceFMDIndex:
             ).astype(jnp.uint8)
             # extend every candidate slot of every lane in one fused gather
             af = jnp.broadcast_to(a[:, None], (B, E)).reshape(-1)
-            elo, elor, esz = self._backward_ext(
-                s_lo.reshape(-1), s_lor.reshape(-1), s_sz.reshape(-1), af
-            )
+            if mapper_mode:
+                # the mapper never reads lower_rev and phase 2 never
+                # forward-extends: rank only the queried symbol (1 gather
+                # column instead of KE = 6x fewer scalarized gathers)
+                elo, esz = self._backward_ext_nolor(
+                    s_lo.reshape(-1), s_sz.reshape(-1), af
+                )
+                elor = s_lor.reshape(-1)  # carried, never consumed
+            else:
+                elo, elor, esz = self._backward_ext(
+                    s_lo.reshape(-1), s_lor.reshape(-1), s_sz.reshape(-1), af
+                )
             elo = elo.reshape(B, E)
             elor = elor.reshape(B, E)
             esz = esz.reshape(B, E)
@@ -272,13 +284,39 @@ class DeviceFMDIndex:
         max_matches: int = 16,
         host_oracle=None,
         host_oracle_fn=None,
+        mapper_mode: bool = False,
     ) -> List[List[Tuple[BiInterval, int, int]]]:
         """Per (pattern, position): the reference's ``smems(pattern, i, l)``.
 
         Lanes that overflow the device caps fall back to ``host_oracle``
         (an ``FMDIndex``, or the lazy ``host_oracle_fn`` supplier) when
         given, else raise.
+
+        ``mapper_mode=True`` skips the reverse-interval (``lower_rev``)
+        updates in the backward phase — (lower, size, start, len) stay
+        exact, ``BiInterval.lower_rev`` of the results is unspecified.
+        6x fewer rank gathers; for callers that only locate/extend.
         """
+        return self.smems_collect(
+            self.smems_dispatch(
+                patterns, positions, l, max_slots, max_matches, mapper_mode
+            ),
+            host_oracle=host_oracle,
+            host_oracle_fn=host_oracle_fn,
+        )
+
+    def smems_dispatch(
+        self,
+        patterns: Sequence,
+        positions: Sequence[int],
+        l: int,
+        max_slots: int = 32,
+        max_matches: int = 16,
+        mapper_mode: bool = False,
+    ):
+        """Async half of ``smems_batch``: launches the device kernel and
+        returns a handle WITHOUT a host sync, so a stream driver can
+        overlap the next batch's SMEM search with this batch's assembly."""
         from rust_bio_tpu.utils.text import to_array
 
         pats = [to_array(p) for p in patterns]
@@ -297,16 +335,22 @@ class DeviceFMDIndex:
             max_slots,
             max_matches,
             jnp.int32(l),
+            mapper_mode,
         )
-        # ONE device->host pull: each np.asarray pays a full tunnel round
-        # trip (~26 ms), so 7 separate pulls cost more than the kernel
-        packed = np.asarray(
-            jnp.concatenate(
-                [jnp.asarray(v, jnp.int32).reshape(len(pats), -1) for v in outs],
-                axis=1,
-            )
+        # ONE device->host pull later: each np.asarray pays a full tunnel
+        # round trip (~26 ms), so 7 separate pulls cost more than the kernel
+        packed_dev = jnp.concatenate(
+            [jnp.asarray(v, jnp.int32).reshape(B, -1) for v in outs], axis=1
         )
-        MC5 = max_matches
+        return (pats, iis, int(max_matches), int(l), packed_dev)
+
+    def smems_collect(
+        self, handle, host_oracle=None, host_oracle_fn=None
+    ) -> List[List[Tuple[BiInterval, int, int]]]:
+        """Sync half of ``smems_batch``: pulls + decodes a dispatch handle."""
+        pats, iis, MC5, l, packed_dev = handle
+        B = len(pats)
+        packed = np.asarray(packed_dev)
         m_lo = packed[:, 0:MC5]
         m_lor = packed[:, MC5 : 2 * MC5]
         m_sz = packed[:, 2 * MC5 : 3 * MC5]

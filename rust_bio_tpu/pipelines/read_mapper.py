@@ -256,8 +256,12 @@ class SmemReadMapper(ReadMapper):
         scoring: Optional[Scoring] = None,
         min_seed_len: int = 19,
         flank: int = 8,
-        sa_sampling_rate: int = 32,
+        sa_sampling_rate: int = 8,
     ) -> None:
+        # sa_sampling_rate 8 (not the serialization default 32): the locate
+        # LF-walk is a lockstep while_loop over <= s sequential rank steps
+        # (~0.9 ms each), and the sample array is 4 bytes per s text chars —
+        # s=8 costs n/2 bytes of HBM for a ~4x faster locate stage
         from rust_bio_tpu.data_structures.fmd_device import DeviceFMDIndex
         from rust_bio_tpu.data_structures.fmindex import FMDIndex, FMIndex
         from rust_bio_tpu.data_structures.bwt import less as _less, Occ
@@ -280,12 +284,28 @@ class SmemReadMapper(ReadMapper):
         self.flank = flank
 
     def map_stream(self, read_batches, ids_batches=None):
-        """SMEM seeding is a multi-call device pipeline of its own; the
-        base class's seed-dispatch overlap does not apply. Sequential
-        per-batch mapping keeps results identical."""
+        """Software-pipelined SMEM mapping: batch i+1's (dominant) SMEM
+        kernel is dispatched async before batch i's retries/locate/extend/
+        host assembly run, so the seeding stage overlaps the rest of the
+        pipeline. Results are identical to ``map_batch``."""
+        pending = None
         for bi, reads in enumerate(read_batches):
-            ids = list(ids_batches[bi]) if ids_batches is not None else None
-            yield self.map_batch(reads, ids)
+            seqs = [
+                to_bytes(r) if not hasattr(r, "seq") else bytes(r.seq)
+                for r in reads
+            ]
+            ids = (
+                list(ids_batches[bi])
+                if ids_batches is not None
+                else [getattr(r, "id", str(i)) for i, r in enumerate(reads)]
+            )
+            handle = self._smem_dispatch(seqs)
+            if pending is not None:
+                yield self._smem_finish(*pending)
+            rcs = [dna.revcomp(s) for s in seqs]
+            pending = (seqs, rcs, ids, handle)
+        if pending is not None:
+            yield self._smem_finish(*pending)
 
     @property
     def host_fmd(self):
@@ -305,8 +325,23 @@ class SmemReadMapper(ReadMapper):
         seqs = [to_bytes(r) if not hasattr(r, "seq") else bytes(r.seq) for r in reads]
         if ids is None:
             ids = [getattr(r, "id", str(i)) for i, r in enumerate(reads)]
-        B = len(seqs)
+        handle = self._smem_dispatch(seqs)
         rcs = [dna.revcomp(s) for s in seqs]
+        return self._smem_finish(seqs, rcs, ids, handle)
+
+    def _smem_dispatch(self, seqs):
+        """Async SMEM-seed dispatch for a batch: one full-batch kernel
+        launch at the read middles, no host sync."""
+        return self.fmd.smems_dispatch(
+            seqs,
+            [max(0, len(s) // 2 - 1) for s in seqs],
+            self.min_seed_len,
+            max_slots=16,
+            mapper_mode=True,  # lower_rev unused: locate uses itv.lower
+        )
+
+    def _smem_finish(self, seqs, rcs, ids, handle) -> List[MappedRead]:
+        B = len(seqs)
 
         # one seed suffices for extension: query SMEMs overlapping the
         # read middle (one full-batch call); the few reads without a
@@ -319,12 +354,8 @@ class SmemReadMapper(ReadMapper):
                     best = (itv, q0, mlen)
             return best
 
-        smems = self.fmd.smems_batch(
-            seqs,
-            [max(0, len(s) // 2 - 1) for s in seqs],
-            self.min_seed_len,
-            max_slots=16,
-            host_oracle_fn=lambda: self.host_fmd,
+        smems = self.fmd.smems_collect(
+            handle, host_oracle_fn=lambda: self.host_fmd
         )
         best_of = {}
         for i in range(B):
@@ -343,6 +374,7 @@ class SmemReadMapper(ReadMapper):
             smems2 = self.fmd.smems_batch(
                 sub, pos, self.min_seed_len, max_slots=16,
                 host_oracle_fn=lambda: self.host_fmd,
+                mapper_mode=True,
             )
             for r, i in enumerate(pending):
                 best = pick(smems2[r])

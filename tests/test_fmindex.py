@@ -322,3 +322,31 @@ def test_device_all_smems_match_host():
     got = dev.all_smems_batch(pats, 5, host_oracle=fmd)
     for b, p in enumerate(pats):
         assert got[b] == fmd.all_smems(p, 5), (b, p)
+
+
+def test_device_smems_mapper_mode_matches_default():
+    """mapper_mode skips lower_rev updates in the backward phase; lower,
+    size, start and match length must stay exactly the host oracle's."""
+    import numpy as np
+
+    rng = np.random.default_rng(83)
+    seq = rng.choice(list(b"ACGT"), size=600).astype("uint8").tobytes()
+    fmd, dev = _build_fmd_pair(seq)
+    pats, poss = [], []
+    for _ in range(12):
+        ln = int(rng.integers(10, 60))
+        s = int(rng.integers(0, len(seq) - ln))
+        p = bytearray(seq[s : s + ln])
+        for _ in range(int(rng.integers(0, 3))):
+            p[int(rng.integers(0, ln))] = int(rng.choice(list(b"ACGT")))
+        pats.append(bytes(p))
+        poss.append(int(rng.integers(0, ln)))
+    got = dev.smems_batch(pats, poss, 5, host_oracle=fmd, mapper_mode=True)
+    for b, (p, i) in enumerate(zip(pats, poss)):
+        want = fmd.smems(p, i, 5)
+        assert len(got[b]) == len(want), (b, p, i)
+        for (gi, gs, gl), (wi, ws, wl) in zip(got[b], want):
+            assert (gi.lower, gi.size, gi.match_size) == (
+                wi.lower, wi.size, wi.match_size,
+            ), (b, p, i)
+            assert (gs, gl) == (ws, wl), (b, p, i)
