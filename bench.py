@@ -179,6 +179,99 @@ def _pairhmm_pairs_per_s() -> float:
     return K * B / _best_of(run)
 
 
+def _fm_large_rates():
+    """Genome-scale FM search: 50 Mbp text, HBM bit-plane rank (the fused
+    in-VMEM kernel and the MXU table both cap out near 8 Mbp, so this is
+    the path a human-genome index actually runs) + the q=12 k-mer LUT
+    jump.  Returns (lut_rate, plain_rate, cpu_twin_rate)."""
+    import jax.numpy as jnp
+
+    from rust_bio_tpu.alphabets import dna
+    from rust_bio_tpu.data_structures.bwt import bwt
+    from rust_bio_tpu.data_structures.fm_device import DeviceFMIndex
+    from rust_bio_tpu.data_structures.suffix_array import suffix_array
+
+    G = 50_000_000
+    rng = np.random.default_rng(19)
+    text = rng.choice(list(b"ACGT"), size=G).astype(np.uint8).tobytes() + b"$"
+    sa = suffix_array(text)
+    idx = DeviceFMIndex(bwt(text, sa), dna.n_alphabet())
+    assert idx._fs_cfg is None and not idx._mxu_swt, (
+        "50 Mbp must exercise the HBM gather path"
+    )
+    idx.build_kmer_lut(q=12)
+    B, L = 65536, 20
+    pats = np.zeros((B, L), dtype=np.uint8)
+    starts = rng.integers(0, G - L - 1, size=B)
+    tarr = np.frombuffer(text, dtype=np.uint8)
+    for i, s in enumerate(starts):
+        pats[i] = tarr[s : s + L]
+    plens = np.full(B, L, dtype=np.int32)
+    pats_d, plens_d = jnp.asarray(pats), jnp.asarray(plens)
+
+    # parity + no-miss check once (the timed loop chains async dispatches)
+    st, lo, up, ml = idx.search_batch_lut(pats[:2048], plens[:2048])
+    assert (st == 2).all() and (ml == L).all()
+    _, _, _, _, miss = jax.tree.map(
+        np.asarray, idx._search_kernel_lut(pats_d, plens_d)
+    )
+    assert not miss.any()
+
+    K = 8
+
+    def run_lut():
+        s = None
+        for _ in range(K):
+            out = idx._search_kernel_lut(pats_d, plens_d)
+            s = out[3] if s is None else s + out[3]
+        _ = np.asarray(s).sum()
+
+    run_lut()
+    lut_rate = K * B / _best_of(run_lut, 3)
+
+    def run_plain():
+        s = None
+        for _ in range(K):
+            out = idx._search_kernel(pats_d, plens_d)
+            s = out[3] if s is None else s + out[3]
+        _ = np.asarray(s).sum()
+
+    run_plain()
+    plain_rate = K * B / _best_of(run_plain, 3)
+
+    cpu_rate = _cpu_fm_baseline_rate(
+        text_len=G, B=16384, L=L, occ_k=64, iters=2
+    )
+    return lut_rate, plain_rate, cpu_rate
+
+
+def _smem_50mbp_reads_per_s() -> float:
+    """End-to-end SMEM mapping at genome scale: 50 Mbp genome (100 Mbp FMD
+    text), 100 bp reads with 2 errors."""
+    from rust_bio_tpu.pipelines.read_mapper import SmemReadMapper
+
+    rng = np.random.default_rng(37)
+    G = 50_000_000
+    genome = rng.choice(list(b"ACGT"), size=G).astype(np.uint8).tobytes()
+    mapper = SmemReadMapper(genome, min_seed_len=19)
+    B, L = 1024, 100
+    starts = rng.integers(0, G - L, size=B)
+    reads = []
+    for s in starts:
+        r = bytearray(genome[s : s + L])
+        for _ in range(2):
+            r[int(rng.integers(0, L))] = int(rng.choice(list(b"ACGT")))
+        reads.append(bytes(r))
+    out = mapper.map_batch(reads)
+    ok = sum(1 for m, s in zip(out, starts) if m.pos == s)
+    assert ok >= B * 9 // 10, f"only {ok}/{B} mapped at 50 Mbp"
+
+    def run():
+        mapper.map_batch(reads)
+
+    return B / _best_of(run, 3)
+
+
 def _pairhmm_exact_pairs_per_s() -> float:
     """The PARITY path: oracle-order f64 PairHMM (stats/pairhmm/exact.py,
     4.3e-15 rel on chip) on the reference bench geometry. f64 on TPU is
@@ -417,32 +510,62 @@ def _smem_reads_per_s() -> float:
     return B / _best_of(run, 3)
 
 
-def _banded_pairs_per_s() -> float:
-    """Banded aligner (kmer band, banded.rs semantics), semiglobal, incl.
-    host band construction."""
+def _banded_long_rates():
+    """Banded aligner in ITS regime (banded.rs:6-16 exists for long
+    targets): 150 bp reads vs 20 kb targets, semiglobal, k-mer band.
+    Native band build (kmer match + sdpkpp + raster in C++), column-window
+    crop on device.  Returns (device pairs/s, host-oracle pairs/s,
+    full-matrix device pairs/s at the same shapes)."""
+    import time as _t
+
+    from rust_bio_tpu.alignment.pairwise.banded import Aligner as HostBanded
     from rust_bio_tpu.alignment.pairwise.banded_device import (
         BatchBandedAligner,
     )
+    from rust_bio_tpu.alignment.pairwise.batched import BatchAligner
     from rust_bio_tpu.alignment.pairwise.scoring import Scoring
 
     rng = np.random.default_rng(31)
-    B = 256
+    B, M, N = 64, 150, 20_000
+    sc = Scoring.from_scores(-5, -1, 2, -2)
     xs, ys = [], []
     for _ in range(B):
-        y = rng.choice(list(b"ACGT"), size=250).astype(np.uint8).tobytes()
-        s = int(rng.integers(0, 100))
-        x = bytearray(y[s : s + 150])
+        y = rng.choice(list(b"ACGT"), size=N).astype(np.uint8).tobytes()
+        s = int(rng.integers(0, N - M))
+        x = bytearray(y[s : s + M])
         for _ in range(4):
-            x[int(rng.integers(0, 150))] = int(rng.choice(list(b"ACGT")))
+            x[int(rng.integers(0, M))] = int(rng.choice(list(b"ACGT")))
         xs.append(bytes(x))
         ys.append(y)
-    bat = BatchBandedAligner(Scoring.from_scores(-5, -1, 2, -2), 8, 8)
-    bat.semiglobal(xs, ys)
+    bat = BatchBandedAligner(sc, 8, 8)
+    got = bat.semiglobal(xs, ys)
 
     def run():
         bat.semiglobal(xs, ys)
 
-    return B / _best_of(run, 3)
+    dev_rate = B / _best_of(run, 3)
+
+    # host banded oracle on a few pairs (identical results by property
+    # test; rate extrapolated)
+    host = HostBanded(sc.with_clips(-2**30, -2**30, 0, 0), 8, 8)
+    nh = 3
+    t0 = _t.perf_counter()
+    for i in range(nh):
+        host.semiglobal(xs[i], ys[i])
+    host_rate = nh / (_t.perf_counter() - t0)
+
+    # full-matrix device engine at the same shapes (what "don't band"
+    # costs at this geometry; scores can legitimately differ — the band
+    # restricts the DP)
+    del got
+    ba = BatchAligner(sc)
+    ba.semiglobal(xs, ys)  # compile + warm
+
+    def run_full():
+        ba.semiglobal(xs, ys)
+
+    full_rate = B / _best_of(run_full, 2)
+    return dev_rate, host_rate, full_rate
 
 
 def main() -> None:
@@ -604,10 +727,48 @@ def main() -> None:
         smem_rate = None
 
     try:
-        banded_rate = round(_banded_pairs_per_s(), 2)
+        bl_dev, bl_host, bl_full = _banded_long_rates()
+        banded_rate = round(bl_dev, 2)
+        banded_vs_host = round(bl_dev / bl_host, 2)
+        banded_vs_full = round(bl_dev / bl_full, 2)
     except Exception as e:
         print(f"banded bench failed: {e}", file=sys.stderr)
-        banded_rate = None
+        banded_rate = banded_vs_host = banded_vs_full = None
+
+    try:
+        ph_exact = round(_pairhmm_exact_pairs_per_s(), 2)
+    except Exception as e:
+        print(f"pairhmm exact bench failed: {e}", file=sys.stderr)
+        ph_exact = None
+
+    try:
+        hp_rate = round(_homopoly_pairs_per_s(), 2)
+    except Exception as e:
+        print(f"homopoly bench failed: {e}", file=sys.stderr)
+        hp_rate = None
+
+    try:
+        poa_rate, poa_host = _poa_rates()
+        poa_rate = round(poa_rate, 2)
+        poa_vs = round(poa_rate / poa_host, 1)
+    except Exception as e:
+        print(f"poa bench failed: {e}", file=sys.stderr)
+        poa_rate = poa_vs = None
+
+    try:
+        fml_lut, fml_plain, fml_cpu = _fm_large_rates()
+        fm_large = round(fml_lut, 2)
+        fm_large_vs = round(fml_lut / fml_cpu, 3)
+        fm_large_plain = round(fml_plain, 2)
+    except Exception as e:
+        print(f"fm large bench failed: {e}", file=sys.stderr)
+        fm_large = fm_large_vs = fm_large_plain = None
+
+    try:
+        smem50 = round(_smem_50mbp_reads_per_s(), 2)
+    except Exception as e:
+        print(f"smem 50mbp bench failed: {e}", file=sys.stderr)
+        smem50 = None
 
     print(
         json.dumps(
@@ -622,12 +783,22 @@ def main() -> None:
                 "local_alignments_per_s": local_rate,
                 "fm_index_queries_per_s": fm_rate,
                 "fm_vs_baseline": fm_vs,
+                "fm_50mbp_queries_per_s": fm_large,
+                "fm_large_vs_baseline": fm_large_vs,
+                "fm_50mbp_nolut_queries_per_s": fm_large_plain,
                 "semiglobal_alignments_per_s": sg_rate,
                 "pairhmm_pairs_per_s": ph_rate,
+                "pairhmm_exact_pairs_per_s": ph_exact,
+                "homopoly_pairs_per_s": hp_rate,
+                "poa_batch_scores_per_s": poa_rate,
+                "poa_vs_host": poa_vs,
                 "sw_5kb_alignments_per_s": sw5_rate,
                 "sw_5kb_vs_baseline": sw5_vs,
                 "smem_mapper_reads_per_s": smem_rate,
-                "banded_pairs_per_s": banded_rate,
+                "smem_mapper_50mbp_reads_per_s": smem50,
+                "banded_long_pairs_per_s": banded_rate,
+                "banded_long_vs_host": banded_vs_host,
+                "banded_long_vs_full_matrix": banded_vs_full,
             }
         )
     )

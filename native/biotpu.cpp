@@ -224,4 +224,245 @@ int64_t bytecount_u8(const uint8_t* s, int64_t n, uint8_t c) {
   return k;
 }
 
+// All shared k-length substring positions of (x, y), sorted ascending by
+// (x_pos, y_pos) — semantic twin of sparse.py find_kmer_matches (itself
+// mirroring sparse.rs:337-401).  Writes up to cap (i, j) pairs into
+// out_xy (interleaved), returns the TOTAL match count (callers realloc
+// and retry when count > cap).
+int64_t kmer_matches_i64(const uint8_t* x, int64_t xm, const uint8_t* y,
+                         int64_t yn, int64_t k, int64_t* out_xy,
+                         int64_t cap) {
+  if (k <= 0 || xm < k || yn < k) return 0;
+  const int64_t nx = xm + 1 - k;
+  const int64_t ny = yn + 1 - k;
+  // FNV-1a over the k bytes; buckets verified byte-wise (collision-safe)
+  auto fnv = [&](const uint8_t* p) {
+    uint64_t h = 1469598103934665603ULL;
+    for (int64_t d = 0; d < k; ++d) h = (h ^ p[d]) * 1099511628211ULL;
+    return h;
+  };
+  // open-addressed table over x k-mers: slot -> first x position; chains
+  // via next[] (x is the short side in the banded use; table is tiny)
+  int64_t tbits = 4;
+  while ((int64_t(1) << tbits) < 2 * nx) ++tbits;
+  const int64_t tsz = int64_t(1) << tbits;
+  const uint64_t mask = tsz - 1;
+  std::vector<int64_t> head(tsz, -1), nxt(nx, -1), tail(tsz, -1);
+  std::vector<uint64_t> hkey(tsz, 0);
+  for (int64_t i = 0; i < nx; ++i) {
+    uint64_t h = fnv(x + i);
+    uint64_t s = h & mask;
+    while (true) {
+      if (head[s] < 0) {
+        head[s] = tail[s] = i;
+        hkey[s] = h;
+        break;
+      }
+      if (hkey[s] == h &&
+          std::memcmp(x + head[s], x + i, (size_t)k) == 0) {
+        nxt[tail[s]] = i;  // append: ascending x positions per bucket
+        tail[s] = i;
+        break;
+      }
+      s = (s + 1) & mask;
+    }
+  }
+  int64_t count = 0;
+  for (int64_t j = 0; j < ny; ++j) {
+    uint64_t h = fnv(y + j);
+    uint64_t s = h & mask;
+    while (head[s] >= 0) {
+      if (hkey[s] == h &&
+          std::memcmp(x + head[s], y + j, (size_t)k) == 0) {
+        for (int64_t i = head[s]; i >= 0; i = nxt[i]) {
+          if (count < cap) {
+            out_xy[2 * count] = i;
+            out_xy[2 * count + 1] = j;
+          }
+          ++count;
+        }
+        break;
+      }
+      s = (s + 1) & mask;
+    }
+  }
+  // emitted in (ascending j, ascending i-within-bucket) order; the Python
+  // twin sorts by (i, j) — do the same (pairs are unique)
+  if (count <= cap && count > 1) {
+    struct IJ { int64_t i, j; };
+    IJ* p = reinterpret_cast<IJ*>(out_xy);
+    std::sort(p, p + count, [](const IJ& a, const IJ& b) {
+      return a.i != b.i ? a.i < b.i : a.j < b.j;
+    });
+  }
+  return count;
+}
+
+// ---------------------------------------------------------------------------
+// Band rasterization (banded.py Band::create_from_match_path, itself a
+// statement twin of banded.rs:1046-1330): set_boundaries + per-path-segment
+// add_kmer / add_gap / add_entry into per-column [start, end) row ranges.
+// Byte-identical bands to the Python implementation (property-tested).
+// ---------------------------------------------------------------------------
+
+namespace bandr {
+
+struct B {
+  int64_t rows, cols;
+  int32_t* starts;
+  int32_t* ends;
+};
+
+inline void add_entry(B& b, int64_t r, int64_t c, int64_t w) {
+  int64_t istart = std::max(r - w, (int64_t)0);
+  int64_t iend = std::min(r + w + 1, b.rows);
+  int64_t lo = std::max(c - w, (int64_t)0);
+  int64_t hi = std::min(c + w + 1, b.cols);
+  for (int64_t j = lo; j < hi; ++j) {
+    if (istart < b.starts[j]) b.starts[j] = (int32_t)istart;
+    if (iend > b.ends[j]) b.ends[j] = (int32_t)iend;
+  }
+}
+
+inline void add_kmer(B& b, int64_t r, int64_t c, int64_t k, int64_t w) {
+  if (k == 0) return;
+  int64_t i = std::max(r - w, (int64_t)0);
+  for (int64_t j = std::max(c - w, (int64_t)0);
+       j < std::min(c + w + 1, b.cols); ++j)
+    if (i < b.starts[j]) b.starts[j] = (int32_t)i;
+  i = std::max(r - w, (int64_t)0);
+  for (int64_t j = std::min(c + w, b.cols);
+       j < std::min(c + k + w, b.cols); ++j) {
+    if (i < b.starts[j]) b.starts[j] = (int32_t)i;
+    ++i;
+  }
+  i = r + w + k;
+  int64_t j = std::max(c + k - 1 - w, (int64_t)0);
+  while (j > std::max(c - w, (int64_t)0)) {
+    --j;
+    --i;
+    int64_t e = std::min(i, b.rows);
+    if (e > b.ends[j]) b.ends[j] = (int32_t)e;
+  }
+  i = std::min(r + w + k, b.rows);
+  for (int64_t jj = std::max(c + k - 1 - w, (int64_t)0);
+       jj < std::min(c + k + w, b.cols); ++jj)
+    if (i > b.ends[jj]) b.ends[jj] = (int32_t)i;
+}
+
+inline void add_gap(B& b, int64_t sr, int64_t sc, int64_t er, int64_t ec,
+                    int64_t w) {
+  int64_t nrows = er - sr, ncols = ec - sc;
+  if (nrows > ncols) {
+    for (int64_t r = sr; r < er; ++r)
+      add_entry(b, r, sc + (ec - sc) * (r - sr) / (er - sr), w);
+  } else {
+    if (ec == sc) return;  // empty column span: no entries
+    for (int64_t c = sc; c < ec; ++c)
+      add_entry(b, sr + (er - sr) * (c - sc) / (ec - sc), c, w);
+  }
+}
+
+inline void set_boundaries(B& b, int64_t sr, int64_t sc, int64_t er,
+                           int64_t ec, int64_t k, int64_t w, int64_t xcp,
+                           int64_t xcs, int64_t ycp, int64_t ycs) {
+  const int64_t lazy = 2 * k;
+  // -------------- START --------------
+  {
+    int64_t r = sr, c = sc;
+    if (!(r == 0 && c == 0)) {
+      int64_t score_to_start = (r > 0 ? xcp : 0) + (c > 0 ? ycp : 0);
+      if (score_to_start == 0) {
+        int64_t d = std::min(lazy, std::min(r, c));
+        add_kmer(b, r - d, c - d, d, w);
+        add_gap(b, std::max(r - lazy, (int64_t)0),
+                std::max(c - lazy, (int64_t)0), r - d, c - d, w);
+      } else {
+        int64_t diag = r > c ? xcp : (r < c ? ycp : 0);
+        if (diag == 0) {
+          int64_t d = std::min(r, c);
+          add_kmer(b, r - d, c - d, d, w);
+          int64_t s0 = std::max(r - lazy, (int64_t)0);
+          int64_t s1 = std::max(c - lazy, (int64_t)0);
+          if (s0 <= r - d && s1 <= c - d)
+            add_gap(b, s0, s1, r - d, c - d, w);
+        } else {
+          add_gap(b, 0, 0, r, c, w);
+        }
+      }
+    }
+  }
+  // -------------- END --------------
+  {
+    int64_t r = er + k, c = ec + k;
+    if (!(r == b.rows && c == b.cols)) {
+      int64_t score_from_end =
+          (r == b.rows ? 0 : xcs) + (c == b.cols ? 0 : ycs);
+      if (score_from_end == 0) {
+        int64_t d = std::min(lazy, std::min(b.rows - r, b.cols - c));
+        add_kmer(b, r, c, d, w);
+        int64_t r1 = std::min(b.rows, r + d) - 1;
+        int64_t c1 = std::min(b.cols, c + d) - 1;
+        int64_t r2 = std::min(b.rows, r + lazy);
+        int64_t c2 = std::min(b.cols, c + lazy);
+        if (r1 <= r2 && c1 <= c2) add_gap(b, r1, c1, r2, c2, w);
+      } else {
+        int64_t dr = b.rows - r, dc = b.cols - c;
+        int64_t diag = dr > dc ? xcs : (dr < dc ? ycs : 0);
+        if (diag == 0) {
+          int64_t d = std::min(dr, dc);
+          add_kmer(b, r, c, d, w);
+          int64_t r1 = std::min(b.rows, r + d) - 1;
+          int64_t c1 = std::min(b.cols, c + d) - 1;
+          int64_t r2 = std::min(b.rows, r + lazy);
+          int64_t c2 = std::min(b.cols, c + lazy);
+          if (r1 <= r2 && c1 <= c2) add_gap(b, r1, c1, r2, c2, w);
+        } else {
+          add_gap(b, r, c, b.rows, b.cols, w);
+        }
+      }
+    }
+  }
+}
+
+}  // namespace bandr
+
+// Band from a sdpkpp match path.  path_xy: (np, 2) interleaved (r, c) of
+// the path's matches IN PATH ORDER.  starts/ends: caller-allocated int32
+// arrays of length n + 1 (initialized here).
+void band_raster_i64(const int64_t* path_xy, int64_t np_, int64_t m,
+                     int64_t n, int64_t k, int64_t w, int64_t xcp,
+                     int64_t xcs, int64_t ycp, int64_t ycs, int32_t* starts,
+                     int32_t* ends) {
+  bandr::B b{m + 1, n + 1, starts, ends};
+  for (int64_t j = 0; j <= n; ++j) {
+    starts[j] = (int32_t)(m + 1);
+    ends[j] = 0;
+  }
+  if (np_ == 0) {  // no matches: full matrix (banded.py create_with_matches)
+    for (int64_t j = 0; j <= n; ++j) {
+      starts[j] = 0;
+      ends[j] = (int32_t)(m + 1);
+    }
+    return;
+  }
+  bandr::set_boundaries(b, path_xy[0], path_xy[1], path_xy[2 * (np_ - 1)],
+                        path_xy[2 * (np_ - 1) + 1], k, w, xcp, xcs, ycp,
+                        ycs);
+  int64_t pr = -1, pc = -1;
+  bool have_prev = false;
+  for (int64_t t = 0; t < np_; ++t) {
+    int64_t r = path_xy[2 * t], c = path_xy[2 * t + 1];
+    if (have_prev && r == pr + 1 && c == pc + 1) {
+      bandr::add_entry(b, pr + k, pc + k, w);
+    } else {
+      if (have_prev) bandr::add_gap(b, pr + k - 1, pc + k - 1, r, c, w);
+      bandr::add_kmer(b, r, c, k, w);
+    }
+    pr = r;
+    pc = c;
+    have_prev = true;
+  }
+}
+
 }  // extern "C"

@@ -236,8 +236,60 @@ class Band:
 
     @classmethod
     def create(cls, x: bytes, y: bytes, k: int, w: int, scoring: Scoring) -> "Band":
+        fast = cls.create_native(x, y, k, w, scoring)
+        if fast is not None:
+            return fast
         matches = sparse.find_kmer_matches(x, y, k)
         return cls.create_with_matches(x, y, k, w, scoring, matches)
+
+    @classmethod
+    def create_native(
+        cls, x: bytes, y: bytes, k: int, w: int, scoring: Scoring
+    ) -> Optional["Band"]:
+        """Fully-native band build (kmer match -> sdpkpp -> raster, all in
+        native/biotpu.cpp; byte-identical bands to the Python path, which
+        stays as the oracle/fallback).  None when the library is absent."""
+        from rust_bio_tpu import native as _native
+        from rust_bio_tpu.utils.text import to_bytes as _tb
+
+        x, y = _tb(x), _tb(y)
+        mx = _native.kmer_matches(x, y, k)
+        if mx is None:
+            return None
+        band = cls(len(x), len(y))
+        if len(mx) == 0:
+            band.full_matrix()
+            return band
+        match_score = (
+            scoring.match_scores[0]
+            if scoring.match_scores
+            else DEFAULT_MATCH_SCORE
+        )
+        nat = _native.sdpkpp_native(
+            mx[:, 0], mx[:, 1], k, match_score,
+            -scoring.gap_open, -scoring.gap_extend,
+        )
+        if nat is None:
+            return None
+        _dp_score, dp_prev, _best_score, best_idx = nat
+        path: List[int] = []
+        prev = best_idx
+        while prev >= 0:
+            path.append(prev)
+            prev = int(dp_prev[prev])
+        path.reverse()
+        res = _native.band_raster(
+            mx[np.asarray(path, np.int64)], len(x), len(y), k, w,
+            (
+                scoring.xclip_prefix, scoring.xclip_suffix,
+                scoring.yclip_prefix, scoring.yclip_suffix,
+            ),
+        )
+        if res is None:
+            return None
+        band.starts = res[0].astype(np.int64)
+        band.ends = res[1].astype(np.int64)
+        return band
 
     @classmethod
     def create_with_prehash(

@@ -515,21 +515,50 @@ class BatchBandedAligner:
         nb = len(run_idx)
         pad = -nb % 8
         Bp = nb + pad
+
+        # --- column-window crop (the long-target regime) ---------------
+        # With free y clips the band occupies a narrow column window of a
+        # long target; the DP outside it is row-0-only and j-invariant, so
+        # the batch runs on the cropped window + 1-2 empty tail columns
+        # matching the global final column's two-buffer PARITY (the host
+        # oracle's stale-carry fixups read buffer[n % 2]).  Yclip lengths
+        # and y coordinates are patched back below; ops/scores stay
+        # byte-identical to the uncropped run (property-tested).
+        crop = int(sc.yclip_prefix) == 0 and int(sc.yclip_suffix) == 0
+        c0s = np.zeros(B, np.int64)
+        nl_effs = np.array([len(ys[i]) for i in range(B)], np.int64)
+        if crop:
+            for i in run_idx:
+                band = bands[i]
+                nz = np.nonzero(band.ends > band.starts)[0]
+                if nz.size == 0:
+                    continue
+                j0, j1 = int(nz[0]), int(nz[-1])
+                Ny = len(ys[i])
+                c0 = max(j0 - 1, 0)
+                tail = Ny - j1
+                e = 0 if tail == 0 else (1 if tail % 2 == 1 else 2)
+                c0s[i] = c0
+                nl_effs[i] = j1 - c0 + e
+        Nc = int(max(nl_effs[i] for i in run_idx))
+        Nc = max(8, 1 << (Nc - 1).bit_length())  # stable compile buckets
+
         xb = np.zeros((Bp, M), np.uint8)
-        yb = np.zeros((Bp, N), np.uint8)
+        yb = np.zeros((Bp, Nc), np.uint8)
         mlens = np.ones(Bp, np.int32)
         nlens = np.ones(Bp, np.int32)
-        starts = np.zeros((Bp, N + 1), np.int32)
-        ends = np.zeros((Bp, N + 1), np.int32)
-        ends[:, :] = 0
-        starts[:, :] = M + 1
+        starts = np.full((Bp, Nc + 1), M + 1, np.int32)
+        ends = np.zeros((Bp, Nc + 1), np.int32)
         for r, i in enumerate(run_idx):
             x, y, band = xs[i], ys[i], bands[i]
+            c0, nl = int(c0s[i]), int(nl_effs[i])
             xb[r, : len(x)] = np.frombuffer(x, np.uint8)
-            yb[r, : len(y)] = np.frombuffer(y, np.uint8)
-            mlens[r], nlens[r] = len(x), len(y)
-            starts[r, : len(y) + 1] = band.starts
-            ends[r, : len(y) + 1] = band.ends
+            ycut = y[c0 : c0 + nl]
+            yb[r, : len(ycut)] = np.frombuffer(ycut, np.uint8)
+            mlens[r], nlens[r] = len(x), nl
+            win = min(nl, len(y) - c0) + 1  # band cols c0..c0+win-1
+            starts[r, :win] = band.starts[c0 : c0 + win]
+            ends[r, :win] = band.ends[c0 : c0 + win]
         # dummy pad lanes: full 1x1 band
         for r in range(nb, Bp):
             starts[r, :2] = 0
@@ -558,12 +587,29 @@ class BatchBandedAligner:
         yst = np.asarray(dev["ystart"])
         xen = np.asarray(dev["xend"])
         yen = np.asarray(dev["yend"])
+        from rust_bio_tpu.alignment.types import Yclip as _Yclip
+
         for r, i in enumerate(run_idx):
             ops = _decode_ops(codes[:, r], lens[:, r])
+            ystart, yend = int(yst[r]), int(yen[r])
+            if crop:
+                # shift the window back to global y coordinates
+                c0, Ny = int(c0s[i]), len(ys[i])
+                ystart += c0
+                yend += c0
+                if c0 > 0:
+                    if ops and ops[0].kind == "Yclip":
+                        ops[0] = _Yclip(ops[0].len + c0)
+                    else:
+                        ops.insert(0, _Yclip(c0))
+                if ops and ops[-1].kind == "Yclip":
+                    ops[-1] = _Yclip(Ny - yend)
+                elif yend < Ny:
+                    ops.append(_Yclip(Ny - yend))
             aln = Alignment(
                 score=int(scores[r]),
-                ystart=int(yst[r]), xstart=int(xst[r]),
-                yend=int(yen[r]), xend=int(xen[r]),
+                ystart=ystart, xstart=int(xst[r]),
+                yend=yend, xend=int(xen[r]),
                 ylen=len(ys[i]), xlen=len(xs[i]),
                 operations=ops, mode=AlignmentMode.Custom,
             )

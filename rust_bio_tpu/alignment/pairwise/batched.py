@@ -1554,6 +1554,50 @@ def _decode_ops_colrle_semi(
     return ops
 
 
+def _decode_semi_batch(
+    ins_cnt, exit_op, ins0, fix_ins, fix_exit, fix_ly, nlens,
+) -> List[List[AlignmentOperation]]:
+    """Whole-batch vectorized ``_decode_ops_colrle_semi``: one object-LUT
+    ``np.repeat`` over the interleaved [exit][Ins-run] column stream of
+    every lane (the per-read Python column loop costs ~40 ms per 1024
+    reads at 216 columns; this is ~10x cheaper). Bit-identical op lists."""
+    B = len(nlens)
+    N = int(nlens.max()) if B else 0
+    valid = np.arange(N)[None, :] < np.asarray(nlens)[:, None]  # (B, N)
+    ex = exit_op[:N].T.astype(np.int64) * valid
+    cnt = ins_cnt[:N].T.astype(np.int64) * valid
+    W = 2 * N + 3
+    C = np.zeros((B, W), np.int64)
+    Lm = np.zeros((B, W), np.int64)
+    C[:, 0] = TB_INS
+    Lm[:, 0] = ins0
+    C[:, 1 : 1 + 2 * N : 2] = ex
+    Lm[:, 1 : 1 + 2 * N : 2] = 1
+    C[:, 2 : 2 + 2 * N : 2] = TB_INS
+    Lm[:, 2 : 2 + 2 * N : 2] = cnt
+    C[:, 1 + 2 * N] = fix_exit
+    Lm[:, 1 + 2 * N] = 1
+    C[:, 2 + 2 * N] = TB_INS
+    Lm[:, 2 + 2 * N] = fix_ins
+    is_clip = C >= TB_XCLIP_PREFIX
+    reps = np.where(C == 0, 0, np.where(is_clip, 1, np.maximum(Lm, 0)))
+    lutidx = np.where(is_clip, 0, C)  # clip slots patched below
+    ops_flat = np.repeat(_OP_ARR[lutidx.ravel()], reps.ravel())
+    row_tot = reps.sum(axis=1)
+    offs = np.concatenate([[0], np.cumsum(row_tot)])
+    within = np.cumsum(reps, axis=1) - reps
+    for r, col in zip(*np.nonzero(is_clip & (reps > 0))):
+        c = int(C[r, col])
+        if col == 1 + 2 * N:
+            ln = int(fix_ly[r])
+        else:
+            ln = (col - 1) // 2 + 1  # Yclip-prefix at column j -> Yclip(j+1)
+        ops_flat[offs[r] + within[r, col]] = (
+            Xclip(ln) if c in (TB_XCLIP_PREFIX, TB_XCLIP_SUFFIX) else Yclip(ln)
+        )
+    return [ops_flat[offs[k] : offs[k + 1]].tolist() for k in range(B)]
+
+
 def _decode_ops_colrle_custom(
     pre, ins_cnt, exit_op, elen, post, fix_codes, fix_lens, nlen: int,
 ) -> List[AlignmentOperation]:
@@ -1856,6 +1900,14 @@ class BatchAligner:
 
         colrle = "ins_cnt" in out
         semi_rle = "fix_exit" in out
+        semi_ops = (
+            _decode_semi_batch(
+                out["ins_cnt"], out["exit_op"], out["ins0"],
+                out["fix_ins"], out["fix_exit"], out["fix_ly"], nlens,
+            )
+            if semi_rle
+            else None
+        )
         results = []
         for k in range(B):
             if custom_rle:
@@ -1870,15 +1922,7 @@ class BatchAligner:
                     int(nlens[k]),
                 )
             elif semi_rle:
-                ops = _decode_ops_colrle_semi(
-                    out["ins_cnt"][:, k],
-                    out["exit_op"][:, k],
-                    out["ins0"][k],
-                    out["fix_ins"][k],
-                    out["fix_exit"][k],
-                    out["fix_ly"][k],
-                    int(nlens[k]),
-                )
+                ops = semi_ops[k]
             elif colrle:
                 ops = _decode_ops_colrle(
                     out["ins_cnt"][:, k],

@@ -43,21 +43,21 @@ ABSENT, PARTIAL, COMPLETE = 0, 1, 2
 
 
 def _pack_bitplanes(b: np.ndarray, symbols: List[int]):
-    """(sigma, nw) uint32 bit-planes + (sigma, nw) int32 exclusive counts."""
+    """(sigma, nw) uint32 bit-planes + (sigma, nw) int32 exclusive counts.
+
+    Vectorized word packing: a (nw, 32) boolean view dotted with bit
+    weights (`np.bitwise_or.at` is ~50x slower at genome scale)."""
     n = len(b)
     nw = (n + 31) // 32 or 1
     bits = np.zeros((len(symbols), nw), dtype=np.uint32)
     ckpt = np.zeros((len(symbols), nw), dtype=np.int32)
-    pos = np.arange(n)
-    word = pos >> 5
-    bit = pos & 31
+    pad = nw * 32 - n
+    weights = (np.uint32(1) << np.arange(32, dtype=np.uint32))
     for si, sym in enumerate(symbols):
-        is_sym = b == sym
-        np.bitwise_or.at(
-            bits[si], word[is_sym], (np.uint32(1) << bit[is_sym].astype(np.uint32))
-        )
-        counts = np.bincount(word[is_sym], minlength=nw)
-        ckpt[si, 1:] = np.cumsum(counts)[:-1]
+        is_sym = np.pad((b == sym), (0, pad)).reshape(nw, 32)
+        bits[si] = (is_sym * weights[None, :]).sum(axis=1, dtype=np.uint32)
+        counts = is_sym.sum(axis=1, dtype=np.int64)
+        ckpt[si, 1:] = np.cumsum(counts[:-1])
     return bits, ckpt
 
 
@@ -222,10 +222,12 @@ class DeviceFMIndex:
         self._fs_zero_base = int(base.max())
         self._fs_cfg = dict(n=self.n, wpr=wpr, swt_pad=swt_pad, qtb=qtb)
 
-    def _rank_mxu(self, r, sym):
+    def _rank_mxu(self, r, sym, mxu_T=None):
         """MXU-rank: one-hot table scan instead of a per-query gather.
 
         ``r`` (Q,) int32 (>= -1), ``sym`` (Q,) int32 (>= 0)."""
+        if mxu_T is None:
+            mxu_T = self._mxu_T
         r = jnp.asarray(r, I32)
         sym = jnp.asarray(sym, I32)
         w = jnp.maximum(r, 0) >> 5
@@ -242,7 +244,7 @@ class DeviceFMIndex:
         ).astype(jnp.bfloat16)
         R = jax.lax.dot_general(
             oh,
-            self._mxu_T,
+            mxu_T,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (Q, 896): 7 byte-planes x 128 word columns
@@ -264,22 +266,28 @@ class DeviceFMIndex:
         cnt = ck + jax.lax.population_count(word & mask).astype(I32)
         return jnp.where(r < 0, 0, cnt)
 
-    def _rank_dispatch(self, r, sym):
+    def _rank_dispatch(self, r, sym, fused=None, mxu_T=None):
         """1-D rank through the MXU path when the table is small enough."""
         if self._mxu_swt:
-            return self._rank_mxu(r, sym)
-        return self._rank(r, sym)
+            return self._rank_mxu(r, sym, mxu_T)
+        return self._rank(r, sym, fused)
 
-    def _rank(self, r, sym):
+    def _rank(self, r, sym, fused=None):
         """Batched rank: occurrences of symbol-index ``sym`` in bwt[..r+1].
 
         ``r`` may be -1 (returns 0). Shapes broadcast.
-        """
+
+        ``fused`` must be passed explicitly from INSIDE jitted code: the
+        default reads ``self._fused``, which a jit would bake in as a
+        compile-time constant (genome-sized HLO; the remote compile
+        service rejects the request body outright)."""
+        if fused is None:
+            fused = self._fused
         r = jnp.asarray(r, I32)
         sym = jnp.asarray(sym, I32)
         w = jnp.maximum(r, 0) >> 5
         bitpos = jnp.maximum(r, 0) & 31
-        pair = self._fused[sym, w]  # (..., 2): packed word | checkpoint
+        pair = fused[sym, w]  # (..., 2): packed word | checkpoint
         word = jax.lax.bitcast_convert_type(pair[..., 0], jnp.uint32)
         mask = jnp.where(
             bitpos == 31,
@@ -294,14 +302,23 @@ class DeviceFMIndex:
         return self._rank(r, self.sym_of[jnp.asarray(a, I32)])
 
     # ------------------------------------------------------------------
-        # ------------------------------------------------------------------
-    @partial(jax.jit, static_argnums=(0,))
     def _search_kernel(self, pats, plens):
         """Batched backward search. pats (B, L) uint8, plens (B,) int32.
 
         Returns status (B,), lower (B,), upper (B,), matched_len (B,)
-        replicating fmindex.rs:144-208 exactly.
-        """
+        replicating fmindex.rs:144-208 exactly.  Thin wrapper: the index
+        arrays go in as runtime ARGUMENTS (a jit closure would embed the
+        genome-sized tables as HLO constants)."""
+        return self._search_impl(
+            self._fused,
+            self._mxu_T if self._mxu_swt else self._fused,
+            self._fs_Tt if self._fs_cfg is not None else self._fused,
+            pats,
+            plens,
+        )
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _search_impl(self, fused, mxu_T, fs_Tt, pats, plens):
         B, L = pats.shape
         n = self.n
 
@@ -325,18 +342,18 @@ class DeviceFMIndex:
         # consumer (active = t < plens)
         sym_cols = jnp.full((B, L), -1, I32)
         less_cols = jnp.zeros((B, L), I32)
-        fused = self._fs_cfg is not None
+        use_fs = self._fs_cfg is not None
         base_cols = (
-            jnp.full((B, L), self._fs_zero_base, I32) if fused else None
+            jnp.full((B, L), self._fs_zero_base, I32) if use_fs else None
         )
         for si, sbyte in enumerate(self.symbols):
             hit = a_cols == sbyte
             sym_cols = jnp.where(hit, si, sym_cols)
             less_cols = jnp.where(hit, self.less_sym[si], less_cols)
-            if fused:
+            if use_fs:
                 base_cols = jnp.where(hit, self._fs_base[si], base_cols)
 
-        if fused:
+        if use_fs:
             # fused Pallas search: one kernel for all L steps (rank via
             # in-VMEM one-hot MXU table scan, ops/fm_pallas.py)
             from rust_bio_tpu.ops.fm_pallas import backward_search_fused
@@ -357,7 +374,7 @@ class DeviceFMIndex:
                 )
                 pls = jnp.pad(plens, (0, Bp - B))
             status, lower, upper, mlen = backward_search_fused(
-                sc, lc, bc, pls, self._fs_Tt, **self._fs_cfg
+                sc, lc, bc, pls, fs_Tt, **self._fs_cfg
             )
             return status[:B], lower[:B], upper[:B], mlen[:B]
 
@@ -373,7 +390,10 @@ class DeviceFMIndex:
             # the cost on TPU; MXU table-scan when the reference is small)
             sym_m = jnp.maximum(sym, 0)
             occ2 = self._rank_dispatch(
-                jnp.concatenate([r, l - 1]), jnp.concatenate([sym_m, sym_m])
+                jnp.concatenate([r, l - 1]),
+                jnp.concatenate([sym_m, sym_m]),
+                fused,
+                mxu_T,
             )
             occ_r = jnp.where(valid_sym, occ2[:B], 0)
             # underflow guard (issue #606): occ_r == 0 -> stop, no match here
@@ -410,6 +430,168 @@ class DeviceFMIndex:
         upper = jnp.where(complete, r, pr) + 1
         return status, lower, upper, mlen
 
+    # ------------------------------------------------------------------
+    # k-mer prefix LUT: the large-text accelerator.  At genome scale the
+    # per-step rank gathers dominate (each is a scalarized HBM slice
+    # fetch); a (4^q, 2) table of backward-search intervals for every DNA
+    # q-mer collapses the first q steps of every query into ONE gather.
+    # Queries whose q-suffix is not a present DNA q-mer (or shorter than
+    # q) are flagged and re-run through the exact scan kernel, so
+    # Complete/Partial/Absent semantics stay reference-exact.
+    # (No counterpart in the reference — fmindex.rs walks every symbol —
+    # but standard FM practice, e.g. bwa's k-mer interval table.)
+    def build_kmer_lut(self, q: int = 12) -> None:
+        """Host-side LUT build (numpy; ~seconds at 100 Mbp, one-time) +
+        one HBM upload of 8 * 4^q bytes (134 MB at q = 12)."""
+        b = np.asarray(self.bwt_bytes)
+        less = np.asarray(self.less).astype(np.int64)
+        dna_bytes = [x for x in (65, 67, 71, 84) if self.sym_of[x] >= 0]
+        if len(dna_bytes) < 4:
+            dna_bytes = [65, 67, 71, 84]  # degenerate texts: table of empties
+        # full cumulative counts as ONE (n, 4) row-major array: each rank
+        # lookup of a position fetches all four symbols from one cache
+        # line (per-symbol arrays cost 4x the random-access misses; the
+        # build is gather-bound at genome scale)
+        C4 = np.empty((len(b), 4), np.int32)
+        for ci, sym in enumerate(dna_bytes):
+            np.cumsum(b == sym, dtype=np.int32, out=C4[:, ci])
+        lessv = np.array([less[sym] for sym in dna_bytes], np.int64)
+        l = lessv.copy()
+        r = np.array([less[sym + 1] - 1 for sym in dna_bytes], np.int64)
+        for _k in range(1, q):
+            occ_l4 = np.where(
+                (l > 0)[:, None], C4[np.maximum(l - 1, 0)], 0
+            ).astype(np.int64)  # (sz, 4)
+            occ_r4 = np.where(
+                (r >= 0)[:, None], C4[np.maximum(r, 0)], 0
+            ).astype(np.int64)
+            # new code = ci * 4^k + old code: symbol-major concatenation
+            nl = (lessv[:, None] + occ_l4.T).reshape(-1)
+            nr = (lessv[:, None] + occ_r4.T - 1).reshape(-1)
+            l, r = nl, nr
+        self._lut_q = q
+        self._lut = jnp.asarray(
+            np.stack([l, r], axis=1).astype(np.int32)
+        )  # (4^q, 2)
+        lut_rank = np.full(256, -1, np.int32)
+        for ci, cb in enumerate(dna_bytes):
+            lut_rank[cb] = ci
+        self._lut_rank = lut_rank  # host-side byte -> LUT symbol rank
+
+    def _search_kernel_lut(self, pats, plens):
+        """Backward search with the q-mer LUT jump: one table gather
+        replaces the first q scan steps.  Returns (status, lower, upper,
+        matched_len, miss); ``miss`` lanes (q-suffix not a present DNA
+        q-mer, or pattern shorter than q) carry garbage and must be re-run
+        through ``_search_kernel`` (see ``search_batch_lut``)."""
+        return self._search_lut_impl(self._fused, self._lut, pats, plens)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _search_lut_impl(self, fused, lut, pats, plens):
+        B, L = pats.shape
+        q = self._lut_q
+        n = self.n
+
+        t_iota = jnp.arange(L, dtype=I32)
+        a_cols = jnp.flip(pats, axis=1).astype(I32)
+        shift = (L - plens)[:, None]
+        k = 1
+        while k < L:
+            a_cols = jnp.where(
+                (shift & k) != 0, jnp.roll(a_cols, -k, axis=1), a_cols
+            )
+            k <<= 1
+        sym_cols = jnp.full((B, L), -1, I32)
+        less_cols = jnp.zeros((B, L), I32)
+        lut_cols = jnp.full((B, L), -1, I32)
+        for si, sbyte in enumerate(self.symbols):
+            hit = a_cols == sbyte
+            sym_cols = jnp.where(hit, si, sym_cols)
+            less_cols = jnp.where(hit, self.less_sym[si], less_cols)
+            lr = int(self._lut_rank[sbyte])
+            if lr >= 0:
+                lut_cols = jnp.where(hit, lr, lut_cols)
+
+        # q-suffix code: step t processes pattern[plens-1-t], so code =
+        # sum_t lut_rank[t] * 4^t matches the LUT's big-endian build order
+        head = lut_cols[:, :q]
+        miss = (plens < q) | jnp.any(head < 0, axis=1)
+        pow4 = jnp.asarray(4 ** np.arange(q), I32)  # 4^q < 2^31 for q <= 15
+        code = jnp.sum(jnp.maximum(head, 0) * pow4[None, :], axis=1)
+        pair = lut[jnp.where(miss, 0, code)]
+        l0 = pair[:, 0]
+        r0 = pair[:, 1]
+        miss = miss | (l0 > r0)
+
+        def step(carry, xs):
+            l, r, pl, pr, mlen, complete, done = carry
+            t, sym, less_a = xs
+            active = (t < plens) & ~done
+            valid_sym = sym >= 0
+            pl_n = jnp.where(active, l, pl)
+            pr_n = jnp.where(active, r, pr)
+            sym_m = jnp.maximum(sym, 0)
+            occ2 = self._rank(
+                jnp.concatenate([r, l - 1]),
+                jnp.concatenate([sym_m, sym_m]),
+                fused,
+            )
+            occ_r = jnp.where(valid_sym, occ2[:B], 0)
+            fail0 = occ_r == 0
+            occ_lm1 = jnp.where((l > 0) & valid_sym, occ2[B:], 0)
+            l_new = less_a + occ_lm1
+            r_new = less_a + occ_r - 1
+            fail = fail0 | (l_new > r_new)
+            upd = active & ~fail
+            l2 = jnp.where(upd, l_new, l)
+            r2 = jnp.where(upd, r_new, r)
+            mlen2 = jnp.where(upd, mlen + 1, mlen)
+            complete2 = jnp.where(active & fail, False, complete)
+            done2 = done | (active & fail)
+            return (l2, r2, pl_n, pr_n, mlen2, complete2, done2), None
+
+        init = (
+            l0, r0, l0, r0,
+            jnp.full(B, q, I32),
+            jnp.ones(B, bool),
+            miss,  # miss lanes are re-run by the caller; freeze them here
+        )
+        (l, r, pl, pr, mlen, complete, _), _ = jax.lax.scan(
+            step,
+            init,
+            (t_iota[q:], sym_cols.T[q:], less_cols.T[q:]),
+        )
+        status = jnp.where(
+            mlen > 0, jnp.where(complete, COMPLETE, PARTIAL), ABSENT
+        )
+        lower = jnp.where(complete, l, pl)
+        upper = jnp.where(complete, r, pr) + 1
+        return status, lower, upper, mlen, miss
+
+    def search_batch_lut(self, pats, plens):
+        """(status, lower, upper, mlen) with the LUT fast path; miss lanes
+        re-run through the exact kernel in a pow2 bucket. Results are
+        bit-identical to ``_search_kernel`` (property-tested)."""
+        assert getattr(self, "_lut_q", None) is not None, "build_kmer_lut first"
+        pats_d = jnp.asarray(pats)
+        plens_d = jnp.asarray(plens)
+        status, lower, upper, mlen, miss = (
+            np.array(v) for v in self._search_kernel_lut(pats_d, plens_d)
+        )
+        bad = np.nonzero(miss)[0]
+        if bad.size:
+            cap = max(8, 1 << (int(bad.size) - 1).bit_length())
+            sel = np.pad(bad, (0, cap - bad.size))
+            st2, lo2, up2, ml2 = jax.tree.map(
+                np.asarray,
+                self._search_kernel(pats_d[sel], plens_d[sel]),
+            )
+            status[bad] = st2[: bad.size]
+            lower[bad] = lo2[: bad.size]
+            upper[bad] = up2[: bad.size]
+            mlen[bad] = ml2[: bad.size]
+        return status, lower, upper, mlen
+
     def backward_search_batch(self, patterns) -> List[BackwardSearchResult]:
         """Batch of backward searches; exact reference result objects."""
         pats = [to_array(p) for p in patterns]
@@ -442,13 +624,26 @@ class DeviceFMIndex:
         return out
 
     # ------------------------------------------------------------------
-    @partial(jax.jit, static_argnums=(0,))
     def _locate_kernel(self, rows):
         """Batched sampled-SA lookup via LF-walk (suffix_array.rs:157-184).
 
         Single-sentinel texts only (no extra_rows patching needed).
         """
         assert self.sa_sample is not None, "index built without suffix array"
+        return self._locate_impl(
+            self._fused,
+            self._mxu_T if self._mxu_swt else self._fused,
+            self.bwt_sym,
+            self.sa_sample,
+            self.sent_rows,
+            self.sent_vals,
+            rows,
+        )
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _locate_impl(
+        self, fused, mxu_T, bwt_sym, sa_sample, sent_rows, sent_vals, rows
+    ):
         s = self.s
         S = len(self.symbols)
 
@@ -460,12 +655,14 @@ class DeviceFMIndex:
             # one symbol gather per step; the sentinel row is sym == 0
             # (smallest symbol), which is the reference's extra_rows patch
             # (suffix_array.rs:166-175) specialized to one final sentinel
-            sym = self.bwt_sym[pos]
+            sym = bwt_sym[pos]
             done2 = done | ((pos % s) == 0) | (sym == 0)
             less_v = jnp.zeros_like(pos)
             for si in range(S):  # tiny-table select, not a gather
                 less_v = jnp.where(sym == si, self.less_sym[si], less_v)
-            nxt = less_v + self._rank_dispatch(pos - 1, jnp.maximum(sym, 0))
+            nxt = less_v + self._rank_dispatch(
+                pos - 1, jnp.maximum(sym, 0), fused, mxu_T
+            )
             pos2 = jnp.where(done2, pos, nxt)
             offset2 = jnp.where(done2, offset, offset + 1)
             return pos2, offset2, done2
@@ -479,12 +676,10 @@ class DeviceFMIndex:
         # non-sampled stops are sentinel-BWT rows: exact values from the
         # extra_rows table (binary search over the few sentinel rows)
         si = jnp.clip(
-            jnp.searchsorted(self.sent_rows, pos), 0, self.sent_rows.shape[0] - 1
+            jnp.searchsorted(sent_rows, pos), 0, sent_rows.shape[0] - 1
         )
-        sent_base = jnp.where(
-            self.sent_rows[si] == pos, self.sent_vals[si], 0
-        )
-        base = jnp.where(sampled, self.sa_sample[pos // s], sent_base)
+        sent_base = jnp.where(sent_rows[si] == pos, sent_vals[si], 0)
+        base = jnp.where(sampled, sa_sample[pos // s], sent_base)
         return base + offset
 
     def locate_batch(self, rows) -> np.ndarray:

@@ -64,14 +64,14 @@ class DeviceFMDIndex:
         self.less_b = device_fm.less  # (257,) by byte
 
     # -- batched bidirectional extensions -------------------------------
-    def _backward_ext(self, lo, lor, sz, a):
+    def _backward_ext(self, lo, lor, sz, a, fused=None):
         """All shapes (N,); returns (lo', lor', sz')."""
         N = lo.shape[0]
         hi = lo + sz - 1
         pos2 = jnp.concatenate([lo - 1, hi])
         KE = self.KE
         r2 = self.fm._rank(
-            pos2[:, None], self.ext_syms[None, :KE]
+            pos2[:, None], self.ext_syms[None, :KE], fused
         )  # (2N, KE)
         r2 = jnp.where(self.ext_valid[None, :KE], r2, 0)
         o_all = jnp.where(lo[:, None] > 0, r2[:N], 0)
@@ -84,12 +84,12 @@ class DeviceFMDIndex:
         lo_new = self.less_b[a.astype(I32)] + take(o_all)
         return lo_new, lor_new, ssel
 
-    def _forward_ext(self, lo, lor, sz, a):
+    def _forward_ext(self, lo, lor, sz, a, fused=None):
         ca = self.comp[a.astype(I32)]
-        k2, l2, s2 = self._backward_ext(lor, lo, sz, ca)
+        k2, l2, s2 = self._backward_ext(lor, lo, sz, ca, fused)
         return l2, k2, s2
 
-    def _backward_ext_nolor(self, lo, sz, a):
+    def _backward_ext_nolor(self, lo, sz, a, fused=None):
         """Backward extension WITHOUT the reverse-interval update: rank of
         only the queried symbol at both ends (1 gather column instead of
         KE).  Valid when the result is never forward-extended (the SMEM
@@ -100,7 +100,7 @@ class DeviceFMDIndex:
         sym = self.fm.sym_of[a.astype(I32)]  # (N,)
         symc = jnp.maximum(sym, 0)
         r2 = self.fm._rank(
-            jnp.concatenate([lo - 1, hi]), jnp.concatenate([symc, symc])
+            jnp.concatenate([lo - 1, hi]), jnp.concatenate([symc, symc]), fused
         )
         o = jnp.where((lo > 0) & (sym >= 0), r2[:N], 0)
         s = jnp.where(sym >= 0, r2[N:], 0) - o
@@ -108,9 +108,20 @@ class DeviceFMDIndex:
         return lo_new, s
 
     # -- batched SMEMs ---------------------------------------------------
-    @partial(jax.jit, static_argnums=(0, 4, 5, 7))
     def _smems_kernel(
         self, pats, plens, iis, E: int, MC: int, l_min,
+        mapper_mode: bool = False,
+    ):
+        """Thin wrapper: the occ table goes in as a runtime ARGUMENT (a
+        jit closure would embed the genome-sized table as an HLO
+        constant)."""
+        return self._smems_impl(
+            self.fm._fused, pats, plens, iis, E, MC, l_min, mapper_mode
+        )
+
+    @partial(jax.jit, static_argnums=(0, 5, 6, 8))
+    def _smems_impl(
+        self, fused, pats, plens, iis, E: int, MC: int, l_min,
         mapper_mode: bool = False,
     ):
         B, L = pats.shape
@@ -140,7 +151,7 @@ class DeviceFMDIndex:
             pos = iis + t
             in_rng = pos < plens
             a = pats[bidx, jnp.minimum(pos, L - 1)]
-            flo, flor, fsz = self._forward_ext(lo, lor, sz, a)
+            flo, flor, fsz = self._forward_ext(lo, lor, sz, a, fused)
             app = alive & in_rng & (sz != fsz)
             onehot = (jnp.arange(E)[None, :] == cnt[:, None]) & app[:, None]
             s_lo = jnp.where(onehot, lo[:, None], s_lo)
@@ -209,12 +220,13 @@ class DeviceFMDIndex:
                 # forward-extends: rank only the queried symbol (1 gather
                 # column instead of KE = 6x fewer scalarized gathers)
                 elo, esz = self._backward_ext_nolor(
-                    s_lo.reshape(-1), s_sz.reshape(-1), af
+                    s_lo.reshape(-1), s_sz.reshape(-1), af, fused
                 )
                 elor = s_lor.reshape(-1)  # carried, never consumed
             else:
                 elo, elor, esz = self._backward_ext(
-                    s_lo.reshape(-1), s_lor.reshape(-1), s_sz.reshape(-1), af
+                    s_lo.reshape(-1), s_lor.reshape(-1), s_sz.reshape(-1),
+                    af, fused
                 )
             elo = elo.reshape(B, E)
             elor = elor.reshape(B, E)

@@ -72,6 +72,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.hamming_u8.restype = ctypes.c_int64
         lib.bytecount_u8.argtypes = [u8p, ctypes.c_int64, ctypes.c_uint8]
         lib.bytecount_u8.restype = ctypes.c_int64
+        lib.kmer_matches_i64.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64, ctypes.c_int64,
+            i64p, ctypes.c_int64,
+        ]
+        lib.kmer_matches_i64.restype = ctypes.c_int64
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.band_raster_i64.argtypes = [
+            i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, i32p, i32p,
+        ]
+        lib.band_raster_i64.restype = None
         _lib = lib
         return _lib
 
@@ -124,6 +136,53 @@ def hamming(a: bytes, b: bytes) -> Optional[int]:
             len(a),
         )
     )
+
+
+def kmer_matches(x: bytes, y: bytes, k: int):
+    """Sorted (i, j) k-mer match pairs of x vs y (sparse.rs:337 twin), or
+    None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    xa = np.frombuffer(x, dtype=np.uint8)
+    ya = np.frombuffer(y, dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    cap = max(len(x) + len(y), 64)
+    while True:
+        out = np.empty(2 * cap, dtype=np.int64)
+        cnt = int(
+            lib.kmer_matches_i64(
+                xa.ctypes.data_as(u8p), len(x),
+                ya.ctypes.data_as(u8p), len(y),
+                int(k), out.ctypes.data_as(i64p), cap,
+            )
+        )
+        if cnt <= cap:
+            return out[: 2 * cnt].reshape(cnt, 2)
+        cap = cnt
+
+
+def band_raster(path_xy: np.ndarray, m: int, n: int, k: int, w: int, clips):
+    """Per-column band [starts, ends) from a sdpkpp match path (byte twin
+    of banded.py Band.create_from_match_path), or None if unavailable.
+
+    ``path_xy``: (np, 2) int64 path matches in path order; ``clips``:
+    (xcp, xcs, ycp, ycs)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(path_xy, dtype=np.int64)
+    starts = np.empty(n + 1, dtype=np.int32)
+    ends = np.empty(n + 1, dtype=np.int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.band_raster_i64(
+        p.ctypes.data_as(i64p), len(p), int(m), int(n), int(k), int(w),
+        int(clips[0]), int(clips[1]), int(clips[2]), int(clips[3]),
+        starts.ctypes.data_as(i32p), ends.ctypes.data_as(i32p),
+    )
+    return starts, ends
 
 
 def sdpkpp_native(xs, ys, k, match_score, go_neg, ge_neg):

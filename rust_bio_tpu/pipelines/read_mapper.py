@@ -21,8 +21,11 @@ reported with ``pos == -1``.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import List, Optional, Sequence
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from rust_bio_tpu.alignment.pairwise.batched import BatchAligner
@@ -329,77 +332,171 @@ class SmemReadMapper(ReadMapper):
         rcs = [dna.revcomp(s) for s in seqs]
         return self._smem_finish(seqs, rcs, ids, handle)
 
-    def _smem_dispatch(self, seqs):
-        """Async SMEM-seed dispatch for a batch: one full-batch kernel
-        launch at the read middles, no host sync."""
-        return self.fmd.smems_dispatch(
-            seqs,
-            [max(0, len(s) // 2 - 1) for s in seqs],
-            self.min_seed_len,
-            max_slots=16,
-            mapper_mode=True,  # lower_rev unused: locate uses itv.lower
+    def _seed_kernel(self, pb, plens, iis):
+        """Fused device seeding: SMEM search at the given positions ->
+        best-slot pick (longest match, first on ties — the host pick
+        order) -> sampled-SA locate of its interval start, all in one
+        device chain so the host pays ONE round trip per batch.
+
+        Returns a packed (B, 5) int32: [pos, q0, mlen, found, ovf]."""
+        idx = self.index
+        return self._seed_impl(
+            idx._fused,
+            idx._mxu_T if idx._mxu_swt else idx._fused,
+            idx.bwt_sym,
+            idx.sa_sample,
+            idx.sent_rows,
+            idx.sent_vals,
+            pb,
+            plens,
+            iis,
         )
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _seed_impl(
+        self, fused, mxu_T, bwt_sym, sa_sample, sent_rows, sent_vals,
+        pb, plens, iis,
+    ):
+        m_lo, _lor, _sz, m_st, m_ml, mcnt, ovf = self.fmd._smems_impl(
+            fused, pb, plens, iis, 16, 16, jnp.int32(self.min_seed_len), True
+        )
+        B, MC = m_lo.shape
+        valid = jnp.arange(MC)[None, :] < mcnt[:, None]
+        mlv = jnp.where(valid, m_ml, -1)
+        best = jnp.argmax(mlv, axis=1)  # first max == host pick order
+        take = lambda m: jnp.take_along_axis(m, best[:, None], axis=1)[:, 0]
+        found = (mcnt > 0) & ~ovf
+        rows = jnp.where(found, take(m_lo), 0)
+        pos = self.index._locate_impl(
+            fused, mxu_T, bwt_sym, sa_sample, sent_rows, sent_vals,
+            rows.astype(jnp.int32),
+        )
+        return jnp.stack(
+            [
+                pos.astype(jnp.int32),
+                take(m_st),
+                take(m_ml),
+                found.astype(jnp.int32),
+                ovf.astype(jnp.int32),
+            ],
+            axis=1,
+        )
+
+    def _smem_dispatch(self, seqs):
+        """Async fused seed+pick+locate dispatch: one kernel chain at the
+        read middles, no host sync."""
+        B = len(seqs)
+        L = max((len(s) for s in seqs), default=1) or 1
+        pb = np.zeros((B, L), np.uint8)
+        plens = np.zeros(B, np.int32)
+        for i, p in enumerate(seqs):
+            pb[i, : len(p)] = np.frombuffer(p, np.uint8)
+            plens[i] = len(p)
+        iis = np.asarray(
+            [max(0, len(s) // 2 - 1) for s in seqs], np.int32
+        )
+        return self._seed_kernel(
+            jnp.asarray(pb), jnp.asarray(plens), jnp.asarray(iis)
+        )
+
+    def _pick_of_lane(self, lane):
+        best = None
+        for itv, q0, mlen in lane:
+            if best is None or mlen > best[2]:
+                best = (itv, q0, mlen)
+        return best
 
     def _smem_finish(self, seqs, rcs, ids, handle) -> List[MappedRead]:
         B = len(seqs)
+        packed = np.asarray(handle)  # ONE pull: (B, 5)
+        pos_a, q0_a, ml_a, found_a, ovf_a = packed.T
 
-        # one seed suffices for extension: query SMEMs overlapping the
-        # read middle (one full-batch call); the few reads without a
-        # long-enough SMEM there retry at the quarter positions in SMALL
-        # power-of-two buckets (stable shapes, tiny lane counts)
-        def pick(lane):
-            best = None
-            for itv, q0, mlen in lane:
-                if best is None or mlen > best[2]:
-                    best = (itv, q0, mlen)
-            return best
+        # overflow lanes: host-oracle SMEMs (rare; never silently wrong)
+        best_host = {}
+        for i in np.nonzero(ovf_a)[0]:
+            i = int(i)
+            if not seqs[i]:
+                continue
+            lane = self.host_fmd.smems(
+                seqs[i], max(0, len(seqs[i]) // 2 - 1), self.min_seed_len
+            )
+            best = self._pick_of_lane(lane)
+            if best is not None:
+                best_host[i] = best
 
-        smems = self.fmd.smems_collect(
-            handle, host_oracle_fn=lambda: self.host_fmd
-        )
-        best_of = {}
-        for i in range(B):
-            if seqs[i]:
-                best = pick(smems[i])
-                if best is not None:
-                    best_of[i] = best
+        # reads without a long-enough middle SMEM: retry at the quarter
+        # positions in SMALL power-of-two buckets (stable shapes)
+        pending = [
+            i for i in range(B)
+            if seqs[i] and not found_a[i] and i not in best_host and not ovf_a[i]
+        ]
+        retry_packed = {}
         for frac in (4, 8):
-            pending = [i for i in range(B) if i not in best_of and seqs[i]]
             if not pending:
                 break
             cap = max(32, 1 << (len(pending) - 1).bit_length())
-            sub = [seqs[i] for i in pending]
-            sub += [b"A" * 1] * (cap - len(sub))
-            pos = [max(0, len(s) // frac - 1) for s in sub]
-            smems2 = self.fmd.smems_batch(
-                sub, pos, self.min_seed_len, max_slots=16,
-                host_oracle_fn=lambda: self.host_fmd,
-                mapper_mode=True,
-            )
+            Lr = max(max(len(seqs[i]) for i in pending), 1)
+            pb = np.zeros((cap, Lr), np.uint8)
+            plens = np.ones(cap, np.int32)
+            iis = np.zeros(cap, np.int32)
             for r, i in enumerate(pending):
-                best = pick(smems2[r])
-                if best is not None:
-                    best_of[i] = best
-        rows, meta = [], []
-        for i in sorted(best_of):
-            itv, q0, mlen = best_of[i]
-            rows.append(itv.lower)
-            meta.append((i, q0, mlen))
+                s = seqs[i]
+                pb[r, : len(s)] = np.frombuffer(s, np.uint8)
+                plens[r] = len(s)
+                iis[r] = max(0, len(s) // frac - 1)
+            sub = np.asarray(
+                self._seed_kernel(
+                    jnp.asarray(pb), jnp.asarray(plens), jnp.asarray(iis)
+                )
+            )
+            still = []
+            for r, i in enumerate(pending):
+                if sub[r, 4]:  # overflow -> host oracle
+                    lane = self.host_fmd.smems(
+                        seqs[i], int(iis[r]), self.min_seed_len
+                    )
+                    best = self._pick_of_lane(lane)
+                    if best is not None:
+                        best_host[i] = best
+                    continue
+                if sub[r, 3]:
+                    retry_packed[i] = sub[r]
+                else:
+                    still.append(i)
+            pending = still
+
+        # host-oracle lanes need a locate for their picked interval
+        if best_host:
+            rows = np.asarray(
+                [best_host[i][0].lower for i in sorted(best_host)], np.int32
+            )
+            poss = self.index.locate_batch(rows)
+            for (i, p) in zip(sorted(best_host), poss):
+                itv, q0, mlen = best_host[i]
+                retry_packed[i] = np.array(
+                    [int(p), q0, mlen, 1, 0], np.int32
+                )
+
         picks = {}
-        if rows:
-            positions = self.index.locate_batch(np.asarray(rows, np.int32))
-            G = self.G
-            for (i, q0, mlen), p in zip(meta, positions):
-                p = int(p)
-                n = len(seqs[i])
-                if p < G:  # forward-strand hit
-                    strand, off, gpos = "+", q0, p
-                else:  # hit inside revcomp(T): read maps to '-' strand
-                    r0 = p - (G + 1)
-                    strand = "-"
-                    off = n - q0 - mlen  # offset in the oriented (rc) read
-                    gpos = G - r0 - mlen
-                win_start = max(gpos - off - self.flank, 0)
-                win_end = min(gpos - off + n + self.flank, G)
-                picks[i] = (strand, win_start, win_end)
+        G = self.G
+        for i in range(B):
+            if not seqs[i]:
+                continue
+            if found_a[i]:
+                p, q0, mlen = int(pos_a[i]), int(q0_a[i]), int(ml_a[i])
+            elif i in retry_packed:
+                p, q0, mlen = (int(x) for x in retry_packed[i][:3])
+            else:
+                continue
+            n = len(seqs[i])
+            if p < G:  # forward-strand hit
+                strand, off, gpos = "+", q0, p
+            else:  # hit inside revcomp(T): read maps to '-' strand
+                r0 = p - (G + 1)
+                strand = "-"
+                off = n - q0 - mlen  # offset in the oriented (rc) read
+                gpos = G - r0 - mlen
+            win_start = max(gpos - off - self.flank, 0)
+            win_end = min(gpos - off + n + self.flank, G)
+            picks[i] = (strand, win_start, win_end)
         return self._extend(seqs, rcs, ids, picks)

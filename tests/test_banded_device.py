@@ -131,3 +131,113 @@ def test_banded_device_golden_reference_case():
         al = banded.Aligner(sc, 8, 6)
         want = al.semiglobal(x, yy)
         _assert_same(got[i], want, i)
+
+
+def test_native_band_build_matches_python():
+    """Native kmer-match + sdpkpp + raster must produce byte-identical
+    bands to the pure-Python builders across clip configs and geometries."""
+    import numpy as np
+
+    from rust_bio_tpu import native
+    from rust_bio_tpu.alignment import sparse
+    from rust_bio_tpu.alignment.pairwise.banded import Band
+    from rust_bio_tpu.alignment.pairwise.scoring import MIN_SCORE, Scoring
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(53)
+    for trial in range(8):
+        N = int(rng.integers(60, 2000))
+        M = int(rng.integers(20, min(N, 400)))
+        y = rng.choice(list(b"ACGT"), size=N).astype(np.uint8).tobytes()
+        s = int(rng.integers(0, N - M))
+        x = bytearray(y[s : s + M])
+        for _ in range(int(rng.integers(0, 5))):
+            x[int(rng.integers(0, M))] = int(rng.choice(list(b"ACGT")))
+        x = bytes(x)
+        k = int(rng.integers(5, 10))
+        w = int(rng.integers(2, 12))
+        clips = [
+            (0, 0, 0, 0),
+            (MIN_SCORE,) * 4,
+            (MIN_SCORE, MIN_SCORE, 0, 0),
+            (-3, -7, -2, -5),
+        ][trial % 4]
+        sc = Scoring.from_scores(-5, -1, 2, -2).with_clips(*clips)
+
+        # native kmer matches == python
+        mx = native.kmer_matches(x, y, k)
+        want_m = sparse.find_kmer_matches(x, y, k)
+        assert [tuple(r) for r in mx.tolist()] == want_m, (trial, k)
+
+        got = Band.create_native(x, y, k, w, sc)
+        assert got is not None
+        matches = sparse.find_kmer_matches(x, y, k)
+        want = Band.create_with_matches(x, y, k, w, sc, matches)
+        np.testing.assert_array_equal(got.starts, want.starts, err_msg=str(trial))
+        np.testing.assert_array_equal(got.ends, want.ends, err_msg=str(trial))
+
+
+def test_banded_crop_long_targets_matches_host():
+    """Column-window crop (free y clips): short reads vs long targets at
+    every tail parity/offset must produce the HOST banded aligner's exact
+    alignments (score, ops, coords)."""
+    import numpy as np
+
+    from rust_bio_tpu.alignment.pairwise.banded import Aligner as HostBanded
+    from rust_bio_tpu.alignment.pairwise.banded_device import (
+        BatchBandedAligner,
+    )
+    from rust_bio_tpu.alignment.pairwise.scoring import MIN_SCORE, Scoring
+
+    rng = np.random.default_rng(59)
+    sc = Scoring.from_scores(-5, -1, 2, -2)
+    k, w = 8, 8
+    for mode in ("semiglobal", "local", "custom_freey"):
+        if mode == "custom_freey":
+            scm = sc.with_clips(-3, -7, 0, 0)
+        else:
+            scm = sc
+        bat = BatchBandedAligner(scm, k, w)
+        host = HostBanded(
+            scm if mode == "custom_freey" else (
+                scm.with_clips(*((MIN_SCORE,) * 2 + (0, 0)))
+                if mode == "semiglobal"
+                else scm.with_clips(0, 0, 0, 0)
+            ),
+            k, w,
+        )
+        xs, ys = [], []
+        for t in range(12):
+            N = int(rng.integers(400, 1600))
+            y = rng.choice(list(b"ACGT"), size=N).astype(np.uint8).tobytes()
+            M = int(rng.integers(30, 120))
+            # place the read at varying offsets incl. target start/end
+            s = [0, 1, N - M, N - M - 1][t % 4] if t < 4 else int(
+                rng.integers(0, N - M)
+            )
+            x = bytearray(y[s : s + M])
+            for _ in range(int(rng.integers(0, 4))):
+                x[int(rng.integers(0, M))] = int(rng.choice(list(b"ACGT")))
+            xs.append(bytes(x))
+            ys.append(y)
+        if mode == "semiglobal":
+            got = bat.semiglobal(xs, ys)
+        elif mode == "local":
+            got = bat.local(xs, ys)
+        else:
+            got = bat.custom(xs, ys)
+        for i, (x, y) in enumerate(zip(xs, ys)):
+            if mode == "semiglobal":
+                want = host.semiglobal(x, y)
+            elif mode == "local":
+                want = host.local(x, y)
+            else:
+                want = host.custom(x, y)
+            assert got[i].score == want.score, (mode, i)
+            assert got[i].operations == want.operations, (mode, i)
+            for f in ("xstart", "xend", "ystart", "yend"):
+                assert getattr(got[i], f) == getattr(want, f), (mode, i, f)

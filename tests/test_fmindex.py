@@ -350,3 +350,45 @@ def test_device_smems_mapper_mode_matches_default():
                 wi.lower, wi.size, wi.match_size,
             ), (b, p, i)
             assert (gs, gl) == (ws, wl), (b, p, i)
+
+
+def test_kmer_lut_search_matches_exact_kernel():
+    """search_batch_lut (q-mer jump + miss fallback) must be bit-identical
+    to the exact scan kernel across complete/partial/absent/short lanes."""
+    import numpy as np
+    import jax
+
+    from rust_bio_tpu.alphabets import dna
+    from rust_bio_tpu.data_structures.bwt import bwt as _bwt
+    from rust_bio_tpu.data_structures.fm_device import DeviceFMIndex
+    from rust_bio_tpu.data_structures.suffix_array import suffix_array
+
+    rng = np.random.default_rng(91)
+    text = rng.choice(list(b"ACGT"), size=3000).astype(np.uint8).tobytes() + b"$"
+    sa = suffix_array(text)
+    idx = DeviceFMIndex(_bwt(text, sa), dna.n_alphabet())
+    idx.build_kmer_lut(q=5)
+
+    B, L = 64, 12
+    tarr = np.frombuffer(text, np.uint8)
+    pats = np.zeros((B, L), np.uint8)
+    plens = np.zeros(B, np.int32)
+    for b in range(B):
+        kind = b % 4
+        ln = int(rng.integers(1, L + 1)) if kind == 3 else L
+        if kind == 0:  # existing substring -> complete
+            s = int(rng.integers(0, len(text) - 1 - ln))
+            pats[b, :ln] = tarr[s : s + ln]
+        else:  # random (partial/absent mixes), some shorter than q
+            pats[b, :ln] = rng.choice(list(b"ACGT"), size=ln)
+        plens[b] = ln
+    got = idx.search_batch_lut(pats, plens)
+    want = jax.tree.map(
+        np.asarray,
+        idx._search_kernel(
+            __import__("jax.numpy", fromlist=["asarray"]).asarray(pats),
+            __import__("jax.numpy", fromlist=["asarray"]).asarray(plens),
+        ),
+    )
+    for name, g, w in zip(("status", "lower", "upper", "mlen"), got, want):
+        np.testing.assert_array_equal(g, w, err_msg=name)
