@@ -526,7 +526,7 @@ def _banded_long_rates():
     from rust_bio_tpu.alignment.pairwise.scoring import Scoring
 
     rng = np.random.default_rng(31)
-    B, M, N = 64, 150, 20_000
+    B, M, N = 256, 150, 20_000
     sc = Scoring.from_scores(-5, -1, 2, -2)
     xs, ys = [], []
     for _ in range(B):

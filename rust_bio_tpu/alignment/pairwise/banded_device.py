@@ -486,7 +486,6 @@ class BatchBandedAligner:
             and all(len(x) >= 1 for x in xs)
             and all(len(y) >= 1 for y in ys)
             and 2 <= M
-            and transposed_feasible(max(B + (-B % 8), 8), M, N)
         )
         if not device_ok:
             return [
@@ -542,6 +541,14 @@ class BatchBandedAligner:
                 nl_effs[i] = j1 - c0 + e
         Nc = int(max(nl_effs[i] for i in run_idx))
         Nc = max(8, 1 << (Nc - 1).bit_length())  # stable compile buckets
+
+        # VMEM feasibility is judged on the CROPPED width (the uncropped
+        # target length is irrelevant to the kernel's state)
+        if not transposed_feasible(max(Bp, 8), M, Nc):
+            return [
+                self._host_one(sc, x, y, mode, filter_clips)
+                for x, y in zip(xs, ys)
+            ]
 
         xb = np.zeros((Bp, M), np.uint8)
         yb = np.zeros((Bp, Nc), np.uint8)

@@ -201,6 +201,8 @@ class ChunkedMyers:
         self.inner = BatchMyers(patterns, wildcards)
         peq = np.asarray(self.inner.peq)  # (B, 256, W)
         pats = [to_bytes(p) for p in patterns]
+        self._pats = pats
+        self._wildcards = wildcards
         syms = sorted(set(b for p in pats for b in p))
         unseen = next((s for s in range(256) if s not in set(syms)), None)
         assert unseen is not None, "need at least one unused byte value"
@@ -229,9 +231,11 @@ class ChunkedMyers:
         idx = (np.arange(C)[:, None] * chunk) + np.arange(Wn)[None, :]
         return padded[idx], C, Wn, T, ov
 
-    @partial(jax.jit, static_argnums=(0,))
-    def _kernel(self, win_ranks):
-        """win_ranks (C, Wn) -> per-step distances (Wn, C, B) int32."""
+    @partial(jax.jit, static_argnums=(0, 2))
+    def _kernel(self, win_ranks, emit_states: bool = False):
+        """win_ranks (C, Wn) -> per-step distances (Wn, C, B) int32;
+        with ``emit_states`` also the post-column (pv, mv) states
+        ((Wn, C, B, W) uint32 each) for O(m+k) traceback."""
         inner = self.inner
         B, W = inner.B, inner.W
         C = win_ranks.shape[0]
@@ -265,19 +269,18 @@ class ChunkedMyers:
             mh = _shl1(mh)
             pv_n = [m | ~(x | p) for m, x, p in zip(mh, xv, ph)]
             mv_n = [p & x for p, x in zip(ph, xv)]
-            return (
-                jnp.stack(pv_n, axis=2),
-                jnp.stack(mv_n, axis=2),
-                dist,
-            ), dist
+            pv_s = jnp.stack(pv_n, axis=2)
+            mv_s = jnp.stack(mv_n, axis=2)
+            y = (dist, pv_s, mv_s) if emit_states else dist
+            return (pv_s, mv_s, dist), y
 
         pv0 = jnp.full((C, B, W), _MASK32, dtype=U32)
         mv0 = jnp.zeros((C, B, W), dtype=U32)
         d0 = jnp.broadcast_to(inner.ms[None, :], (C, B))
-        _, dists = jax.lax.scan(
+        _, out = jax.lax.scan(
             step, (pv0, mv0, d0), jnp.swapaxes(win_ranks, 0, 1)
         )
-        return dists  # (Wn, C, B)
+        return out  # (Wn, C, B) [, states (Wn, C, B, W) x2]
 
     def find_all_end(
         self, text, max_dist: int, chunk: int = 128
@@ -301,3 +304,119 @@ class ChunkedMyers:
             order = np.argsort(ee, kind="stable")
             out.append([(int(e), int(v)) for e, v in zip(ee[order], dd[order])])
         return out
+
+    def find_all_lazy(
+        self, text, max_dist: int, chunk: int = 128
+    ) -> "ChunkedLazyMatches":
+        """Hits + O(m+k) path recovery from DEVICE-stored column states
+        (the long-text analogue of the reference's ``find_all_lazy``,
+        myers_impl.rs:500-635): a second kernel pass over only the
+        hit-containing windows emits the (pv, mv) state stream, and each
+        hit's path is recovered by the stored-state walk — no O(mn)
+        window DP per hit."""
+        text = to_bytes(text)
+        hits = self.find_all_end(text, max_dist, chunk)
+        return ChunkedLazyMatches(self, text, max_dist, hits, chunk)
+
+
+class ChunkedLazyMatches:
+    """Hit set of ``ChunkedMyers.find_all_lazy`` with stored-state path
+    recovery.
+
+    State windows use a 2(m+k)-overlap so every cell the traceback walk
+    examines (D <= k+1 near the path) has its optimal start inside the
+    window — the window states then agree with full-scan states on every
+    examined bit, making paths identical to the reference walk."""
+
+    def __init__(self, cm: ChunkedMyers, text: bytes, max_dist: int,
+                 hits, chunk: int) -> None:
+        self.cm = cm
+        self.text = text
+        self.k = max_dist
+        self.hits = hits  # per pattern: sorted (end, dist)
+        self.chunk = chunk
+        self._states = None  # window -> (pv (Wn2, B, W), mv) numpy
+        self._host = {}
+
+    # -- state materialization (once, batched over needed windows) ------
+    def _materialize(self):
+        if self._states is not None:
+            return
+        cm, chunk = self.cm, self.chunk
+        T = len(self.text)
+        ov2 = 2 * (cm.maxm + self.k) + 4
+        need = sorted(
+            {e // chunk for lane in self.hits for (e, _d) in lane}
+        )
+        self._ov2 = ov2
+        self._wins = {}
+        if not need:
+            self._states = {}
+            return
+        Wn2 = chunk + ov2
+        ranks = cm.sym_of[np.frombuffer(self.text, np.uint8)]
+        padded = np.full(ov2 + (T + chunk - 1) // chunk * chunk, cm.sent,
+                         np.int32)
+        padded[ov2 : ov2 + T] = ranks
+        sel = np.asarray(need, np.int64)
+        idx = (sel[:, None] * chunk) + np.arange(Wn2)[None, :]
+        win = padded[idx]
+        _d, pv, mv = jax.tree.map(
+            np.asarray,
+            cm._kernel(jnp.asarray(win), True),
+        )  # (Wn2, Csel, B, W)
+        self._states = {c: (pv[:, i], mv[:, i]) for i, c in enumerate(need)}
+
+    def _host_myers(self, b: int):
+        if b not in self._host:
+            from rust_bio_tpu.pattern_matching.myers import Myers
+
+            self._host[b] = Myers(
+                self.cm._pats[b], wildcards=self.cm._wildcards
+            )
+        return self._host[b]
+
+    class _StatesView:
+        """states[g] -> (pv, mv) python ints for global column g+1."""
+
+        def __init__(self, pv, mv, base: int, b: int, W: int) -> None:
+            self.pv, self.mv, self.base, self.b, self.W = pv, mv, base, b, W
+
+        def __getitem__(self, g: int):
+            t = g - self.base
+            assert t >= 0, "traceback walked past the state window"
+            pvw = self.pv[t, self.b]
+            mvw = self.mv[t, self.b]
+            p = m = 0
+            for w in range(self.W - 1, -1, -1):
+                p = (p << 32) | int(pvw[w])
+                m = (m << 32) | int(mvw[w])
+            return p, m
+
+    def path_at(self, b: int, end: int):
+        """(start, dist, ops) for pattern ``b``'s hit ending at ``end``
+        (inclusive), recovered in O(m+k) from the stored states."""
+        self._materialize()
+        dist = next((d for (e, d) in self.hits[b] if e == end), None)
+        assert dist is not None, f"no hit at end={end}"
+        c = end // self.chunk
+        pv, mv = self._states[c]
+        base = c * self.chunk - self._ov2
+        view = self._StatesView(pv, mv, base, b, self.cm.inner.W)
+        my = self._host_myers(b)
+        start, d2, ops = my._traceback(
+            self.text, end, ({end: dist}, view)
+        )
+        return start, d2, ops
+
+    def alignment_at(self, b: int, end: int):
+        """Reference-style Alignment for the hit (ystart/yend in text)."""
+        from rust_bio_tpu.alignment.types import Alignment, AlignmentMode
+
+        start, dist, ops = self.path_at(b, end)
+        return Alignment(
+            score=dist, ystart=start, yend=end + 1, xstart=0,
+            xend=len(self.cm._pats[b]), xlen=len(self.cm._pats[b]),
+            ylen=len(self.text), operations=ops,
+            mode=AlignmentMode.Semiglobal,
+        )

@@ -155,3 +155,43 @@ def test_states_traceback_matches_dp_walk():
             assert ops_s == ops_d, (trial, end)
             assert start_s == j
             assert dist_s == int(D[my.m, end + 1])
+
+
+def test_chunked_lazy_paths_match_host_traceback():
+    """ChunkedLazyMatches must recover every hit's (start, dist, ops)
+    exactly as the host Myers stored-state traceback (itself golden vs
+    the reference walk), including hits near chunk boundaries."""
+    import numpy as np
+
+    from rust_bio_tpu.pattern_matching.myers import Myers
+    from rust_bio_tpu.pattern_matching.myers_device import ChunkedMyers
+
+    rng = np.random.default_rng(71)
+    T = 3000
+    text = bytearray(rng.choice(list(b"ACGT"), size=T).astype(np.uint8))
+    pats = []
+    for _ in range(4):
+        L = int(rng.integers(9, 34))
+        p = bytes(rng.choice(list(b"ACGT")) for _ in range(L))
+        pats.append(p)
+        # plant several mutated copies (some at chunk boundaries)
+        for pos in [120, 128 * 3 - L // 2, 777, 2048, T - L - 3]:
+            cp = bytearray(p)
+            for _ in range(int(rng.integers(0, 3))):
+                cp[int(rng.integers(0, L))] = int(rng.choice(list(b"ACGT")))
+            text[pos : pos + L] = cp
+    text = bytes(text)
+
+    k = 2
+    cm = ChunkedMyers(pats)
+    lazy = cm.find_all_lazy(text, k, chunk=128)
+    n_checked = 0
+    for b, p in enumerate(pats):
+        host = Myers(p)
+        scan = host._scan_dists(text, keep_states=True)
+        for end, dist in lazy.hits[b]:
+            want = host._traceback(text, end, scan)
+            got = lazy.path_at(b, end)
+            assert got == want, (b, end)
+            n_checked += 1
+    assert n_checked >= 10, n_checked
