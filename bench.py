@@ -484,15 +484,15 @@ def _sw_5kb_rates():
 
 
 def _smem_reads_per_s() -> float:
-    """End-to-end SMEM-seeded read mapping (bwa-mem-style): 500 kb genome,
+    """End-to-end SMEM-seeded read mapping (bwa-mem-style): 1 Mbp genome,
     100 bp reads with 2 errors, both strands, full CIGARs."""
     from rust_bio_tpu.pipelines.read_mapper import SmemReadMapper
 
     rng = np.random.default_rng(29)
-    G = 500_000
+    G = 1_000_000
     genome = rng.choice(list(b"ACGT"), size=G).astype(np.uint8).tobytes()
     mapper = SmemReadMapper(genome, min_seed_len=19)
-    B, L = 1024, 100
+    B, L = 8192, 100
     starts = rng.integers(0, G - L, size=B)
     reads = []
     for s in starts:
@@ -500,6 +500,28 @@ def _smem_reads_per_s() -> float:
         for _ in range(2):
             r[int(rng.integers(0, L))] = int(rng.choice(list(b"ACGT")))
         reads.append(bytes(r))
+    out = mapper.map_batch(reads)
+    ok = sum(1 for m, s in zip(out, starts) if m.pos == s)
+    assert ok >= B * 9 // 10, f"only {ok}/{B} mapped"
+
+    def run():
+        mapper.map_batch(reads)
+
+    return B / _best_of(run, 3)
+
+
+def _fixed_window_mapper_reads_per_s() -> float:
+    """Fixed-window seed-and-extend mapper (ReadMapper): 1 Mbp genome,
+    100 bp error-free-window reads, both strands, full CIGARs."""
+    from rust_bio_tpu.pipelines.read_mapper import ReadMapper
+
+    rng = np.random.default_rng(43)
+    G = 1_000_000
+    genome = rng.choice(list(b"ACGT"), size=G).astype(np.uint8).tobytes()
+    mapper = ReadMapper(genome, seed_len=20)
+    B, L = 2048, 100
+    starts = rng.integers(0, G - L, size=B)
+    reads = [genome[s : s + L] for s in starts]
     out = mapper.map_batch(reads)
     ok = sum(1 for m, s in zip(out, starts) if m.pos == s)
     assert ok >= B * 9 // 10, f"only {ok}/{B} mapped"
@@ -770,6 +792,12 @@ def main() -> None:
         print(f"smem 50mbp bench failed: {e}", file=sys.stderr)
         smem50 = None
 
+    try:
+        fw_rate = round(_fixed_window_mapper_reads_per_s(), 2)
+    except Exception as e:
+        print(f"fixed-window mapper bench failed: {e}", file=sys.stderr)
+        fw_rate = None
+
     print(
         json.dumps(
             {
@@ -796,6 +824,7 @@ def main() -> None:
                 "sw_5kb_vs_baseline": sw5_vs,
                 "smem_mapper_reads_per_s": smem_rate,
                 "smem_mapper_50mbp_reads_per_s": smem50,
+                "fixed_window_mapper_reads_per_s": fw_rate,
                 "banded_long_pairs_per_s": banded_rate,
                 "banded_long_vs_host": banded_vs_host,
                 "banded_long_vs_full_matrix": banded_vs_full,

@@ -88,19 +88,17 @@ class Alignment:
                 f"Cigar fn not supported for {self.mode.name} Alignment mode"
             )
         clip_str = "H" if hard_clip else "S"
-        ops = [op for op in self.operations if op.kind in _CIGAR_CHAR]
         out: List[str] = []
         if self.xstart > 0:
             out.append(f"{self.xstart}{clip_str}")
-        if ops:
-            last, k = ops[0], 1
-            for op in ops[1:]:
-                if op == last:
-                    k += 1
-                else:
-                    out.append(f"{k}{_CIGAR_CHAR[last.kind]}")
-                    last, k = op, 1
-            out.append(f"{k}{_CIGAR_CHAR[last.kind]}")
+        # itertools.groupby runs the run-length merge in C — the mapper
+        # emits millions of ops/s through here (clips filtered FIRST, as
+        # the reference does: runs merge across removed clip ops)
+        from itertools import groupby
+
+        ops = [op for op in self.operations if op.kind in _CIGAR_CHAR]
+        for op, grp in groupby(ops):
+            out.append(f"{sum(1 for _ in grp)}{_CIGAR_CHAR[op.kind]}")
         if self.xlen > self.xend:
             out.append(f"{self.xlen - self.xend}{clip_str}")
         return "".join(out)

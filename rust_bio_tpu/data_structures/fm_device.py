@@ -301,6 +301,40 @@ class DeviceFMIndex:
         """Batched occ by symbol byte ``a`` (matches Occ::get semantics)."""
         return self._rank(r, self.sym_of[jnp.asarray(a, I32)])
 
+    def ensure_row_layout(self):
+        """(nw, 2S) row-major twin of the fused table: one slice gather
+        per POSITION retrieves every symbol's word+checkpoint (the
+        FMD bidirectional extension ranks all KE extension-order symbols
+        at both interval ends — per-(position, symbol) element gathers
+        cost KE x the slices).  Built on demand (S * n/4 extra bytes)."""
+        if getattr(self, "_fused_rows", None) is None:
+            bits = np.asarray(self.bits).view(np.int32)
+            ckpt = np.asarray(self.ckpt)
+            self._fused_rows = jnp.asarray(
+                np.concatenate([bits.T, ckpt.T], axis=1)
+            )  # (nw, 2S): words then checkpoints
+        return self._fused_rows
+
+    def _rank_all(self, r, fused_rows):
+        """(Q, S) rank of EVERY symbol at positions ``r`` ((Q,), >= -1)
+        via one row gather per position."""
+        S = len(self.symbols)
+        r = jnp.asarray(r, I32)
+        w = jnp.maximum(r, 0) >> 5
+        bitpos = jnp.maximum(r, 0) & 31
+        rows = fused_rows[w]  # (Q, 2S)
+        words = jax.lax.bitcast_convert_type(rows[:, :S], jnp.uint32)
+        cks = rows[:, S:]
+        mask = jnp.where(
+            bitpos == 31,
+            jnp.uint32(0xFFFFFFFF),
+            (jnp.uint32(1) << (bitpos + 1).astype(jnp.uint32)) - jnp.uint32(1),
+        )
+        cnt = cks + jax.lax.population_count(
+            words & mask[:, None]
+        ).astype(I32)
+        return jnp.where((r < 0)[:, None], 0, cnt)
+
     # ------------------------------------------------------------------
     def _search_kernel(self, pats, plens):
         """Batched backward search. pats (B, L) uint8, plens (B,) int32.

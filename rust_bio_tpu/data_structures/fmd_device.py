@@ -60,19 +60,32 @@ class DeviceFMDIndex:
         # symbol), so the fused gather shrinks to KE columns (6 for DNA+$)
         present = [b for b in ext if sym_of[b] >= 0]
         self.KE = int(max(ext_pos[b] for b in present)) + 1 if present else 1
+        self.ext_syms_np = [
+            int(max(sym_of[b], 0)) for b in ext[: self.KE]
+        ]  # static symbol indices for the row-gather rank
         self.comp = jnp.asarray(np.asarray(dna.COMPLEMENT, np.uint8))
         self.less_b = device_fm.less  # (257,) by byte
+        device_fm.ensure_row_layout()
 
     # -- batched bidirectional extensions -------------------------------
-    def _backward_ext(self, lo, lor, sz, a, fused=None):
-        """All shapes (N,); returns (lo', lor', sz')."""
+    def _backward_ext(self, lo, lor, sz, a, fused=None, fused_rows=None):
+        """All shapes (N,); returns (lo', lor', sz').
+
+        With ``fused_rows`` the KE-symbol rank pair at each end is ONE
+        row-slice gather per position (vs KE element gathers)."""
         N = lo.shape[0]
         hi = lo + sz - 1
         pos2 = jnp.concatenate([lo - 1, hi])
         KE = self.KE
-        r2 = self.fm._rank(
-            pos2[:, None], self.ext_syms[None, :KE], fused
-        )  # (2N, KE)
+        if fused_rows is not None:
+            ra = self.fm._rank_all(pos2, fused_rows)  # (2N, S)
+            r2 = jnp.stack(
+                [ra[:, si] for si in self.ext_syms_np], axis=1
+            )  # (2N, KE) in extension order
+        else:
+            r2 = self.fm._rank(
+                pos2[:, None], self.ext_syms[None, :KE], fused
+            )  # (2N, KE)
         r2 = jnp.where(self.ext_valid[None, :KE], r2, 0)
         o_all = jnp.where(lo[:, None] > 0, r2[:N], 0)
         s_all = r2[N:] - o_all
@@ -84,9 +97,9 @@ class DeviceFMDIndex:
         lo_new = self.less_b[a.astype(I32)] + take(o_all)
         return lo_new, lor_new, ssel
 
-    def _forward_ext(self, lo, lor, sz, a, fused=None):
+    def _forward_ext(self, lo, lor, sz, a, fused=None, fused_rows=None):
         ca = self.comp[a.astype(I32)]
-        k2, l2, s2 = self._backward_ext(lor, lo, sz, ca, fused)
+        k2, l2, s2 = self._backward_ext(lor, lo, sz, ca, fused, fused_rows)
         return l2, k2, s2
 
     def _backward_ext_nolor(self, lo, sz, a, fused=None):
@@ -116,12 +129,13 @@ class DeviceFMDIndex:
         jit closure would embed the genome-sized table as an HLO
         constant)."""
         return self._smems_impl(
-            self.fm._fused, pats, plens, iis, E, MC, l_min, mapper_mode
+            self.fm._fused, self.fm.ensure_row_layout(),
+            pats, plens, iis, E, MC, l_min, mapper_mode
         )
 
-    @partial(jax.jit, static_argnums=(0, 5, 6, 8))
+    @partial(jax.jit, static_argnums=(0, 6, 7, 9))
     def _smems_impl(
-        self, fused, pats, plens, iis, E: int, MC: int, l_min,
+        self, fused, fused_rows, pats, plens, iis, E: int, MC: int, l_min,
         mapper_mode: bool = False,
     ):
         B, L = pats.shape
@@ -151,7 +165,9 @@ class DeviceFMDIndex:
             pos = iis + t
             in_rng = pos < plens
             a = pats[bidx, jnp.minimum(pos, L - 1)]
-            flo, flor, fsz = self._forward_ext(lo, lor, sz, a, fused)
+            flo, flor, fsz = self._forward_ext(
+                lo, lor, sz, a, fused, fused_rows
+            )
             app = alive & in_rng & (sz != fsz)
             onehot = (jnp.arange(E)[None, :] == cnt[:, None]) & app[:, None]
             s_lo = jnp.where(onehot, lo[:, None], s_lo)
@@ -226,7 +242,7 @@ class DeviceFMDIndex:
             else:
                 elo, elor, esz = self._backward_ext(
                     s_lo.reshape(-1), s_lor.reshape(-1), s_sz.reshape(-1),
-                    af, fused
+                    af, fused, fused_rows
                 )
             elo = elo.reshape(B, E)
             elor = elor.reshape(B, E)

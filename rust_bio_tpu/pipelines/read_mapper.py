@@ -45,7 +45,16 @@ class MappedRead:
     strand: str  # '+' or '-'
     score: int
     cigar: str
-    alignment: Optional[Alignment]
+    # Alignment object, or a zero-arg thunk decoding it on first access
+    # (the packed fast path defers the op-list materialization — most
+    # consumers only read pos/score/cigar)
+    _aln: Optional[object] = None
+
+    @property
+    def alignment(self) -> Optional[Alignment]:
+        if callable(self._aln):
+            self._aln = self._aln()
+        return self._aln
 
 
 class ReadMapper:
@@ -229,16 +238,32 @@ class ReadMapper:
             cap = max(8, 1 << (len(xs) - 1).bit_length())
             xs = xs + [b"A"] * (cap - len(xs))
             ys = ys + [b"A"] * (cap - len(ys))
-            alns = self.aligner.semiglobal(xs, ys)
-            for (i, strand, win_start), aln in zip(metas, alns):
-                out[i] = MappedRead(
-                    read_id=ids[i],
-                    pos=win_start + aln.ystart,
-                    strand=strand,
-                    score=aln.score,
-                    cigar=aln.cigar(),
-                    alignment=aln,
-                )
+            try:
+                packed = self.aligner.semiglobal_packed(xs, ys)
+            except AssertionError:
+                packed = None
+            if packed is not None:
+                cigars = packed.cigars()
+                for r, (i, strand, win_start) in enumerate(metas):
+                    out[i] = MappedRead(
+                        read_id=ids[i],
+                        pos=win_start + int(packed.ystart[r]),
+                        strand=strand,
+                        score=int(packed.score[r]),
+                        cigar=cigars[r],
+                        _aln=(lambda p=packed, rr=r: p.alignment(rr)),
+                    )
+            else:  # shapes the column-RLE engine can't hold
+                alns = self.aligner.semiglobal(xs, ys)
+                for (i, strand, win_start), aln in zip(metas, alns):
+                    out[i] = MappedRead(
+                        read_id=ids[i],
+                        pos=win_start + aln.ystart,
+                        strand=strand,
+                        score=aln.score,
+                        cigar=aln.cigar(),
+                        _aln=aln,
+                    )
         return out
 
 
@@ -342,6 +367,7 @@ class SmemReadMapper(ReadMapper):
         idx = self.index
         return self._seed_impl(
             idx._fused,
+            idx.ensure_row_layout(),
             idx._mxu_T if idx._mxu_swt else idx._fused,
             idx.bwt_sym,
             idx.sa_sample,
@@ -354,11 +380,12 @@ class SmemReadMapper(ReadMapper):
 
     @partial(jax.jit, static_argnums=(0,))
     def _seed_impl(
-        self, fused, mxu_T, bwt_sym, sa_sample, sent_rows, sent_vals,
-        pb, plens, iis,
+        self, fused, fused_rows, mxu_T, bwt_sym, sa_sample, sent_rows,
+        sent_vals, pb, plens, iis,
     ):
         m_lo, _lor, _sz, m_st, m_ml, mcnt, ovf = self.fmd._smems_impl(
-            fused, pb, plens, iis, 16, 16, jnp.int32(self.min_seed_len), True
+            fused, fused_rows, pb, plens, iis, 16, 16,
+            jnp.int32(self.min_seed_len), True,
         )
         B, MC = m_lo.shape
         valid = jnp.arange(MC)[None, :] < mcnt[:, None]
@@ -424,46 +451,51 @@ class SmemReadMapper(ReadMapper):
             if best is not None:
                 best_host[i] = best
 
-        # reads without a long-enough middle SMEM: retry at the quarter
-        # positions in SMALL power-of-two buckets (stable shapes)
+        # reads without a long-enough middle SMEM: retry at BOTH quarter
+        # positions in ONE small power-of-two-bucket kernel call (two
+        # sequential rounds pay the ~50 ms lockstep kernel latency twice;
+        # merged lanes with the earlier-round preference are outcome-
+        # identical to the sequential rounds)
         pending = [
             i for i in range(B)
             if seqs[i] and not found_a[i] and i not in best_host and not ovf_a[i]
         ]
         retry_packed = {}
-        for frac in (4, 8):
-            if not pending:
-                break
-            cap = max(32, 1 << (len(pending) - 1).bit_length())
+        if pending:
+            fracs = (4, 8)
+            nrow = len(pending) * len(fracs)
+            cap = max(32, 1 << (nrow - 1).bit_length())
             Lr = max(max(len(seqs[i]) for i in pending), 1)
             pb = np.zeros((cap, Lr), np.uint8)
             plens = np.ones(cap, np.int32)
             iis = np.zeros(cap, np.int32)
             for r, i in enumerate(pending):
                 s = seqs[i]
-                pb[r, : len(s)] = np.frombuffer(s, np.uint8)
-                plens[r] = len(s)
-                iis[r] = max(0, len(s) // frac - 1)
+                enc = np.frombuffer(s, np.uint8)
+                for fi, frac in enumerate(fracs):
+                    row = fi * len(pending) + r
+                    pb[row, : len(s)] = enc
+                    plens[row] = len(s)
+                    iis[row] = max(0, len(s) // frac - 1)
             sub = np.asarray(
                 self._seed_kernel(
                     jnp.asarray(pb), jnp.asarray(plens), jnp.asarray(iis)
                 )
             )
-            still = []
             for r, i in enumerate(pending):
-                if sub[r, 4]:  # overflow -> host oracle
-                    lane = self.host_fmd.smems(
-                        seqs[i], int(iis[r]), self.min_seed_len
-                    )
-                    best = self._pick_of_lane(lane)
-                    if best is not None:
-                        best_host[i] = best
-                    continue
-                if sub[r, 3]:
-                    retry_packed[i] = sub[r]
-                else:
-                    still.append(i)
-            pending = still
+                for fi, frac in enumerate(fracs):
+                    row = fi * len(pending) + r
+                    if sub[row, 4]:  # overflow -> host oracle
+                        lane = self.host_fmd.smems(
+                            seqs[i], int(iis[row]), self.min_seed_len
+                        )
+                        best = self._pick_of_lane(lane)
+                        if best is not None:
+                            best_host[i] = best
+                        break
+                    if sub[row, 3]:
+                        retry_packed[i] = sub[row]
+                        break
 
         # host-oracle lanes need a locate for their picked interval
         if best_host:

@@ -173,3 +173,36 @@ def test_map_stream_pipelined_matches_map_batch():
                 b.score,
                 b.cigar,
             )
+
+
+def test_semiglobal_packed_matches_op_path():
+    """PackedSemiglobal (vectorized CIGARs + lazy Alignment decode) must
+    reproduce the op-list path exactly."""
+    import numpy as np
+
+    from rust_bio_tpu.alignment.pairwise.batched import BatchAligner
+    from rust_bio_tpu.alignment.pairwise.scoring import Scoring
+
+    rng = np.random.default_rng(67)
+    ba = BatchAligner(Scoring.from_scores(-5, -1, 2, -2))
+    xs, ys = [], []
+    for _ in range(24):
+        N = int(rng.integers(30, 120))
+        y = rng.choice(list(b"ACGT"), size=N).astype(np.uint8).tobytes()
+        M = int(rng.integers(5, min(60, N)))
+        s = int(rng.integers(0, N - M))
+        x = bytearray(y[s : s + M])
+        for _ in range(int(rng.integers(0, 4))):
+            x[int(rng.integers(0, M))] = int(rng.choice(list(b"ACGT")))
+        xs.append(bytes(x))
+        ys.append(y)
+    packed = ba.semiglobal_packed(xs, ys)
+    cigars = packed.cigars()
+    want = ba.semiglobal(xs, ys)
+    for k in range(len(xs)):
+        assert int(packed.score[k]) == want[k].score, k
+        assert cigars[k] == want[k].cigar(), (k, cigars[k], want[k].cigar())
+        got_aln = packed.alignment(k)
+        assert got_aln.operations == want[k].operations, k
+        for f in ("xstart", "xend", "ystart", "yend"):
+            assert getattr(got_aln, f) == getattr(want[k], f), (k, f)
