@@ -1867,12 +1867,13 @@ def _kernel_scan_local_mp(
     D,
     SB,
     I,
-    SN,
-    LY,
+    PN,  # packed SN*CN + LY (one carried array for the y-suffix tracker)
     TBK,
     *,
     CROW: int,
     LOG2C: int,
+    CN: int,
+    LOG2CN: int,
 ):
     c = pl.program_id(1)
     n_chunks = pl.num_programs(1)
@@ -1910,11 +1911,11 @@ def _kernel_scan_local_mp(
         TBK[:] = ib0 | (TB_START << 4) | (sb0 << 8)
         D[:] = jnp.full((Mp1, BB), MIN_I32, I32)
         I[:] = jnp.full((Mp1, BB), MIN_I32, I32)
-        SN[:] = jnp.where(row0 | in_x, 0, MIN_I32)
-        LY[:] = jnp.where(row0 | in_x, nlens, 0)
+        # SN starts 0 with LY = nlens on live rows: packed value = nlens
+        PN[:] = jnp.where(row0 | in_x, nlens, MIN_I32)
 
     def column(k, st):
-        S_p, D_p, SB_p, I_p, SN_p, LY_p, TBK_p = st
+        S_p, D_p, SB_p, I_p, PN_p, TBK_p = st
         j = (c * K + k + 1).astype(I32)
         valid = j <= n_total
         active = j <= nlens
@@ -1939,7 +1940,7 @@ def _kernel_scan_local_mp(
         # row 0 boundary: Dj0 == go always (gap run never beats clip+open),
         # S0 == 0 via the free y-prefix clip, except the last-column Sn exit
         db0 = jnp.where(j == 1, TB_START, TB_YCLIP_PREFIX)
-        sn0 = SN_p[0:1]
+        sn0 = PN_p[0:1] >> LOG2CN  # row-0 PN is always >= 0
         take_sn = is_last & (sn0 > 0)
         S0j = jnp.where(take_sn, sn0, 0)
         sb0 = jnp.where(take_sn, TB_YCLIP_SUFFIX, TB_YCLIP_PREFIX)
@@ -2010,11 +2011,14 @@ def _kernel_scan_local_mp(
         i_bits = jnp.where(i_ext > T, TB_INS, prev_sbits)
         i_bits = jnp.where(row0, TB_START, i_bits)
 
-        upd_sn = (S_col > SN_p) & in_x & active
-        Sn_new = jnp.where(upd_sn, S_col, SN_p)
-        Ly_new = jnp.where(upd_sn, nlens - j, LY_p)
-        Sn_new = jnp.where(row0, sn0, Sn_new)
-        Ly_new = jnp.where(row0, LY_p, Ly_new)
+        # packed y-suffix tracker: strict-> on SN with old-LY tie-keep ==
+        # plain max on SN*CN + (nlens - j), since nlens - j strictly
+        # decreases (S_col >= 0 in local mode keeps the pack in range)
+        PN_new = jnp.where(
+            in_x & active & valid,
+            jnp.maximum(PN_p, S_col * CN + (nlens - j)),
+            PN_p,
+        )
 
         tb_col = (i_bits | (d_bits << 4) | (s_bits << 8)).astype(jnp.uint16)
         tb_out[k] = tb_col
@@ -2026,32 +2030,35 @@ def _kernel_scan_local_mp(
             jnp.where(keep, bestD, D_p),
             jnp.where(keep, s_bits, SB_p),
             jnp.where(keep, bestI, I_p),
-            jnp.where(valid, Sn_new, SN_p),
-            jnp.where(valid, Ly_new, LY_p),
+            PN_new,
             jnp.where(keep, tb_col.astype(I32), TBK_p),
         )
 
     st = jax.lax.fori_loop(
         0, K, column,
-        (S[:], D[:], SB[:], I[:], SN[:], LY[:], TBK[:]),
+        (S[:], D[:], SB[:], I[:], PN[:], TBK[:]),
     )
-    S[:], D[:], SB[:], I[:], SN[:], LY[:], TBK[:] = st
+    S[:], D[:], SB[:], I[:], PN[:], TBK[:] = st
 
     @pl.when(c == n_chunks - 1)
     def _finish():
         sf_out[:] = S[:]
         if_out[:] = I[:]
-        snf_out[:] = SN[:]
-        lyf_out[:] = LY[:]
+        live = PN[:] >= 0
+        snf_out[:] = jnp.where(live, PN[:] >> LOG2CN, MIN_I32)
+        lyf_out[:] = jnp.where(live, PN[:] & (CN - 1), 0)
         tbk_out[:] = TBK[:]
 
 
 def local_engine_headroom_ok(M: int, N: int, match_score: int) -> bool:
-    """Whether the packed row-m reductions have int32 headroom for this
-    shape: max local score (min(M,N)*match) times CROW must stay < 2^31."""
+    """Whether the packed reductions/trackers have int32 headroom for
+    this shape: max local score (min(M,N)*match) times the larger of the
+    row pack base CROW and the column pack base CN must stay < 2^31."""
     crow = 1 << max(M + 1, 2).bit_length()
+    cn = 1 << max(N + 1, 2).bit_length()
+    base = max(crow, cn, 16)
     smax = max(1, int(match_score)) * min(M, N)
-    return smax < (2**31) // max(crow, 16) - crow
+    return smax < (2**31) // base - base
 
 
 def scan_local_pallas_mp(xb, yb, mlens, nlens, pens8):
@@ -2060,8 +2067,9 @@ def scan_local_pallas_mp(xb, yb, mlens, nlens, pens8):
     bits 0-11 only)."""
     B, M = xb.shape
     N = yb.shape[1]
-    block_b, K = _pick_block_global(B, M, N, n_state=33)
+    block_b, K = _pick_block_global(B, M, N, n_state=31)
     CROW = 1 << max(M + 1, 2).bit_length()
+    CN = 1 << max(N + 1, 2).bit_length()
     Mp1 = M + 1
     n_chunks = -(-N // K)
     Np = n_chunks * K
@@ -2076,7 +2084,8 @@ def scan_local_pallas_mp(xb, yb, mlens, nlens, pens8):
     fshape = lambda: jax.ShapeDtypeStruct((Mp1, B), jnp.int32)
     out = pl.pallas_call(
         partial(
-            _kernel_scan_local_mp, CROW=CROW, LOG2C=CROW.bit_length() - 1
+            _kernel_scan_local_mp, CROW=CROW, LOG2C=CROW.bit_length() - 1,
+            CN=CN, LOG2CN=CN.bit_length() - 1,
         ),
         interpret=jax.default_backend() == "cpu",
         grid=grid,
@@ -2098,7 +2107,7 @@ def scan_local_pallas_mp(xb, yb, mlens, nlens, pens8):
             fshape(), fshape(), fshape(), fshape(), fshape(),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Mp1, block_b), jnp.int32) for _ in range(7)
+            pltpu.VMEM((Mp1, block_b), jnp.int32) for _ in range(6)
         ],
     )(
         pen,
