@@ -184,6 +184,7 @@ def _fm_large_rates():
     in-VMEM kernel and the MXU table both cap out near 8 Mbp, so this is
     the path a human-genome index actually runs) + the q=12 k-mer LUT
     jump.  Returns (lut_rate, plain_rate, cpu_twin_rate)."""
+    import jax
     import jax.numpy as jnp
 
     from rust_bio_tpu.alphabets import dna

@@ -1973,16 +1973,16 @@ def _kernel_scan_local_mp(
         s_bits = jnp.where(row0, sb0, s_bits)
 
         # row-m replacement: free-suffix-clip accumulator (xcs == 0).
-        # Every S_col in local mode is >= 0 (the Xclip floor), so two
-        # packed masked reductions suffice (dispatch guards the headroom:
-        # max score * CROW/16 stays < 2^31):
+        # Every S_col in local mode is >= 0 (the Xclip floor), so one
+        # packed masked reduction suffices (dispatch guards the headroom:
+        # max score * CROW stays < 2^31):
         #   PA = max over mid rows of S*CROW + (CROW-1-row): value = best
-        #        mid-row S, tie-break = SMALLEST row (for Lx), one reduction
-        #   P  = the row-m cell's own chain winner packed as S*16 | bits
-        #        (exactly one row survives the mask: a gather-by-reduction)
+        #        mid-row S, tie-break = SMALLEST row (for Lx)
         # The custom kernel's candidate chain at row m reduces to: A wins
         # iff not (W > A) — it seeds (A, Xclip-suffix) and every take is
-        # strict.
+        # strict.  W (the row-m cell's own chain) is S_col AT row m, so the
+        # comparison runs in place under the is_row_m mask instead of
+        # extracting W with a second gather-by-reduction.
         PA = jnp.max(
             jnp.where(mid_rows, S_col * CROW + (CROW - 1 - rows), -1),
             axis=0,
@@ -1992,18 +1992,9 @@ def _kernel_scan_local_mp(
         updA = PA >= 0
         first = (CROW - 1) - (PA & (CROW - 1))
         Lx_j = jnp.where(updA & active, mlens - first, 0)  # (1, BB)
-        P = jnp.max(
-            jnp.where(is_row_m, S_col * 16 + s_bits, -1),
-            axis=0,
-            keepdims=True,
-        )
-        Wv = P >> 4
-        Wb = P & 15
-        a_wins = updA & jnp.logical_not(Wv > A)
-        S_m = jnp.where(a_wins, A, Wv)
-        sb_m = jnp.where(a_wins, TB_XCLIP_SUFFIX, Wb)
-        S_col = jnp.where(is_row_m, S_m, S_col)
-        s_bits = jnp.where(is_row_m, sb_m, s_bits)
+        a_row = is_row_m & updA & jnp.logical_not(S_col > A)
+        S_col = jnp.where(a_row, A, S_col)
+        s_bits = jnp.where(a_row, TB_XCLIP_SUFFIX, s_bits)
 
         prev_sbits = jnp.concatenate(
             [jnp.full((1, BB), TB_START, I32), s_bits[:-1]], axis=0

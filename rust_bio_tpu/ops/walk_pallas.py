@@ -112,16 +112,11 @@ def _kernel_sweep_walk_global(
         dbv = (col >> 4) & 0xF
         sbv = (col >> 8) & 0xF
 
-        # entry layer at (icur, j)
-        g1 = _gather_row(sbv | (dbv << 4), i_s)
-        sb_i = g1 & 0xF
-        db_i = (g1 >> 4) & 0xF
-        entry = jnp.where(us_s == 1, sb_i, ca_s)
-        is_ins = at & (entry == TB_INS)
-
         # vertical insertion run: continue while the NEXT layer (after one
         # Ins emission) is still Ins.  next_layer[r] = resolved open/extend
-        # pointer of cell (r, j).
+        # pointer of cell (r, j).  Computed before the entry gather so the
+        # run length rides the same gather (bits 8+) — each _gather_row is
+        # a full cross-sublane reduction, the walk's unit of cost.
         sb_above = _shift_down(sbv, TB_START)
         next_layer = jnp.where(ibv == TB_REREAD, sb_above, ibv)
         cont = (next_layer == TB_INS).astype(I32)
@@ -134,7 +129,14 @@ def _kernel_sweep_walk_global(
             k_step *= 2
         rl = jnp.where(cont == 1, rows_x - lz, 0)
 
-        m = jnp.where(is_ins, _gather_row(rl, i_s), 0)
+        # entry layer + del bits + run length at (icur, j), one gather
+        g1 = _gather_row(sbv | (dbv << 4) | (rl << 8), i_s)
+        sb_i = g1 & 0xF
+        db_i = (g1 >> 4) & 0xF
+        entry = jnp.where(us_s == 1, sb_i, ca_s)
+        is_ins = at & (entry == TB_INS)
+
+        m = jnp.where(is_ins, g1 >> 8, 0)
         ins_cnt = jnp.where(is_ins, m + 1, 0)
 
         # packed read at row (icur - m): after-run layer and the del bits
@@ -621,12 +623,6 @@ def _kernel_sweep_walk_semi(
         dbv = (col >> 4) & 0xF
         sbv = (col >> 8) & 0xF
 
-        g1 = _gather_row(sbv | (dbv << 4), i_s)
-        sb_i = g1 & 0xF
-        db_i = (g1 >> 4) & 0xF
-        entry = jnp.where(us_s == 1, sb_i, ca_s)
-        is_ins = at & (entry == TB_INS)
-
         next_layer = ibv  # no TB_REREAD in the semiglobal kernels
         cont = (next_layer == TB_INS).astype(I32)
         z = jnp.where(cont == 0, rows_x, _NEGBIG)
@@ -637,7 +633,14 @@ def _kernel_sweep_walk_semi(
             k_step *= 2
         rl = jnp.where(cont == 1, rows_x - lz, 0)
 
-        m = jnp.where(is_ins, _gather_row(rl, i_s), 0)
+        # entry layer + del bits + run length at (icur, j), one gather
+        g1 = _gather_row(sbv | (dbv << 4) | (rl << 8), i_s)
+        sb_i = g1 & 0xF
+        db_i = (g1 >> 4) & 0xF
+        entry = jnp.where(us_s == 1, sb_i, ca_s)
+        is_ins = at & (entry == TB_INS)
+
+        m = jnp.where(is_ins, g1 >> 8, 0)
         ins_cnt = jnp.where(is_ins, m + 1, 0)
 
         g2 = _gather_row(next_layer | (_shift_down(dbv, 0) << 4), i_s - m)
@@ -925,17 +928,6 @@ def _kernel_sweep_walk_custom(
         dbv = (col >> 4) & 0xF
         sbv = (col >> 8) & 0xF
 
-        g1 = _gather_row(sbv, i_s)
-        entry = jnp.where(us_s == 1, g1, ca_s)
-
-        # Xclip-suffix pre-op (row mlens only)
-        is_xs = at & (entry == TB_XCLIP_SUFFIX)
-        pre_len = jnp.where(is_xs, lx, 0)
-        i_p = jnp.where(is_xs, i_s - lx, i_s)
-        entry = jnp.where(is_xs, _gather_row(sbv, i_p), entry)
-
-        is_ins = at & (entry == TB_INS)
-
         next_layer = ibv
         cont = (next_layer == TB_INS).astype(I32)
         z = jnp.where(cont == 0, rows_x, _NEGBIG)
@@ -946,14 +938,29 @@ def _kernel_sweep_walk_custom(
             k_step *= 2
         rl = jnp.where(cont == 1, rows_x - lz, 0)
 
-        m = jnp.where(is_ins, _gather_row(rl, i_p), 0)
+        # one packed column: s_bits | d_bits<<4 | ins-run<<8.  Gather 1
+        # detects the Xclip-suffix pre-op at the entry row; gather 2
+        # re-reads at the post-clip row i_p and serves entry bits, del
+        # bits AND the run length (i_p == icur for non-clip lanes, so it
+        # subsumes the non-clip reads too).
+        packed = sbv | (dbv << 4) | (rl << 8)
+        g1 = _gather_row(packed, i_s)
+        entry0 = jnp.where(us_s == 1, g1 & 0xF, ca_s)
+
+        # Xclip-suffix pre-op (row mlens only)
+        is_xs = at & (entry0 == TB_XCLIP_SUFFIX)
+        pre_len = jnp.where(is_xs, lx, 0)
+        i_p = jnp.where(is_xs, i_s - lx, i_s)
+        g1b = _gather_row(packed, i_p)
+        entry = jnp.where(is_xs, g1b & 0xF, entry0)
+
+        is_ins = at & (entry == TB_INS)
+        m = jnp.where(is_ins, g1b >> 8, 0)
         ins_cnt = jnp.where(is_ins, m + 1, 0)
 
         g2 = _gather_row(next_layer | (_shift_down(dbv, 0) << 4), i_p - m)
         layer2 = jnp.where(is_ins, g2 & 0xF, entry)
-        db2 = jnp.where(
-            is_ins, (g2 >> 4) & 0xF, _gather_row(dbv, i_p)
-        )
+        db2 = jnp.where(is_ins, (g2 >> 4) & 0xF, (g1b >> 4) & 0xF)
         i2 = jnp.where(is_ins, i_p - m - 1, i_p)
 
         is_mm = (layer2 == TB_MATCH) | (layer2 == TB_SUBST)
