@@ -1047,7 +1047,8 @@ def _align_batch_device_semiglobal_mp(
     pens = tuple(penalties8[k] for k in range(6))
 
     tb_cols, S_f, I_f, Sn_f, Ly_f, tbk = scan_semiglobal_pallas_mp(
-        xb, yb, mlens, nlens, penalties8
+        xb, yb, mlens, nlens, penalties8,
+        runs=("ins" if sweep_walk else True) if with_traceback else False,
     )
     rows, row_ge1, mlens_c, is_row_m = _geometry(B, M, mlens)
     score, tb_col_fixed, _Lx_n, _lx_set = _suffix_fixups(
@@ -1209,8 +1210,16 @@ def _align_batch_device_custom_mp(
     pens = tuple(penalties8[k] for k in range(6))
 
     scan = scan_local_pallas_mp if local_engine else scan_custom_pallas_mp
+    # nibble mode: vertical ins-run for the sweep walk; diagonal same-op
+    # runs for the custom buffer walk (the local kernel never wrote them)
+    if with_traceback and sweep_walk:
+        runs = "ins"
+    elif with_traceback and not local_engine:
+        runs = True
+    else:
+        runs = False
     tb_cols, lx_cols, S_f, I_f, Sn_f, Ly_f, tbk = scan(
-        xb, yb, mlens, nlens, penalties8
+        xb, yb, mlens, nlens, penalties8, runs=runs
     )
     rows, row_ge1, mlens_c, is_row_m = _geometry(B, M, mlens)
     score, tb_col_fixed, Lx_n, lx_n_set = _suffix_fixups(
@@ -1314,7 +1323,8 @@ def _align_batch_device_semiglobal_lut(
 
     subs2 = _subs2_stream(xb, yb, lut, n_syms)
     tb_cols, S_f, I_f, Sn_f, Ly_f, tbk = scan_semiglobal_pallas_subs(
-        subs2, mlens, nlens, penalties
+        subs2, mlens, nlens, penalties,
+        runs=("ins" if sweep_walk else True) if with_traceback else False,
     )
     rows, row_ge1, mlens_c, is_row_m = _geometry(B, M, mlens)
     score, tb_col_fixed, _Lx_n, _lx_set = _suffix_fixups(
@@ -1370,7 +1380,7 @@ def _align_batch_device_global_lut(
     subs2 = _subs2_stream(xb, yb, lut, n_syms)
     score, tb_cols, _tbk = scan_global_pallas_subs(
         subs2, mlens, nlens, penalties,
-        runs=with_traceback and not sweep_walk,
+        runs=("ins" if sweep_walk else True) if with_traceback else False,
     )
     if not with_traceback:
         return {"score": score}
@@ -1424,7 +1434,7 @@ def _align_batch_device_global_mp(
 
     score, tb_cols, _tbk = scan_global_pallas_mp(
         xb, yb, mlens, nlens, penalties8,
-        runs=with_traceback and not sweep_walk,
+        runs=("ins" if sweep_walk else True) if with_traceback else False,
     )  # tb_cols: (Np, M+1, B), columns 1..N valid
     if not with_traceback:
         return {"score": score}
@@ -1476,7 +1486,7 @@ def _align_batch_device_global_rows_mp(
     if not with_traceback:
         return {"score": score}
 
-    ins_cnt, exit_op, ins0 = sweep_walk_global(tb_cols, mlens, nlens)
+    ins_cnt, exit_op, ins0 = sweep_walk_global(tb_cols, mlens, nlens, ins_nib=False)
     z = jnp.zeros(B, I32)
     return {
         "score": score,

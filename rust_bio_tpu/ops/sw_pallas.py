@@ -53,6 +53,28 @@ def _cummax_rows(u):
     return u
 
 
+def _runs_mode(runs):
+    """Wrapper runs flag -> kernel RUNS mode string."""
+    return "diag" if runs is True else ("ins" if runs == "ins" else "none")
+
+
+def _ins_run_nib(i_bits, rows):
+    """min(vertical TB_INS run ending at each row, 15) << 12.
+
+    The sweep walks read this from the tb spare bits instead of recomputing
+    the full run with an O(log X) shift chain per column per walk step;
+    runs > 15 are finished by the walks' rare re-gather chain.  ``rows``
+    is the (X, BB) row iota.  Row 0's i_bits is TB_START in every engine,
+    so a non-INS row always exists above any run."""
+    z = jnp.where(i_bits == TB_INS, NEG, rows)
+    for k in (1, 2, 4, 8):
+        z = jnp.maximum(z, _shift_down_rows(z, k))
+    # z = nearest non-INS row within the last 16 rows (NEG if none)
+    return jnp.where(
+        i_bits == TB_INS, jnp.minimum(rows - z, 15), 0
+    ) << 12
+
+
 def _kernel(pen_ref, subs_ref, mlens_ref, nlens_ref, out_ref, S, I, D):
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
@@ -549,7 +571,7 @@ def _kernel_scan_global_mp(
     # used only by the per-step-gather walk; the column-sweep walk reads
     # bits 0-11, so its scan skips the run chain (fewer ops, one less
     # (Mp1, BB) scratch array -> larger column chunks)
-    if RUNS:
+    if RUNS == "diag":
         S, D, SB, TBK, R = scratch
     else:
         S, D, SB, TBK = scratch
@@ -581,11 +603,11 @@ def _kernel_scan_global_mp(
         SB[:] = sb0
         ib0 = jnp.where(rows == 1, TB_START, jnp.where(row0, TB_START, TB_INS))
         TBK[:] = ib0 | (TB_START << 4) | (sb0 << 8)
-        if RUNS:
+        if RUNS == "diag":
             R[:] = jnp.zeros((Mp1, BB), I32)
 
     def column(k, st):
-        if RUNS:
+        if RUNS == "diag":
             S_p, D_p, SB_p, TBK_p, R_p = st
         else:
             S_p, D_p, SB_p, TBK_p = st
@@ -647,7 +669,7 @@ def _kernel_scan_global_mp(
 
         # same-op diagonal run length (walk jumps min(run, 15) cells per
         # gather): run(i,j) = 1 + run(i-1,j-1) while s_bits stays equal
-        if RUNS:
+        if RUNS == "diag":
             is_mm = (s_bits == TB_SUBST) | (s_bits == TB_MATCH)
             same = s_bits == jnp.concatenate(
                 [jnp.full((1, BB), -1, I32), SB_p[:-1]], axis=0
@@ -659,6 +681,12 @@ def _kernel_scan_global_mp(
             run_nib = jnp.minimum(run, 15)
             tb_col = (
                 i_bits | (d_bits << 4) | (s_bits << 8) | (run_nib << 12)
+            ).astype(jnp.uint16)
+        elif RUNS == "ins":
+            # sweep-walk tb: spare bits carry the vertical ins-run nibble
+            tb_col = (
+                i_bits | (d_bits << 4) | (s_bits << 8)
+                | _ins_run_nib(i_bits, rows)
             ).astype(jnp.uint16)
         else:
             tb_col = (i_bits | (d_bits << 4) | (s_bits << 8)).astype(
@@ -673,13 +701,13 @@ def _kernel_scan_global_mp(
             jnp.where(keep, s_bits, SB_p),
             jnp.where(keep, tb_col.astype(I32), TBK_p),
         )
-        if RUNS:
+        if RUNS == "diag":
             out = out + (jnp.where(keep, run, R_p),)
         return out
 
-    init = (S[:], D[:], SB[:], TBK[:]) + ((R[:],) if RUNS else ())
+    init = (S[:], D[:], SB[:], TBK[:]) + ((R[:],) if RUNS == "diag" else ())
     st = jax.lax.fori_loop(0, K, column, init)
-    if RUNS:
+    if RUNS == "diag":
         S[:], D[:], SB[:], TBK[:], R[:] = st
     else:
         S[:], D[:], SB[:], TBK[:] = st
@@ -700,7 +728,13 @@ def _pick_block_global(
     ``n_state``: rough count of live (Mp1, bb) i32 arrays (scratch + loop
     temporaries); the semiglobal kernel carries more state than global.
     ``stream_bytes``: per-element size of a per-column streamed input
-    (0 for the in-kernel-eq kernels whose sequences are fixed blocks)."""
+    (0 for the in-kernel-eq kernels whose sequences are fixed blocks).
+
+    Light-state kernels (n_state <= 26, i.e. the sweep-mode global scan)
+    prefer 512 lanes: the column chain is partly LATENCY-bound, so fewer,
+    wider column iterations win (measured 256 -> 512 at B=8192, M=N=150:
+    global full-traceback 9.1 -> 7.9 ms) — heavier kernels at 512 lose
+    the VMEM headroom and slow down instead."""
     budget = 13 * 2**20
     sub = -(-(M + 1) // 8) * 8  # sublane-padded Mp1
     best = None
@@ -720,6 +754,8 @@ def _pick_block_global(
         if budget - fixed < perk:
             continue
         K = min(N, (budget - fixed) // perk)
+        if n_state <= 26 and bb == 512 and K >= 6:
+            return bb, K
         steps = (B // bb) * -(-N // K)
         if best is None or steps < best[0] or (
             steps == best[0] and bb > best[1]
@@ -740,7 +776,9 @@ def transposed_feasible(B: int, M: int, N: int) -> bool:
         return False
 
 
-def scan_global_pallas_mp(xb, yb, mlens, nlens, pens8, runs: bool = True):
+def scan_global_pallas_mp(xb, yb, mlens, nlens, pens8, runs=True):
+    # runs: True = diagonal run nibble (buffer walk), "ins" = vertical
+    # ins-run nibble (sweep walk), False = no nibble (score-only)
     """Global-mode scan: returns (score (B,), tb_cols (Np, Mp1, B) uint16
     with Np >= N (padded chunk tail is garbage but never walked), tbk
     (B, Mp1) int32 frozen final-column cells).
@@ -750,7 +788,7 @@ def scan_global_pallas_mp(xb, yb, mlens, nlens, pens8, runs: bool = True):
     reads the 12 layer bits."""
     B, M = xb.shape
     N = yb.shape[1]
-    block_b, K = _pick_block_global(B, M, N, n_state=30 if runs else 24)
+    block_b, K = _pick_block_global(B, M, N, n_state=30 if runs is True else 24)
     Mp1 = M + 1
     n_chunks = -(-N // K)
     Np = n_chunks * K
@@ -762,7 +800,7 @@ def scan_global_pallas_mp(xb, yb, mlens, nlens, pens8, runs: bool = True):
     p8 = jnp.asarray(pens8, I32).reshape(8)
     pen = jnp.stack([p8[0], p8[1], p8[6], p8[7], jnp.int32(N)])
     out = pl.pallas_call(
-        partial(_kernel_scan_global_mp, RUNS=runs),
+        partial(_kernel_scan_global_mp, RUNS=_runs_mode(runs)),
         interpret=jax.default_backend() == "cpu",
         grid=grid,
         in_specs=[
@@ -784,7 +822,7 @@ def scan_global_pallas_mp(xb, yb, mlens, nlens, pens8, runs: bool = True):
         ],
         scratch_shapes=[
             pltpu.VMEM((Mp1, block_b), jnp.int32)
-            for _ in range(5 if runs else 4)
+            for _ in range(5 if runs is True else 4)
         ],
     )(
         pen,
@@ -825,15 +863,17 @@ def _kernel_scan_semiglobal_mp(
     snf_out,
     lyf_out,
     tbk_out,
-    S,
-    D,
-    SB,
-    I,
-    SN,
-    LY,
-    TBK,
-    R,
+    *scratch,
+    RUNS: bool = True,
 ):
+    # RUNS: diagonal same-op run nibble for the buffer walk; RUNS=False
+    # (the sweep-walk path) writes the vertical ins-run nibble instead and
+    # drops the R carry
+    if RUNS == "diag":
+        S, D, SB, I, SN, LY, TBK, R = scratch
+    else:
+        S, D, SB, I, SN, LY, TBK = scratch
+        R = None
     c = pl.program_id(1)
     n_chunks = pl.num_programs(1)
     go = pen_ref[0]
@@ -867,13 +907,18 @@ def _kernel_scan_semiglobal_mp(
         SB[:] = sb0
         ib0 = jnp.where(rows <= 1, TB_START, TB_INS)
         TBK[:] = ib0 | (TB_START << 4) | (sb0 << 8)
-        R[:] = jnp.zeros((Mp1, BB), I32)
+        if RUNS == "diag":
+            R[:] = jnp.zeros((Mp1, BB), I32)
         # Sn/Ly init: row0 = (ycs, nlens); rows 1..m accumulate S0 + ycs
         SN[:] = jnp.where(row0, ycs, jnp.where(in_x, S0 + ycs, MIN_I32))
         LY[:] = jnp.where(row0 | in_x, nlens, 0)
 
     def column(k, st):
-        S_p, D_p, SB_p, I_p, SN_p, LY_p, TBK_p, R_p = st
+        if RUNS == "diag":
+            S_p, D_p, SB_p, I_p, SN_p, LY_p, TBK_p, R_p = st
+        else:
+            S_p, D_p, SB_p, I_p, SN_p, LY_p, TBK_p = st
+            R_p = None
         j = (c * K + k + 1).astype(I32)
         valid = j <= n_total
         active = j <= nlens  # (1, BB)
@@ -958,16 +1003,24 @@ def _kernel_scan_semiglobal_mp(
         Sn_new = jnp.where(row0, sn0_new, Sn_new)
         Ly_new = jnp.where(row0, ly0_new, Ly_new)
 
-        is_mm = (s_bits == TB_SUBST) | (s_bits == TB_MATCH)
-        same = s_bits == jnp.concatenate(
-            [jnp.full((1, BB), -1, I32), SB_p[:-1]], axis=0
-        )
-        r_diag = jnp.concatenate([jnp.zeros((1, BB), I32), R_p[:-1]], axis=0)
-        run = jnp.where(is_mm, 1 + jnp.where(same, r_diag, 0), 0)
-        run_nib = jnp.minimum(run, 15)
+        if RUNS == "diag":
+            is_mm = (s_bits == TB_SUBST) | (s_bits == TB_MATCH)
+            same = s_bits == jnp.concatenate(
+                [jnp.full((1, BB), -1, I32), SB_p[:-1]], axis=0
+            )
+            r_diag = jnp.concatenate(
+                [jnp.zeros((1, BB), I32), R_p[:-1]], axis=0
+            )
+            run = jnp.where(is_mm, 1 + jnp.where(same, r_diag, 0), 0)
+            nib12 = jnp.minimum(run, 15) << 12
+        elif RUNS == "ins":
+            # sweep-walk tb: spare bits carry the vertical ins-run nibble
+            nib12 = _ins_run_nib(i_bits, rows)
+        else:
+            nib12 = 0
 
         tb_col = (
-            i_bits | (d_bits << 4) | (s_bits << 8) | (run_nib << 12)
+            i_bits | (d_bits << 4) | (s_bits << 8) | nib12
         ).astype(jnp.uint16)
         tb_out[k] = tb_col
 
@@ -980,14 +1033,16 @@ def _kernel_scan_semiglobal_mp(
             jnp.where(valid, Sn_new, SN_p),
             jnp.where(valid, Ly_new, LY_p),
             jnp.where(keep, tb_col.astype(I32), TBK_p),
-            jnp.where(keep, run, R_p),
-        )
+        ) + ((jnp.where(keep, run, R_p),) if RUNS == "diag" else ())
 
-    st = jax.lax.fori_loop(
-        0, K, column,
-        (S[:], D[:], SB[:], I[:], SN[:], LY[:], TBK[:], R[:]),
+    init = (S[:], D[:], SB[:], I[:], SN[:], LY[:], TBK[:]) + (
+        (R[:],) if RUNS == "diag" else ()
     )
-    S[:], D[:], SB[:], I[:], SN[:], LY[:], TBK[:], R[:] = st
+    st = jax.lax.fori_loop(0, K, column, init)
+    if RUNS == "diag":
+        S[:], D[:], SB[:], I[:], SN[:], LY[:], TBK[:], R[:] = st
+    else:
+        S[:], D[:], SB[:], I[:], SN[:], LY[:], TBK[:] = st
 
     @pl.when(c == n_chunks - 1)
     def _finish():
@@ -998,15 +1053,16 @@ def _kernel_scan_semiglobal_mp(
         tbk_out[:] = TBK[:]
 
 
-def scan_semiglobal_pallas_mp(xb, yb, mlens, nlens, pens8):
+def scan_semiglobal_pallas_mp(xb, yb, mlens, nlens, pens8, runs=True):
     """Semiglobal-family scan (x-clips MIN by contract; y-clips dynamic).
 
     Returns (tb_cols (Np, Mp1, B) uint16, S_f, I_f, Sn_f, Ly_f, tbk) with
     the finals transposed to the lane-major (B, Mp1) layout the XLA-side
-    suffix fixups expect."""
+    suffix fixups expect.  ``runs=False`` (the sweep-walk path) swaps the
+    diagonal run nibble for the vertical ins-run nibble."""
     B, M = xb.shape
     N = yb.shape[1]
-    block_b, K = _pick_block_global(B, M, N, n_state=45)
+    block_b, K = _pick_block_global(B, M, N, n_state=45 if runs is True else 44)
     Mp1 = M + 1
     n_chunks = -(-N // K)
     Np = n_chunks * K
@@ -1023,7 +1079,7 @@ def scan_semiglobal_pallas_mp(xb, yb, mlens, nlens, pens8):
     fspec = lambda: pl.BlockSpec((Mp1, block_b), lambda b, c: (0, b))
     fshape = lambda: jax.ShapeDtypeStruct((Mp1, B), jnp.int32)
     out = pl.pallas_call(
-        _kernel_scan_semiglobal_mp,
+        partial(_kernel_scan_semiglobal_mp, RUNS=_runs_mode(runs)),
         interpret=jax.default_backend() == "cpu",
         grid=grid,
         in_specs=[
@@ -1042,7 +1098,8 @@ def scan_semiglobal_pallas_mp(xb, yb, mlens, nlens, pens8):
             fshape(), fshape(), fshape(), fshape(), fshape(),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Mp1, block_b), jnp.int32) for _ in range(8)
+            pltpu.VMEM((Mp1, block_b), jnp.int32)
+            for _ in range(8 if runs is True else 7)
         ],
     )(
         pen,
@@ -1079,7 +1136,7 @@ def _kernel_scan_global_subs(
     *scratch,
     RUNS: bool = True,
 ):
-    if RUNS:
+    if RUNS == "diag":
         S, D, SB, TBK, R = scratch
     else:
         S, D, SB, TBK = scratch
@@ -1106,11 +1163,11 @@ def _kernel_scan_global_subs(
         SB[:] = sb0
         ib0 = jnp.where(rows <= 1, TB_START, TB_INS)
         TBK[:] = ib0 | (TB_START << 4) | (sb0 << 8)
-        if RUNS:
+        if RUNS == "diag":
             R[:] = jnp.zeros((Mp1, BB), I32)
 
     def column(k, st):
-        if RUNS:
+        if RUNS == "diag":
             S_p, D_p, SB_p, TBK_p, R_p = st
         else:
             S_p, D_p, SB_p, TBK_p = st
@@ -1163,7 +1220,7 @@ def _kernel_scan_global_subs(
         i_bits = jnp.where(i_ext > T, TB_INS, prev_sbits)
         i_bits = jnp.where(row0, TB_START, i_bits)
 
-        if RUNS:
+        if RUNS == "diag":
             is_mm = (s_bits == TB_SUBST) | (s_bits == TB_MATCH)
             same = s_bits == jnp.concatenate(
                 [jnp.full((1, BB), -1, I32), SB_p[:-1]], axis=0
@@ -1175,6 +1232,12 @@ def _kernel_scan_global_subs(
             run_nib = jnp.minimum(run, 15)
             tb_col = (
                 i_bits | (d_bits << 4) | (s_bits << 8) | (run_nib << 12)
+            ).astype(jnp.uint16)
+        elif RUNS == "ins":
+            # sweep-walk tb: spare bits carry the vertical ins-run nibble
+            tb_col = (
+                i_bits | (d_bits << 4) | (s_bits << 8)
+                | _ins_run_nib(i_bits, rows)
             ).astype(jnp.uint16)
         else:
             tb_col = (i_bits | (d_bits << 4) | (s_bits << 8)).astype(
@@ -1189,13 +1252,13 @@ def _kernel_scan_global_subs(
             jnp.where(keep, s_bits, SB_p),
             jnp.where(keep, tb_col.astype(I32), TBK_p),
         )
-        if RUNS:
+        if RUNS == "diag":
             out = out + (jnp.where(keep, run, R_p),)
         return out
 
-    init = (S[:], D[:], SB[:], TBK[:]) + ((R[:],) if RUNS else ())
+    init = (S[:], D[:], SB[:], TBK[:]) + ((R[:],) if RUNS == "diag" else ())
     st = jax.lax.fori_loop(0, K, column, init)
-    if RUNS:
+    if RUNS == "diag":
         S[:], D[:], SB[:], TBK[:], R[:] = st
     else:
         S[:], D[:], SB[:], TBK[:] = st
@@ -1208,14 +1271,14 @@ def _kernel_scan_global_subs(
         tbk_out[:] = TBK[:]
 
 
-def scan_global_pallas_subs(subs2_nmb, mlens, nlens, pens6, runs: bool = True):
+def scan_global_pallas_subs(subs2_nmb, mlens, nlens, pens6, runs=True):
     """Global-mode scan from a streamed packed-subs tensor.
 
     ``subs2_nmb``: (N, M, B) int32 = subs*2 | eq. Returns the same tuple
     as ``scan_global_pallas_mp``.  ``runs=False`` as in the MP kernel."""
     N, M, B = subs2_nmb.shape
     block_b, K = _pick_block_global(
-        B, M, N, n_state=35 if runs else 29, stream_bytes=4
+        B, M, N, n_state=35 if runs is True else 29, stream_bytes=4
     )
     Mp1 = M + 1
     n_chunks = -(-N // K)
@@ -1228,7 +1291,7 @@ def scan_global_pallas_subs(subs2_nmb, mlens, nlens, pens6, runs: bool = True):
          jnp.zeros(2, I32), jnp.array([N], I32)]
     )
     out = pl.pallas_call(
-        partial(_kernel_scan_global_subs, RUNS=runs),
+        partial(_kernel_scan_global_subs, RUNS=_runs_mode(runs)),
         interpret=jax.default_backend() == "cpu",
         grid=grid,
         in_specs=[
@@ -1249,7 +1312,7 @@ def scan_global_pallas_subs(subs2_nmb, mlens, nlens, pens6, runs: bool = True):
         ],
         scratch_shapes=[
             pltpu.VMEM((Mp1, block_b), jnp.int32)
-            for _ in range(5 if runs else 4)
+            for _ in range(5 if runs is True else 4)
         ],
     )(
         pen,
@@ -1272,15 +1335,17 @@ def _kernel_scan_semiglobal_subs(
     snf_out,
     lyf_out,
     tbk_out,
-    S,
-    D,
-    SB,
-    I,
-    SN,
-    LY,
-    TBK,
-    R,
+    *scratch,
+    RUNS: bool = True,
 ):
+    # RUNS: diagonal same-op run nibble for the buffer walk; RUNS=False
+    # (the sweep-walk path) writes the vertical ins-run nibble instead and
+    # drops the R carry
+    if RUNS == "diag":
+        S, D, SB, I, SN, LY, TBK, R = scratch
+    else:
+        S, D, SB, I, SN, LY, TBK = scratch
+        R = None
     c = pl.program_id(1)
     n_chunks = pl.num_programs(1)
     go = pen_ref[0]
@@ -1313,13 +1378,18 @@ def _kernel_scan_semiglobal_subs(
         SB[:] = sb0
         ib0 = jnp.where(rows <= 1, TB_START, TB_INS)
         TBK[:] = ib0 | (TB_START << 4) | (sb0 << 8)
-        R[:] = jnp.zeros((Mp1, BB), I32)
+        if RUNS == "diag":
+            R[:] = jnp.zeros((Mp1, BB), I32)
         # Sn/Ly init: row0 = (ycs, nlens); rows 1..m accumulate S0 + ycs
         SN[:] = jnp.where(row0, ycs, jnp.where(in_x, S0 + ycs, MIN_I32))
         LY[:] = jnp.where(row0 | in_x, nlens, 0)
 
     def column(k, st):
-        S_p, D_p, SB_p, I_p, SN_p, LY_p, TBK_p, R_p = st
+        if RUNS == "diag":
+            S_p, D_p, SB_p, I_p, SN_p, LY_p, TBK_p, R_p = st
+        else:
+            S_p, D_p, SB_p, I_p, SN_p, LY_p, TBK_p = st
+            R_p = None
         j = (c * K + k + 1).astype(I32)
         valid = j <= n_total
         active = j <= nlens  # (1, BB)
@@ -1404,16 +1474,24 @@ def _kernel_scan_semiglobal_subs(
         Sn_new = jnp.where(row0, sn0_new, Sn_new)
         Ly_new = jnp.where(row0, ly0_new, Ly_new)
 
-        is_mm = (s_bits == TB_SUBST) | (s_bits == TB_MATCH)
-        same = s_bits == jnp.concatenate(
-            [jnp.full((1, BB), -1, I32), SB_p[:-1]], axis=0
-        )
-        r_diag = jnp.concatenate([jnp.zeros((1, BB), I32), R_p[:-1]], axis=0)
-        run = jnp.where(is_mm, 1 + jnp.where(same, r_diag, 0), 0)
-        run_nib = jnp.minimum(run, 15)
+        if RUNS == "diag":
+            is_mm = (s_bits == TB_SUBST) | (s_bits == TB_MATCH)
+            same = s_bits == jnp.concatenate(
+                [jnp.full((1, BB), -1, I32), SB_p[:-1]], axis=0
+            )
+            r_diag = jnp.concatenate(
+                [jnp.zeros((1, BB), I32), R_p[:-1]], axis=0
+            )
+            run = jnp.where(is_mm, 1 + jnp.where(same, r_diag, 0), 0)
+            nib12 = jnp.minimum(run, 15) << 12
+        elif RUNS == "ins":
+            # sweep-walk tb: spare bits carry the vertical ins-run nibble
+            nib12 = _ins_run_nib(i_bits, rows)
+        else:
+            nib12 = 0
 
         tb_col = (
-            i_bits | (d_bits << 4) | (s_bits << 8) | (run_nib << 12)
+            i_bits | (d_bits << 4) | (s_bits << 8) | nib12
         ).astype(jnp.uint16)
         tb_out[k] = tb_col
 
@@ -1426,14 +1504,16 @@ def _kernel_scan_semiglobal_subs(
             jnp.where(valid, Sn_new, SN_p),
             jnp.where(valid, Ly_new, LY_p),
             jnp.where(keep, tb_col.astype(I32), TBK_p),
-            jnp.where(keep, run, R_p),
-        )
+        ) + ((jnp.where(keep, run, R_p),) if RUNS == "diag" else ())
 
-    st = jax.lax.fori_loop(
-        0, K, column,
-        (S[:], D[:], SB[:], I[:], SN[:], LY[:], TBK[:], R[:]),
+    init = (S[:], D[:], SB[:], I[:], SN[:], LY[:], TBK[:]) + (
+        (R[:],) if RUNS == "diag" else ()
     )
-    S[:], D[:], SB[:], I[:], SN[:], LY[:], TBK[:], R[:] = st
+    st = jax.lax.fori_loop(0, K, column, init)
+    if RUNS == "diag":
+        S[:], D[:], SB[:], I[:], SN[:], LY[:], TBK[:], R[:] = st
+    else:
+        S[:], D[:], SB[:], I[:], SN[:], LY[:], TBK[:] = st
 
     @pl.when(c == n_chunks - 1)
     def _finish():
@@ -1445,12 +1525,14 @@ def _kernel_scan_semiglobal_subs(
 
 
 
-def scan_semiglobal_pallas_subs(subs2_nmb, mlens, nlens, pens6):
+def scan_semiglobal_pallas_subs(subs2_nmb, mlens, nlens, pens6, runs=True):
     """Semiglobal-family scan from a streamed packed-subs tensor
     (arbitrary LUT scoring; x-clips MIN by contract, y-clips dynamic).
     Returns the same tuple as ``scan_semiglobal_pallas_mp``."""
     N, M, B = subs2_nmb.shape
-    block_b, K = _pick_block_global(B, M, N, n_state=50, stream_bytes=4)
+    block_b, K = _pick_block_global(
+        B, M, N, n_state=50 if runs is True else 49, stream_bytes=4
+    )
     Mp1 = M + 1
     n_chunks = -(-N // K)
     Np = n_chunks * K
@@ -1465,7 +1547,7 @@ def scan_semiglobal_pallas_subs(subs2_nmb, mlens, nlens, pens6):
     fspec = lambda: pl.BlockSpec((Mp1, block_b), lambda b, c: (0, b))
     fshape = lambda: jax.ShapeDtypeStruct((Mp1, B), jnp.int32)
     out = pl.pallas_call(
-        _kernel_scan_semiglobal_subs,
+        partial(_kernel_scan_semiglobal_subs, RUNS=_runs_mode(runs)),
         interpret=jax.default_backend() == "cpu",
         grid=grid,
         in_specs=[
@@ -1483,7 +1565,8 @@ def scan_semiglobal_pallas_subs(subs2_nmb, mlens, nlens, pens6):
             fshape(), fshape(), fshape(), fshape(), fshape(),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Mp1, block_b), jnp.int32) for _ in range(8)
+            pltpu.VMEM((Mp1, block_b), jnp.int32)
+            for _ in range(8 if runs is True else 7)
         ],
     )(
         pen,
@@ -1527,15 +1610,14 @@ def _kernel_scan_custom_mp(
     snf_out,
     lyf_out,
     tbk_out,
-    S,
-    D,
-    SB,
-    I,
-    SN,
-    LY,
-    TBK,
-    R,
+    *scratch,
+    RUNS: str = "diag",
 ):
+    if RUNS == "diag":
+        S, D, SB, I, SN, LY, TBK, R = scratch
+    else:
+        S, D, SB, I, SN, LY, TBK = scratch
+        R = None
     c = pl.program_id(1)
     n_chunks = pl.num_programs(1)
     go = pen_ref[0]
@@ -1611,14 +1693,19 @@ def _kernel_scan_custom_mp(
         D[:] = jnp.full((Mp1, BB), MIN_I32, I32)
         I[:] = jnp.full((Mp1, BB), MIN_I32, I32)
         TBK[:] = ib0 | (TB_START << 4) | (sb0 << 8)
-        R[:] = jnp.zeros((Mp1, BB), I32)
+        if RUNS == "diag":
+            R[:] = jnp.zeros((Mp1, BB), I32)
         SN[:] = jnp.where(
             row0, ycs, jnp.where(in_x & (S0 + ycs > MIN_I32), S0 + ycs, MIN_I32)
         )
         LY[:] = jnp.where(row0 | (in_x & (S0 + ycs > MIN_I32)), nlens, 0)
 
     def column(k, st):
-        S_p, D_p, SB_p, I_p, SN_p, LY_p, TBK_p, R_p = st
+        if RUNS == "diag":
+            S_p, D_p, SB_p, I_p, SN_p, LY_p, TBK_p, R_p = st
+        else:
+            S_p, D_p, SB_p, I_p, SN_p, LY_p, TBK_p = st
+            R_p = None
         j = (c * K + k + 1).astype(I32)
         valid = j <= n_total
         active = j <= nlens
@@ -1732,16 +1819,24 @@ def _kernel_scan_custom_mp(
         Sn_new = jnp.where(row0, sn0_new, Sn_new)
         Ly_new = jnp.where(row0, ly0_new, Ly_new)
 
-        is_mm = (s_bits == TB_SUBST) | (s_bits == TB_MATCH)
-        same = s_bits == jnp.concatenate(
-            [jnp.full((1, BB), -1, I32), SB_p[:-1]], axis=0
-        )
-        r_diag = jnp.concatenate([jnp.zeros((1, BB), I32), R_p[:-1]], axis=0)
-        run = jnp.where(is_mm, 1 + jnp.where(same, r_diag, 0), 0)
-        run_nib = jnp.minimum(run, 15)
+        if RUNS == "diag":
+            is_mm = (s_bits == TB_SUBST) | (s_bits == TB_MATCH)
+            same = s_bits == jnp.concatenate(
+                [jnp.full((1, BB), -1, I32), SB_p[:-1]], axis=0
+            )
+            r_diag = jnp.concatenate(
+                [jnp.zeros((1, BB), I32), R_p[:-1]], axis=0
+            )
+            run = jnp.where(is_mm, 1 + jnp.where(same, r_diag, 0), 0)
+            nib12 = jnp.minimum(run, 15) << 12
+        elif RUNS == "ins":
+            # sweep-walk tb: spare bits carry the vertical ins-run nibble
+            nib12 = _ins_run_nib(i_bits, rows)
+        else:
+            nib12 = 0
 
         tb_col = (
-            i_bits | (d_bits << 4) | (s_bits << 8) | (run_nib << 12)
+            i_bits | (d_bits << 4) | (s_bits << 8) | nib12
         ).astype(jnp.uint16)
         tb_out[k] = tb_col
         lx_out[k] = Lx_j  # (1, BB) row into the (K, 1, BB) block
@@ -1755,14 +1850,16 @@ def _kernel_scan_custom_mp(
             jnp.where(valid, Sn_new, SN_p),
             jnp.where(valid, Ly_new, LY_p),
             jnp.where(keep, tb_col.astype(I32), TBK_p),
-            jnp.where(keep, run, R_p),
-        )
+        ) + ((jnp.where(keep, run, R_p),) if RUNS == "diag" else ())
 
-    st = jax.lax.fori_loop(
-        0, K, column,
-        (S[:], D[:], SB[:], I[:], SN[:], LY[:], TBK[:], R[:]),
+    init = (S[:], D[:], SB[:], I[:], SN[:], LY[:], TBK[:]) + (
+        (R[:],) if RUNS == "diag" else ()
     )
-    S[:], D[:], SB[:], I[:], SN[:], LY[:], TBK[:], R[:] = st
+    st = jax.lax.fori_loop(0, K, column, init)
+    if RUNS == "diag":
+        S[:], D[:], SB[:], I[:], SN[:], LY[:], TBK[:], R[:] = st
+    else:
+        S[:], D[:], SB[:], I[:], SN[:], LY[:], TBK[:] = st
 
     @pl.when(c == n_chunks - 1)
     def _finish():
@@ -1773,13 +1870,15 @@ def _kernel_scan_custom_mp(
         tbk_out[:] = TBK[:]
 
 
-def scan_custom_pallas_mp(xb, yb, mlens, nlens, pens8):
+def scan_custom_pallas_mp(xb, yb, mlens, nlens, pens8, runs=True):
     """General-clip scan (MatchParams): returns (tb_cols (Np, Mp1, B) u16,
     Lx_cols (Np, B) i32, S_f, I_f, Sn_f, Ly_f, tbk) with finals transposed
-    to the lane-major layout the XLA suffix fixups expect."""
+    to the lane-major layout the XLA suffix fixups expect.  ``runs=False``
+    (the sweep-walk path) swaps the diagonal run nibble for the vertical
+    ins-run nibble."""
     B, M = xb.shape
     N = yb.shape[1]
-    block_b, K = _pick_block_global(B, M, N, n_state=55)
+    block_b, K = _pick_block_global(B, M, N, n_state=55 if runs is True else 54)
     Mp1 = M + 1
     n_chunks = -(-N // K)
     Np = n_chunks * K
@@ -1797,7 +1896,7 @@ def scan_custom_pallas_mp(xb, yb, mlens, nlens, pens8):
     fspec = lambda: pl.BlockSpec((Mp1, block_b), lambda b, c: (0, b))
     fshape = lambda: jax.ShapeDtypeStruct((Mp1, B), jnp.int32)
     out = pl.pallas_call(
-        _kernel_scan_custom_mp,
+        partial(_kernel_scan_custom_mp, RUNS=_runs_mode(runs)),
         interpret=jax.default_backend() == "cpu",
         grid=grid,
         in_specs=[
@@ -1818,7 +1917,8 @@ def scan_custom_pallas_mp(xb, yb, mlens, nlens, pens8):
             fshape(), fshape(), fshape(), fshape(), fshape(),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Mp1, block_b), jnp.int32) for _ in range(8)
+            pltpu.VMEM((Mp1, block_b), jnp.int32)
+            for _ in range(8 if runs is True else 7)
         ],
     )(
         pen,
@@ -1874,6 +1974,7 @@ def _kernel_scan_local_mp(
     LOG2C: int,
     CN: int,
     LOG2CN: int,
+    RUNS: str = "ins",
 ):
     c = pl.program_id(1)
     n_chunks = pl.num_programs(1)
@@ -2011,7 +2112,10 @@ def _kernel_scan_local_mp(
             PN_p,
         )
 
-        tb_col = (i_bits | (d_bits << 4) | (s_bits << 8)).astype(jnp.uint16)
+        nib12 = _ins_run_nib(i_bits, rows) if RUNS == "ins" else 0
+        tb_col = (
+            i_bits | (d_bits << 4) | (s_bits << 8) | nib12
+        ).astype(jnp.uint16)
         tb_out[k] = tb_col
         lx_out[k] = Lx_j
 
@@ -2052,7 +2156,7 @@ def local_engine_headroom_ok(M: int, N: int, match_score: int) -> bool:
     return smax < (2**31) // base - base
 
 
-def scan_local_pallas_mp(xb, yb, mlens, nlens, pens8):
+def scan_local_pallas_mp(xb, yb, mlens, nlens, pens8, runs="ins"):
     """Local-mode scan (clips == 0): same outputs/layout as
     scan_custom_pallas_mp (tb run nibble always 0; the sweep walk reads
     bits 0-11 only)."""
@@ -2076,7 +2180,7 @@ def scan_local_pallas_mp(xb, yb, mlens, nlens, pens8):
     out = pl.pallas_call(
         partial(
             _kernel_scan_local_mp, CROW=CROW, LOG2C=CROW.bit_length() - 1,
-            CN=CN, LOG2CN=CN.bit_length() - 1,
+            CN=CN, LOG2CN=CN.bit_length() - 1, RUNS=_runs_mode(runs),
         ),
         interpret=jax.default_backend() == "cpu",
         grid=grid,

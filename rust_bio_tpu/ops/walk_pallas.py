@@ -110,38 +110,40 @@ def _kernel_sweep_walk_global(
         col = tb_ref[k].astype(I32)  # (X, BB)
         ibv = col & 0xF
         dbv = (col >> 4) & 0xF
-        sbv = (col >> 8) & 0xF
 
-        # vertical insertion run: continue while the NEXT layer (after one
-        # Ins emission) is still Ins.  next_layer[r] = resolved open/extend
-        # pointer of cell (r, j).  Computed before the entry gather so the
-        # run length rides the same gather (bits 8+) — each _gather_row is
-        # a full cross-sublane reduction, the walk's unit of cost.
-        sb_above = _shift_down(sbv, TB_START)
-        next_layer = jnp.where(ibv == TB_REREAD, sb_above, ibv)
-        cont = (next_layer == TB_INS).astype(I32)
-        # RL[r] = consecutive cont==1 ending at r  (r - last zero index)
-        z = jnp.where(cont == 0, rows_x, _NEGBIG)
-        k_step = 1
-        lz = z
-        while k_step < X:
-            lz = jnp.maximum(lz, _shift_down(lz, _NEGBIG, k_step))
-            k_step *= 2
-        rl = jnp.where(cont == 1, rows_x - lz, 0)
-
-        # entry layer + del bits + run length at (icur, j), one gather
-        g1 = _gather_row(sbv | (dbv << 4) | (rl << 8), i_s)
-        sb_i = g1 & 0xF
+        # entry layer + del bits + capped ins-run length at (icur, j):
+        # ONE raw-column gather — the scan pre-computed min(run, 15) into
+        # tb bits 12-15 (this kernel only sees plain-engine tb, which has
+        # no TB_REREAD); runs > 15 are finished by the re-gather chain,
+        # which runs 0 iterations unless some lane sits on a full nibble
+        g1 = _gather_row(col, i_s)
+        sb_i = (g1 >> 8) & 0xF
         db_i = (g1 >> 4) & 0xF
         entry = jnp.where(us_s == 1, sb_i, ca_s)
         is_ins = at & (entry == TB_INS)
 
-        m = jnp.where(is_ins, g1 >> 8, 0)
+        m = jnp.where(is_ins, g1 >> 12, 0)
+
+        def chain_cond(st):
+            return jnp.any(st[1] == 1)
+
+        def chain_body(st):
+            mm, act = st
+            g = _gather_row(col, i_s - mm)
+            nib = g >> 12
+            upd = act == 1
+            # i32 carry: Mosaic cannot legalize a bool vector scf.yield
+            return mm + jnp.where(upd, nib, 0), (upd & (nib == 15)).astype(I32)
+
+        m, _ = jax.lax.while_loop(
+            chain_cond, chain_body,
+            (m, (is_ins & (m == 15)).astype(I32)),
+        )
         ins_cnt = jnp.where(is_ins, m + 1, 0)
 
         # packed read at row (icur - m): after-run layer and the del bits
         # of the row below it (i2 = icur - m - 1)
-        g2 = _gather_row(next_layer | (_shift_down(dbv, 0) << 4), i_s - m)
+        g2 = _gather_row(ibv | (_shift_down(dbv, 0) << 4), i_s - m)
         layer2 = jnp.where(is_ins, g2 & 0xF, entry)
         db2 = jnp.where(is_ins, (g2 >> 4) & 0xF, db_i)
         i2 = jnp.where(is_ins, i_s - m - 1, i_s)
@@ -178,28 +180,30 @@ def _kernel_sweep_walk_global(
 
 
 def _pick_block_walk(B: int, X: int, N: int):
-    """(block_b, K): maximize the streamed tb block under the VMEM budget."""
-    budget = 11 * 2**20
+    """(block_b, K): WIDEST feasible lane block under the VMEM budget.
+
+    The walk is LATENCY-bound: every column step is a chain of dependent
+    cross-sublane ops whose latency barely grows with the lane count, so
+    total time ~ (B / block_b) * N * per-column-latency — doubling the
+    lanes nearly halves wall time (measured 512 -> 2048: global walk
+    4.6 -> 3.0 ms, custom 6.0 -> 4.5 ms at B=8192, X=151).  K (columns
+    per grid step) only amortizes grid overhead; the DMA pipeline hides
+    small K."""
+    budget = 12 * 2**20 + 2**19
     Xp = -(-X // 8) * 8
-    best = None
-    cands = [bb for bb in (1024, 512, 256, 128) if B % bb == 0]
-    if B <= 1024:
+    cands = [bb for bb in (2048, 1024, 512, 256, 128) if B % bb == 0]
+    if B <= 2048 and B not in cands:
         cands.append(B)
     for bb in cands:
         lanes = -(-bb // 128) * 128
-        # ~10 live (X, bb) i32 column temporaries + small state
-        fixed = 10 * Xp * lanes * 4
+        # ~8 live (X, bb) i32 column temporaries + small state
+        fixed = 8 * Xp * lanes * 4
         perk = 2 * Xp * lanes * 2  # tb u16, double-buffered
         if budget - fixed < perk:
             continue
         K = min(N, (budget - fixed) // perk)
-        steps = (B // bb) * -(-N // K)
-        if best is None or steps < best[0] or (
-            steps == best[0] and bb > best[1]
-        ):
-            best = (steps, bb, K)
-    assert best is not None, f"no feasible walk block for B={B} X={X} N={N}"
-    return best[1], best[2]
+        return bb, K
+    raise AssertionError(f"no feasible walk block for B={B} X={X} N={N}")
 
 
 def _pick_block_walk_seg(B: int, X: int, N: int, SEGR: int):
@@ -223,7 +227,7 @@ def _pick_block_walk_seg(B: int, X: int, N: int, SEGR: int):
     return best[1], best[2]
 
 
-def sweep_walk_global(tb_cols, mlens, nlens):
+def sweep_walk_global(tb_cols, mlens, nlens, ins_nib: bool = True):
     """Reverse column-sweep walk over a global-mode traceback tensor.
 
     ``tb_cols``: (Np, X, B) uint16, DP column j at axis-0 row j-1 (rows of
@@ -238,7 +242,11 @@ def sweep_walk_global(tb_cols, mlens, nlens):
     X <= 1024 uses the whole-column kernel; larger X the segmented one.
     """
     Np, X, B = tb_cols.shape
-    if X > 1024:
+    if X > 1024 or not ins_nib:
+        # the segmented kernel computes ins runs itself and resolves
+        # TB_REREAD — required for block-row tb (no run nibble, REREAD
+        # i-cells) regardless of X; the whole-column kernel below assumes
+        # plain-engine tb with the bits 12-15 ins-run nibble
         return _sweep_walk_global_seg(tb_cols, mlens, nlens)
     block_b, K = _pick_block_walk(B, X, Np)
     n_chunks = -(-Np // K)
@@ -621,29 +629,35 @@ def _kernel_sweep_walk_semi(
         col = tb_ref[k].astype(I32)
         ibv = col & 0xF
         dbv = (col >> 4) & 0xF
-        sbv = (col >> 8) & 0xF
 
-        next_layer = ibv  # no TB_REREAD in the semiglobal kernels
-        cont = (next_layer == TB_INS).astype(I32)
-        z = jnp.where(cont == 0, rows_x, _NEGBIG)
-        k_step = 1
-        lz = z
-        while k_step < X:
-            lz = jnp.maximum(lz, _shift_down(lz, _NEGBIG, k_step))
-            k_step *= 2
-        rl = jnp.where(cont == 1, rows_x - lz, 0)
-
-        # entry layer + del bits + run length at (icur, j), one gather
-        g1 = _gather_row(sbv | (dbv << 4) | (rl << 8), i_s)
-        sb_i = g1 & 0xF
+        # entry layer + del bits + capped ins-run nibble, one raw gather
+        # (scan wrote min(run, 15) into bits 12-15; chain finishes > 15)
+        g1 = _gather_row(col, i_s)
+        sb_i = (g1 >> 8) & 0xF
         db_i = (g1 >> 4) & 0xF
         entry = jnp.where(us_s == 1, sb_i, ca_s)
         is_ins = at & (entry == TB_INS)
 
-        m = jnp.where(is_ins, g1 >> 8, 0)
+        m = jnp.where(is_ins, g1 >> 12, 0)
+
+        def chain_cond(st):
+            return jnp.any(st[1] == 1)
+
+        def chain_body(st):
+            mm, act = st
+            g = _gather_row(col, i_s - mm)
+            nib = g >> 12
+            upd = act == 1
+            # i32 carry: Mosaic cannot legalize a bool vector scf.yield
+            return mm + jnp.where(upd, nib, 0), (upd & (nib == 15)).astype(I32)
+
+        m, _ = jax.lax.while_loop(
+            chain_cond, chain_body,
+            (m, (is_ins & (m == 15)).astype(I32)),
+        )
         ins_cnt = jnp.where(is_ins, m + 1, 0)
 
-        g2 = _gather_row(next_layer | (_shift_down(dbv, 0) << 4), i_s - m)
+        g2 = _gather_row(ibv | (_shift_down(dbv, 0) << 4), i_s - m)
         layer2 = jnp.where(is_ins, g2 & 0xF, entry)
         db2 = jnp.where(is_ins, (g2 >> 4) & 0xF, db_i)
         i2 = jnp.where(is_ins, i_s - m - 1, i_s)
@@ -926,39 +940,56 @@ def _kernel_sweep_walk_custom(
         lx = lx_ref[k]
         ibv = col & 0xF
         dbv = (col >> 4) & 0xF
-        sbv = (col >> 8) & 0xF
 
-        next_layer = ibv
-        cont = (next_layer == TB_INS).astype(I32)
-        z = jnp.where(cont == 0, rows_x, _NEGBIG)
-        k_step = 1
-        lz = z
-        while k_step < X:
-            lz = jnp.maximum(lz, _shift_down(lz, _NEGBIG, k_step))
-            k_step *= 2
-        rl = jnp.where(cont == 1, rows_x - lz, 0)
+        # raw-column gathers: bits 8-11 = s_bits, 4-7 = d_bits, 12-15 =
+        # capped ins-run nibble (written by the custom/local scans in
+        # sweep mode).  Gather 1 detects the Xclip-suffix pre-op at the
+        # entry row; gather 2 re-reads at the post-clip row i_p and serves
+        # entry bits, del bits AND the run nibble (i_p == icur for
+        # non-clip lanes, so it subsumes the non-clip reads too).
+        g1 = _gather_row(col, i_s)
+        entry0 = jnp.where(us_s == 1, (g1 >> 8) & 0xF, ca_s)
 
-        # one packed column: s_bits | d_bits<<4 | ins-run<<8.  Gather 1
-        # detects the Xclip-suffix pre-op at the entry row; gather 2
-        # re-reads at the post-clip row i_p and serves entry bits, del
-        # bits AND the run length (i_p == icur for non-clip lanes, so it
-        # subsumes the non-clip reads too).
-        packed = sbv | (dbv << 4) | (rl << 8)
-        g1 = _gather_row(packed, i_s)
-        entry0 = jnp.where(us_s == 1, g1 & 0xF, ca_s)
-
-        # Xclip-suffix pre-op (row mlens only)
+        # Xclip-suffix pre-op (row mlens only).  The re-gather at the
+        # post-clip row runs only when some lane clips THIS column (each
+        # lane x-suffix-clips at most once per alignment, so the loop is
+        # almost always skipped and g1b == g1)
         is_xs = at & (entry0 == TB_XCLIP_SUFFIX)
         pre_len = jnp.where(is_xs, lx, 0)
         i_p = jnp.where(is_xs, i_s - lx, i_s)
-        g1b = _gather_row(packed, i_p)
-        entry = jnp.where(is_xs, g1b & 0xF, entry0)
+
+        def xs_body(st):
+            gg, act = st
+            g = _gather_row(col, i_p)
+            return jnp.where(act == 1, g, gg), jnp.zeros_like(st[1])
+
+        g1b, _ = jax.lax.while_loop(
+            lambda st: jnp.any(st[1] == 1), xs_body,
+            (g1, is_xs.astype(I32)),
+        )
+        entry = jnp.where(is_xs, (g1b >> 8) & 0xF, entry0)
 
         is_ins = at & (entry == TB_INS)
-        m = jnp.where(is_ins, g1b >> 8, 0)
+        m = jnp.where(is_ins, g1b >> 12, 0)
+
+        def chain_cond(st):
+            return jnp.any(st[1] == 1)
+
+        def chain_body(st):
+            mm, act = st
+            g = _gather_row(col, i_p - mm)
+            nib = g >> 12
+            upd = act == 1
+            # i32 carry: Mosaic cannot legalize a bool vector scf.yield
+            return mm + jnp.where(upd, nib, 0), (upd & (nib == 15)).astype(I32)
+
+        m, _ = jax.lax.while_loop(
+            chain_cond, chain_body,
+            (m, (is_ins & (m == 15)).astype(I32)),
+        )
         ins_cnt = jnp.where(is_ins, m + 1, 0)
 
-        g2 = _gather_row(next_layer | (_shift_down(dbv, 0) << 4), i_p - m)
+        g2 = _gather_row(ibv | (_shift_down(dbv, 0) << 4), i_p - m)
         layer2 = jnp.where(is_ins, g2 & 0xF, entry)
         db2 = jnp.where(is_ins, (g2 >> 4) & 0xF, (g1b >> 4) & 0xF)
         i2 = jnp.where(is_ins, i_p - m - 1, i_p)
@@ -975,8 +1006,8 @@ def _kernel_sweep_walk_custom(
             at & is_xcp, i2, jnp.where(at & is_ycp, j, 0)
         )
 
-        # after-XCP op: row 0 of this column
-        sb0 = sbv[0:1]
+        # after-XCP op: row 0 of this column (cheap (1, BB) slices)
+        sb0 = (col[0:1] >> 8) & 0xF
         db0 = dbv[0:1]
         post = jnp.where(at & is_xcp, sb0, 0)
 

@@ -729,3 +729,56 @@ def test_local_engine_matches_custom_engine(monkeypatch):
             want_a = sa.local(x, y)
             assert res[k].score == want_a.score, (trial, k, x, y)
             assert res[k].operations == want_a.operations, (trial, k, x, y)
+
+
+def test_sweep_walks_long_insertion_runs():
+    """Paths with vertical insertion runs far beyond the 15-cell run
+    nibble (x >> y) must still decode exactly: exercises the walks' rare
+    re-gather chain for capped nibbles across every sweep-walked mode."""
+    from rust_bio_tpu.alignment.pairwise.scalar import Aligner
+    from rust_bio_tpu.alignment.pairwise.scoring import MatchParams
+
+    rng = np.random.default_rng(911)
+    B = 8
+    xs, ys = [], []
+    for k in range(B):
+        # long x vs tiny y: one >= 30-cell insertion run per lane
+        xs.append(bytes(rng.choice(list(b"ACGT"), size=40 + k)))
+        ys.append(bytes(rng.choice(list(b"ACGT"), size=2 + (k % 3))))
+    for mode, clips in (
+        ("global_", (-(2**30),) * 4),
+        ("semiglobal", (-(2**30), -(2**30), 0, 0)),
+        ("local", (0, 0, 0, 0)),
+        ("custom", (-3, 0, -2, 0)),
+    ):
+        sc = Scoring(
+            gap_open=-5, gap_extend=-1, match_fn=MatchParams(2, -2),
+            xclip_prefix=clips[0], xclip_suffix=clips[1],
+            yclip_prefix=clips[2], yclip_suffix=clips[3],
+        )
+        ba = BatchAligner(sc)
+        sa = Aligner.with_scoring(sc)
+        res = getattr(ba, mode)(xs, ys) if mode != "custom" else ba.custom(xs, ys)
+        for k, (x, y) in enumerate(zip(xs, ys)):
+            want = getattr(sa, mode)(x, y) if mode != "custom" else sa.custom(x, y)
+            assert res[k].score == want.score, (mode, k)
+            assert res[k].operations == want.operations, (mode, k)
+
+
+def test_block_row_engine_medium_m_walk():
+    """M in the transposed-infeasible but X <= 1024 range routes the
+    block-row engine's REREAD-containing, nibble-less tb to the SEGMENTED
+    walk (regression: the whole-column walk assumes plain-engine tb with
+    the bits 12-15 ins-run nibble and no TB_REREAD)."""
+    from rust_bio_tpu.alignment.pairwise.scalar import Aligner
+
+    rng = np.random.default_rng(55)
+    sc = Scoring.from_scores(-5, -1, 2, -2)
+    ba, sa = BatchAligner(sc), Aligner.with_scoring(sc)
+    xs = [bytes(rng.choice(list(b"ACGT"), size=400 + 9 * k)) for k in range(8)]
+    ys = [bytes(rng.choice(list(b"ACGT"), size=30 + 50 * k)) for k in range(8)]
+    res = ba.global_(xs, ys)
+    for k, (x, y) in enumerate(zip(xs, ys)):
+        want = sa.global_(x, y)
+        assert res[k].score == want.score, k
+        assert res[k].operations == want.operations, k
