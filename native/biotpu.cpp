@@ -82,6 +82,18 @@ void sais_i64(const int64_t* text, int64_t n, int64_t K, int64_t* sa) {
   sais::sais_core(text, sa, n, K);
 }
 
+// Genome-scale builds: u8 text keeps the input at 1 byte/symbol and the
+// i32 variant halves the SA working set (n < 2^31; ~7 bytes/symbol total
+// vs ~40 for the all-int64 path — the reference's dtype-dispatch trick,
+// suffix_array.rs:270-281).
+void sais_u8_i32(const uint8_t* text, int32_t n, int32_t K, int32_t* sa) {
+  sais::sais_core(text, sa, n, K);
+}
+
+void sais_u8_i64(const uint8_t* text, int64_t n, int64_t K, int64_t* sa) {
+  sais::sais_core(text, sa, n, K);
+}
+
 // sdpkpp chaining over nm sorted (x, y) kmer matches.  go_neg/ge_neg are the
 // POSITIVE gap penalties (-gap_open, -gap_extend).  Outputs: per-match
 // dp_score/dp_prev and best_out = {best_score, best_end_index_or_-1}.

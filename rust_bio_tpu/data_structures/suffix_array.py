@@ -50,7 +50,11 @@ def transform_text(text: np.ndarray, alphabet: Alphabet, sentinel_count: int) ->
     s = _sentinel(text)
     transform = RankTransform(alphabet)
     offset = sentinel_count - 1
-    ranks = transform.lut.astype(np.int64) + offset
+    # smallest dtype that fits: an int64 recode is 8 bytes/symbol of pure
+    # waste at genome scale (the native SAIS has a u8-text fast path)
+    maxv = int(transform.lut.max()) + offset
+    dt = np.uint8 if maxv < 256 else (np.int32 if maxv < 2**31 else np.int64)
+    ranks = (transform.lut.astype(np.int64) + offset).astype(dt)
     out = ranks[text]
     is_sent = text == s
     # descending ranks: first sentinel -> count-1, ..., last -> 0

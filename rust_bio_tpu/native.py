@@ -84,6 +84,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int64, i32p, i32p,
         ]
         lib.band_raster_i64.restype = None
+        try:
+            lib.sais_u8_i32.argtypes = [
+                u8p, ctypes.c_int32, ctypes.c_int32, i32p,
+            ]
+            lib.sais_u8_i32.restype = None
+            lib.sais_u8_i64.argtypes = [
+                u8p, ctypes.c_int64, ctypes.c_int64, i64p,
+            ]
+            lib.sais_u8_i64.restype = None
+        except AttributeError:
+            pass  # stale .so without the genome-scale entry points
         _lib = lib
         return _lib
 
@@ -93,12 +104,42 @@ def available() -> bool:
 
 
 def sais(transformed: np.ndarray, alphabet_size: int) -> Optional[np.ndarray]:
-    """O(n) suffix array of an int64 text, or None if native unavailable."""
+    """O(n) suffix array of an integer text, or None if native unavailable.
+
+    Dispatches on text length and alphabet width like the reference
+    (suffix_array.rs:270-281): byte-alphabet texts run the u8-text kernel
+    (1 byte/symbol input) and texts under 2^31 symbols build into an i32
+    SA (~7 bytes/symbol working set) upcast to int64 on return only below
+    the genome-scale threshold — huge SAs stay i32 (numpy indexing is
+    dtype-agnostic downstream)."""
     lib = get_lib()
     if lib is None:
         return None
+    n = len(transformed)
+    u8_ok = alphabet_size <= 256 and hasattr(lib, "sais_u8_i32")
+    if u8_ok and n < 2**31 - 1:
+        t = np.ascontiguousarray(transformed, dtype=np.uint8)
+        sa32 = np.empty(n, dtype=np.int32)
+        lib.sais_u8_i32(
+            t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n,
+            int(alphabet_size),
+            sa32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        # small arrays keep the historical int64 dtype; genome-scale SAs
+        # stay i32 to avoid an 8n transient
+        return sa32 if n >= (1 << 27) else sa32.astype(np.int64)
+    if u8_ok:
+        t = np.ascontiguousarray(transformed, dtype=np.uint8)
+        sa = np.empty(n, dtype=np.int64)
+        lib.sais_u8_i64(
+            t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n,
+            int(alphabet_size),
+            sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return sa
     t = np.ascontiguousarray(transformed, dtype=np.int64)
-    n = len(t)
     sa = np.empty(n, dtype=np.int64)
     lib.sais_i64(
         t.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),

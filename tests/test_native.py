@@ -86,3 +86,36 @@ def test_native_sdpkpp_matches_python_oracle():
         assert a.path == b.path
         assert a.score == b.score
         assert a.dp_vector == b.dp_vector
+
+
+def test_sais_u8_i32_matches_i64():
+    """Genome-scale dispatch: the (u8 text, i32 SA) kernel is
+    position-identical to the all-int64 instantiation."""
+    import ctypes
+
+    from rust_bio_tpu import native
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "sais_u8_i32"):
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(77)
+    for n in (1, 2, 500, 100_000):
+        t = rng.integers(1, 5, size=n).astype(np.uint8)
+        t[-1] = 0  # sentinel = unique minimum
+        sa64 = np.empty(n, dtype=np.int64)
+        lib.sais_u8_i64(
+            t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, 5,
+            sa64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        sa32 = np.empty(n, dtype=np.int32)
+        lib.sais_u8_i32(
+            t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, 5,
+            sa32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        np.testing.assert_array_equal(sa64, sa32.astype(np.int64))
+        ref = np.empty(n, dtype=np.int64)
+        lib.sais_i64(
+            t.astype(np.int64).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int64)), n, 5,
+            ref.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        np.testing.assert_array_equal(ref, sa64)
