@@ -722,13 +722,23 @@ class DeviceFMIndex:
         The batch is padded to a power-of-two bucket so repeated calls with
         varying row counts reuse one compiled LF-walk (an unpadded call
         recompiles the while_loop for every distinct shape)."""
+        handle, nb = self.locate_batch_async(rows)
+        if handle is None:
+            return np.asarray(rows, np.int32)
+        return np.asarray(handle)[:nb]
+
+    def locate_batch_async(self, rows):
+        """Dispatch the bucketed LF-walk without syncing: returns
+        (device handle, true row count); ``np.asarray(handle)[:nb]``
+        collects.  The walk is lockstep-latency-bound (~25 ms even for a
+        handful of rows), so callers overlap it with host work."""
         rows = np.asarray(rows, np.int32)
         nb = rows.shape[0]
         if nb == 0:
-            return rows
+            return None, 0
         cap = max(16, 1 << (nb - 1).bit_length())
         rp = np.pad(rows, (0, cap - nb))
-        return np.asarray(self._locate_kernel(jnp.asarray(rp)))[:nb]
+        return self._locate_kernel(jnp.asarray(rp)), nb
 
     def locate_interval(self, interval: Interval) -> np.ndarray:
         return self.locate_batch(np.arange(interval.lower, interval.upper))

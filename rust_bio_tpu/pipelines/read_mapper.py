@@ -438,29 +438,19 @@ class SmemReadMapper(ReadMapper):
         packed = np.asarray(handle)  # ONE pull: (B, 5)
         pos_a, q0_a, ml_a, found_a, ovf_a = packed.T
 
-        # overflow lanes: host-oracle SMEMs (rare; never silently wrong)
-        best_host = {}
-        for i in np.nonzero(ovf_a)[0]:
-            i = int(i)
-            if not seqs[i]:
-                continue
-            lane = self.host_fmd.smems(
-                seqs[i], max(0, len(seqs[i]) // 2 - 1), self.min_seed_len
-            )
-            best = self._pick_of_lane(lane)
-            if best is not None:
-                best_host[i] = best
-
         # reads without a long-enough middle SMEM: retry at BOTH quarter
         # positions in ONE small power-of-two-bucket kernel call (two
         # sequential rounds pay the ~50 ms lockstep kernel latency twice;
         # merged lanes with the earlier-round preference are outcome-
-        # identical to the sequential rounds)
+        # identical to the sequential rounds).  The retry kernel is
+        # DISPATCHED before the host-oracle overflow loop below so its
+        # ~50 ms lockstep latency overlaps the host work (the two lane
+        # sets are disjoint: pending excludes ovf lanes).
         pending = [
             i for i in range(B)
-            if seqs[i] and not found_a[i] and i not in best_host and not ovf_a[i]
+            if seqs[i] and not found_a[i] and not ovf_a[i]
         ]
-        retry_packed = {}
+        retry_handle = None
         if pending:
             fracs = (4, 8)
             nrow = len(pending) * len(fracs)
@@ -477,17 +467,45 @@ class SmemReadMapper(ReadMapper):
                     pb[row, : len(s)] = enc
                     plens[row] = len(s)
                     iis[row] = max(0, len(s) // frac - 1)
-            sub = np.asarray(
-                self._seed_kernel(
-                    jnp.asarray(pb), jnp.asarray(plens), jnp.asarray(iis)
-                )
+            retry_handle = self._seed_kernel(
+                jnp.asarray(pb), jnp.asarray(plens), jnp.asarray(iis)
+            )  # async: pulled after the host-oracle loop below
+            retry_iis = iis
+
+        # overflow lanes: host-oracle SMEMs (rare; never silently wrong),
+        # overlapped with the in-flight retry kernel
+        best_host = {}
+        for i in np.nonzero(ovf_a)[0]:
+            i = int(i)
+            if not seqs[i]:
+                continue
+            lane = self.host_fmd.smems(
+                seqs[i], max(0, len(seqs[i]) // 2 - 1), self.min_seed_len
             )
+            best = self._pick_of_lane(lane)
+            if best is not None:
+                best_host[i] = best
+
+        # dispatch the locate for the host-oracle picks NOW so its ~25 ms
+        # lockstep LF-walk latency overlaps the retry pull; retry-overflow
+        # lanes (rare) get a second, late locate below
+        early_host = sorted(best_host)
+        loc_handle, loc_nb = (None, 0)
+        if early_host:
+            loc_handle, loc_nb = self.index.locate_batch_async(
+                np.asarray([best_host[i][0].lower for i in early_host],
+                           np.int32)
+            )
+
+        retry_packed = {}
+        if retry_handle is not None:
+            sub = np.asarray(retry_handle)
             for r, i in enumerate(pending):
                 for fi, frac in enumerate(fracs):
                     row = fi * len(pending) + r
                     if sub[row, 4]:  # overflow -> host oracle
                         lane = self.host_fmd.smems(
-                            seqs[i], int(iis[row]), self.min_seed_len
+                            seqs[i], int(retry_iis[row]), self.min_seed_len
                         )
                         best = self._pick_of_lane(lane)
                         if best is not None:
@@ -497,13 +515,21 @@ class SmemReadMapper(ReadMapper):
                         retry_packed[i] = sub[row]
                         break
 
-        # host-oracle lanes need a locate for their picked interval
-        if best_host:
-            rows = np.asarray(
-                [best_host[i][0].lower for i in sorted(best_host)], np.int32
+        # collect locates; host-oracle lanes enter retry_packed as seeds
+        if loc_handle is not None:
+            poss = np.asarray(loc_handle)[:loc_nb]
+            for (i, p) in zip(early_host, poss):
+                itv, q0, mlen = best_host[i]
+                retry_packed[i] = np.array(
+                    [int(p), q0, mlen, 1, 0], np.int32
+                )
+        late_host = [i for i in sorted(best_host) if i not in set(early_host)]
+        if late_host:
+            poss = self.index.locate_batch(
+                np.asarray([best_host[i][0].lower for i in late_host],
+                           np.int32)
             )
-            poss = self.index.locate_batch(rows)
-            for (i, p) in zip(sorted(best_host), poss):
+            for (i, p) in zip(late_host, poss):
                 itv, q0, mlen = best_host[i]
                 retry_packed[i] = np.array(
                     [int(p), q0, mlen, 1, 0], np.int32
