@@ -248,29 +248,43 @@ def _fm_large_rates():
 
 def _smem_50mbp_reads_per_s() -> float:
     """End-to-end SMEM mapping at genome scale: 50 Mbp genome (100 Mbp FMD
-    text), 100 bp reads with 2 errors."""
+    text), 100 bp reads with 2 errors, measured in the production shape —
+    ``map_stream`` over successive batches, so batch i+1's SMEM kernel
+    overlaps batch i's retries/locate/extend/assembly (steady-state
+    pipelined throughput, same policy as the alignment rows' chained
+    dispatches)."""
     from rust_bio_tpu.pipelines.read_mapper import SmemReadMapper
 
     rng = np.random.default_rng(37)
     G = 50_000_000
     genome = rng.choice(list(b"ACGT"), size=G).astype(np.uint8).tobytes()
     mapper = SmemReadMapper(genome, min_seed_len=19)
-    B, L = 1024, 100
-    starts = rng.integers(0, G - L, size=B)
-    reads = []
-    for s in starts:
-        r = bytearray(genome[s : s + L])
-        for _ in range(2):
-            r[int(rng.integers(0, L))] = int(rng.choice(list(b"ACGT")))
-        reads.append(bytes(r))
-    out = mapper.map_batch(reads)
-    ok = sum(1 for m, s in zip(out, starts) if m.pos == s)
-    assert ok >= B * 9 // 10, f"only {ok}/{B} mapped at 50 Mbp"
+    B, L, NB = 1024, 100, 6
+    batches = []
+    all_starts = []
+    for _ in range(NB):
+        starts = rng.integers(0, G - L, size=B)
+        reads = []
+        for s in starts:
+            r = bytearray(genome[s : s + L])
+            for _ in range(2):
+                r[int(rng.integers(0, L))] = int(rng.choice(list(b"ACGT")))
+            reads.append(bytes(r))
+        batches.append(reads)
+        all_starts.append(starts)
+    outs = [m for batch in mapper.map_stream(batches) for m in batch]
+    ok = sum(
+        1
+        for m, s in zip(outs, np.concatenate(all_starts))
+        if m.pos == s
+    )
+    assert ok >= NB * B * 9 // 10, f"only {ok}/{NB * B} mapped at 50 Mbp"
 
     def run():
-        mapper.map_batch(reads)
+        for _ in mapper.map_stream(batches):
+            pass
 
-    return B / _best_of(run, 3)
+    return NB * B / _best_of(run, 3)
 
 
 def _pairhmm_exact_pairs_per_s() -> float:

@@ -782,3 +782,37 @@ def test_block_row_engine_medium_m_walk():
         want = sa.global_(x, y)
         assert res[k].score == want.score, k
         assert res[k].operations == want.operations, k
+
+
+def test_dispatch_fuzz_engine_boundaries():
+    """Random ragged pairs across the shape bands that cross engine
+    boundaries (tiny / long-x / long-y / bench-shape), all three public
+    modes, ops + scores oracle-identical.  (The transposed-infeasible
+    block-row band is covered by test_block_row_engine_medium_m_walk.)"""
+    from rust_bio_tpu.alignment.pairwise.scalar import Aligner
+
+    rng = np.random.default_rng(123)
+    sc = Scoring.from_scores(-4, -1, 2, -3)
+    ba, host = BatchAligner(sc), Aligner.with_scoring(sc)
+    for Mlo, Mhi, Nlo, Nhi in [
+        (1, 30, 1, 30),
+        (100, 200, 5, 20),
+        (5, 20, 100, 200),
+        (140, 160, 140, 160),
+    ]:
+        xs = [
+            bytes(rng.choice(list(b"ACGT"), size=rng.integers(Mlo, Mhi + 1))
+                  .astype(np.uint8))
+            for _ in range(8)
+        ]
+        ys = [
+            bytes(rng.choice(list(b"ACGT"), size=rng.integers(Nlo, Nhi + 1))
+                  .astype(np.uint8))
+            for _ in range(8)
+        ]
+        for mode in ("global_", "semiglobal", "local"):
+            dev = getattr(ba, mode)(xs, ys)
+            for i in range(8):
+                h = getattr(host, mode)(xs[i], ys[i])
+                assert dev[i].score == h.score, (mode, i)
+                assert dev[i].operations == h.operations, (mode, i)
