@@ -68,7 +68,8 @@ def _ins_run_nib(i_bits, rows):
     so a non-INS row always exists above any run."""
     z = jnp.where(i_bits == TB_INS, NEG, rows)
     for k in (1, 2, 4, 8):
-        z = jnp.maximum(z, _shift_down_rows(z, k))
+        if k < z.shape[0]:  # a >=m-row shift is all-NEG (tiny-M engines)
+            z = jnp.maximum(z, _shift_down_rows(z, k))
     # z = nearest non-INS row within the last 16 rows (NEG if none)
     return jnp.where(
         i_bits == TB_INS, jnp.minimum(rows - z, 15), 0

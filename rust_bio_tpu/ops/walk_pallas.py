@@ -475,7 +475,17 @@ def _make_seg_walk_kernel(SEGR: int):
 def _sweep_walk_global_seg(tb_cols, mlens, nlens):
     """Segmented column-sweep walk for long sequences (X > 1024)."""
     Np, X, B = tb_cols.shape
-    SEGR = next(s for s in (512, 256, 128, 64, 8) if X % s == 0)
+    # pad the row axis to a SEGR multiple: an awkward X (e.g. 5101) would
+    # otherwise force SEGR=8 -> ~640 tiny carried-chain steps per column
+    # (pad rows are all-zero: ibv 0 != TB_INS, never gathered — lanes'
+    # rows stay <= mlens < X)
+    SEGR = 512 if X >= 512 else next(
+        s for s in (256, 128, 64, 8) if X % s == 0
+    )
+    Xp = -(-X // SEGR) * SEGR
+    if Xp != X:
+        tb_cols = jnp.pad(tb_cols, ((0, 0), (0, Xp - X), (0, 0)))
+        X = Xp
     block_b, K = _pick_block_walk_seg(B, X, Np, SEGR)
     n_chunks = -(-Np // K)
     Npad = n_chunks * K

@@ -654,6 +654,23 @@ def test_sweep_walks_degenerate_lengths():
             ), (mode, i)
 
 
+def test_sweep_walks_tiny_row_count():
+    """Batches whose padded M+1 <= 8 (fewer rows than the largest ins-run
+    nibble shift) through all sweep-walked modes: regression for
+    _ins_run_nib emitting an (8, BB) shift against a (M+1, BB) array."""
+    from rust_bio_tpu.alignment.pairwise.scalar import Aligner
+
+    sc = Scoring.from_scores(-5, -1, 2, -2)
+    ba = BatchAligner(sc)
+    host = Aligner.with_scoring(sc)
+    for x, y in [(b"ACGT", b"AGGT"), (b"A", b"ACGTAC"), (b"ACGTACG", b"T")]:
+        for mode in ("global_", "semiglobal", "local"):
+            got = getattr(ba, mode)([x], [y])[0]
+            want = getattr(host, mode)(x, y)
+            assert got.score == want.score, (mode, x, y)
+            assert got.operations == want.operations, (mode, x, y)
+
+
 def test_local_engine_matches_custom_engine(monkeypatch):
     """The specialized local kernel (clips == 0) must emit byte-identical
     scan outputs to the general-clip kernel (tb layer bits, Lx columns,
