@@ -781,6 +781,23 @@ def _unpack_rle_custom(packed: np.ndarray):
     }
 
 
+def _ins_run_nib_axis1(i_bits, rows):
+    """min(vertical TB_INS run ending at each row, 15) << 12, on the
+    (B, M+1) lane-major layout (axis-1 twin of ops.sw_pallas._ins_run_nib;
+    row 0 is TB_START so a non-INS row always bounds the scan)."""
+    z = jnp.where(i_bits == TB_INS, MIN, rows)
+    for k in (1, 2, 4, 8):
+        if k < z.shape[1]:
+            z = jnp.maximum(
+                z,
+                jnp.concatenate(
+                    [jnp.full(z.shape[:1] + (k,), MIN, z.dtype), z[:, :-k]],
+                    axis=1,
+                ),
+            )
+    return jnp.where(i_bits == TB_INS, jnp.minimum(rows - z, 15), 0) << 12
+
+
 def _geometry(B, M, mlens):
     rows = lax.broadcasted_iota(I32, (B, M + 1), 1)  # i index per row
     row_ge1 = rows >= 1
@@ -1250,6 +1267,12 @@ def _align_batch_device_custom_mp(
     if sweep_walk:
         from rust_bio_tpu.ops.walk_pallas import sweep_walk_custom
 
+        # the sweep walk consumes vertical ins runs via tb bits 12-15
+        # (min(run, 15)); column 0 can hold multi-row I-layer runs when a
+        # gap beats the x-prefix clip (_init_column i_bits0), so pack its
+        # nibble here too — without it the walk exits a column-0 run after
+        # one row and drops the remaining Ins ops
+        tb_col0 = tb_col0 | _ins_run_nib_axis1(tb_col0 & 0xF, rows)
         tb_all = jnp.concatenate(
             [jnp.transpose(tb_col0, (1, 0)).astype(jnp.uint16)[None], tb_cols],
             axis=0,

@@ -654,6 +654,38 @@ def test_sweep_walks_degenerate_lengths():
             ), (mode, i)
 
 
+def test_custom_sweep_walk_column0_ins_run():
+    """A custom-mode path that enters column 0's I-layer with a multi-row
+    insertion run (gap beats the x-prefix clip): regression for the sweep
+    walk reading a missing ins-run nibble in the init column's tb and
+    dropping all but one Ins op."""
+    import random
+
+    from rust_bio_tpu.alignment.pairwise.scalar import Aligner
+
+    sc = Scoring.from_scores(-5, -1, 2, -2).xclip(-20).yclip(-20)
+    ba = BatchAligner(sc)
+    host = Aligner.with_scoring(sc)
+    got = ba.custom([b"AAAC"], [b"C"])[0]
+    want = host.custom(b"AAAC", b"C")
+    assert got.score == want.score
+    assert got.operations == want.operations  # [Ins, Ins, Ins, Match]
+
+    random.seed(7)
+    for _ in range(6):
+        xs, ys = [], []
+        for _ in range(8):
+            m = random.randint(1, 20)
+            n = random.randint(1, 6)
+            xs.append(bytes(random.choice(b"ACGT") for _ in range(m)))
+            ys.append(bytes(random.choice(b"ACGT") for _ in range(n)))
+        res = ba.custom(xs, ys)
+        for i in range(8):
+            w = host.custom(xs[i], ys[i])
+            assert res[i].score == w.score, (xs[i], ys[i])
+            assert res[i].operations == w.operations, (xs[i], ys[i])
+
+
 def test_sweep_walks_tiny_row_count():
     """Batches whose padded M+1 <= 8 (fewer rows than the largest ins-run
     nibble shift) through all sweep-walked modes: regression for
