@@ -781,23 +781,6 @@ def _unpack_rle_custom(packed: np.ndarray):
     }
 
 
-def _ins_run_nib_axis1(i_bits, rows):
-    """min(vertical TB_INS run ending at each row, 15) << 12, on the
-    (B, M+1) lane-major layout (axis-1 twin of ops.sw_pallas._ins_run_nib;
-    row 0 is TB_START so a non-INS row always bounds the scan)."""
-    z = jnp.where(i_bits == TB_INS, MIN, rows)
-    for k in (1, 2, 4, 8):
-        if k < z.shape[1]:
-            z = jnp.maximum(
-                z,
-                jnp.concatenate(
-                    [jnp.full(z.shape[:1] + (k,), MIN, z.dtype), z[:, :-k]],
-                    axis=1,
-                ),
-            )
-    return jnp.where(i_bits == TB_INS, jnp.minimum(rows - z, 15), 0) << 12
-
-
 def _geometry(B, M, mlens):
     rows = lax.broadcasted_iota(I32, (B, M + 1), 1)  # i index per row
     row_ge1 = rows >= 1
@@ -1246,43 +1229,27 @@ def _align_batch_device_custom_mp(
     if not with_traceback:
         return {"score": score}
 
-    *_, tb_col0, Lx0 = _init_column(
-        B, M, rows, row_ge1, mlens, nlens, mlens_c, is_row_m, pens
-    )
+    # the scans emit the j = 0 init column at index 0 (sweep mode: with its
+    # ins-run nibble — column 0 can hold multi-row I runs when a leading
+    # gap beats the x-prefix clip), so no host-side init column or tb
+    # concat copy is needed
     tbfix = (tb_col_fixed.astype(I32) & 0xFFF) | (Ly_f << 12)
     bidx = jnp.arange(B)
     lx_n_patched = jnp.where(
         lx_n_set,
         Lx_n,
-        jnp.where(
-            nlens == 0,
-            Lx0,
-            jnp.take_along_axis(
-                jnp.transpose(lx_cols, (1, 0)),
-                jnp.maximum(nlens - 1, 0)[:, None],
-                axis=1,
-            )[:, 0],
-        ),
+        jnp.take_along_axis(
+            jnp.transpose(lx_cols, (1, 0)), nlens[:, None], axis=1
+        )[:, 0],
     )
     if sweep_walk:
         from rust_bio_tpu.ops.walk_pallas import sweep_walk_custom
 
-        # the sweep walk consumes vertical ins runs via tb bits 12-15
-        # (min(run, 15)); column 0 can hold multi-row I-layer runs when a
-        # gap beats the x-prefix clip (_init_column i_bits0), so pack its
-        # nibble here too — without it the walk exits a column-0 run after
-        # one row and drops the remaining Ins ops
-        tb_col0 = tb_col0 | _ins_run_nib_axis1(tb_col0 & 0xF, rows)
-        tb_all = jnp.concatenate(
-            [jnp.transpose(tb_col0, (1, 0)).astype(jnp.uint16)[None], tb_cols],
-            axis=0,
-        )
-        lx_all = jnp.concatenate([Lx0[None, :], lx_cols], axis=0)
         (
             pre, ins_cnt, exit_op, elen, post,
             fix_codes, fix_lens, xstart, ystart, xend, yend,
         ) = sweep_walk_custom(
-            tb_all, tbfix, lx_all, lx_n_patched, mlens, nlens
+            tb_cols, tbfix, lx_cols, lx_n_patched, mlens, nlens
         )
         return {
             "score": score,
@@ -1292,12 +1259,8 @@ def _align_batch_device_custom_mp(
             ),
         }
 
-    tb_xb = jnp.concatenate(
-        [jnp.transpose(tb_col0, (1, 0))[None], tb_cols], axis=0
-    ).reshape(-1, B)
-    Lx_full = jnp.concatenate(
-        [Lx0[:, None], jnp.transpose(lx_cols, (1, 0))], axis=1
-    )  # (B, Np+1)
+    tb_xb = tb_cols.astype(I32).reshape(-1, B)
+    Lx_full = jnp.transpose(lx_cols, (1, 0))  # (B, Np), column 0 included
     Lx_full = Lx_full.at[bidx, nlens].set(
         jnp.where(lx_n_set, Lx_n, Lx_full[bidx, nlens])
     )

@@ -1700,6 +1700,15 @@ def _kernel_scan_custom_mp(
             row0, ycs, jnp.where(in_x & (S0 + ycs > MIN_I32), S0 + ycs, MIN_I32)
         )
         LY[:] = jnp.where(row0 | (in_x & (S0 + ycs > MIN_I32)), nlens, 0)
+        # emit column 0 directly (the wrapper used to concat _init_column's
+        # host twin in front of the kernel columns: a full copy of the tb
+        # tensor); in sweep mode its ins-run nibble is live (a leading gap
+        # can beat the x-prefix clip, giving column 0 multi-row I runs)
+        tb0 = TBK[:]
+        if RUNS == "ins":
+            tb0 = tb0 | _ins_run_nib(ib0, rows)
+        tb_out[0] = tb0.astype(jnp.uint16)
+        lx_out[0] = jnp.where(updA, mlens - first, 0)
 
     def column(k, st):
         if RUNS == "diag":
@@ -1707,7 +1716,7 @@ def _kernel_scan_custom_mp(
         else:
             S_p, D_p, SB_p, I_p, SN_p, LY_p, TBK_p = st
             R_p = None
-        j = (c * K + k + 1).astype(I32)
+        j = (c * K + k).astype(I32)  # 0-based: column 0 comes from _init
         valid = j <= n_total
         active = j <= nlens
         is_last = j == nlens
@@ -1856,7 +1865,8 @@ def _kernel_scan_custom_mp(
     init = (S[:], D[:], SB[:], I[:], SN[:], LY[:], TBK[:]) + (
         (R[:],) if RUNS == "diag" else ()
     )
-    st = jax.lax.fori_loop(0, K, column, init)
+    # chunk 0's k = 0 slot is column 0, already emitted by _init
+    st = jax.lax.fori_loop(jnp.where(c == 0, 1, 0), K, column, init)
     if RUNS == "diag":
         S[:], D[:], SB[:], I[:], SN[:], LY[:], TBK[:], R[:] = st
     else:
@@ -1872,22 +1882,24 @@ def _kernel_scan_custom_mp(
 
 
 def scan_custom_pallas_mp(xb, yb, mlens, nlens, pens8, runs=True):
-    """General-clip scan (MatchParams): returns (tb_cols (Np, Mp1, B) u16,
-    Lx_cols (Np, B) i32, S_f, I_f, Sn_f, Ly_f, tbk) with finals transposed
-    to the lane-major layout the XLA suffix fixups expect.  ``runs=False``
-    (the sweep-walk path) swaps the diagonal run nibble for the vertical
-    ins-run nibble."""
+    """General-clip scan (MatchParams): returns (tb_cols (Np, Mp1, B) u16
+    INCLUDING the j = 0 init column at index 0 (Np >= N+1; padded chunk
+    tail is garbage but never walked), Lx_cols (Np, B) i32 likewise,
+    S_f, I_f, Sn_f, Ly_f, tbk with finals transposed to the lane-major
+    layout the XLA suffix fixups expect.  ``runs=False`` (the sweep-walk
+    path) swaps the diagonal run nibble for the vertical ins-run
+    nibble."""
     B, M = xb.shape
     N = yb.shape[1]
     block_b, K = _pick_block_global(B, M, N, n_state=55 if runs is True else 54)
     Mp1 = M + 1
-    n_chunks = -(-N // K)
+    n_chunks = -(-(N + 1) // K)
     Np = n_chunks * K
     grid = (B // block_b, n_chunks)
     xt = jnp.transpose(xb.astype(I32), (1, 0))
     yt = jnp.transpose(yb.astype(I32), (1, 0))
-    if Np != N:
-        yt = jnp.pad(yt, ((0, Np - N), (0, 0)))
+    # leading dummy row aligns yt[j] with DP column j (column 0 unused)
+    yt = jnp.pad(yt, ((1, Np - 1 - N), (0, 0)))
     p8 = jnp.asarray(pens8, I32).reshape(8)
     # pens8 = (go, ge, xcp, xcs, ycp, ycs, match, mismatch)
     pen = jnp.stack(
@@ -2015,10 +2027,14 @@ def _kernel_scan_local_mp(
         I[:] = jnp.full((Mp1, BB), MIN_I32, I32)
         # SN starts 0 with LY = nlens on live rows: packed value = nlens
         PN[:] = jnp.where(row0 | in_x, nlens, MIN_I32)
+        # emit column 0 directly (local: no column-0 I runs, nibble 0;
+        # Lx0 = mlens - 1 — all mid rows tie at 0, smallest row wins)
+        tb_out[0] = TBK[:].astype(jnp.uint16)
+        lx_out[0] = jnp.where(mlens >= 2, mlens - 1, 0)
 
     def column(k, st):
         S_p, D_p, SB_p, I_p, PN_p, TBK_p = st
-        j = (c * K + k + 1).astype(I32)
+        j = (c * K + k).astype(I32)  # 0-based: column 0 comes from _init
         valid = j <= n_total
         active = j <= nlens
         is_last = j == nlens
@@ -2130,8 +2146,9 @@ def _kernel_scan_local_mp(
             jnp.where(keep, tb_col.astype(I32), TBK_p),
         )
 
+    # chunk 0's k = 0 slot is column 0, already emitted by _init
     st = jax.lax.fori_loop(
-        0, K, column,
+        jnp.where(c == 0, 1, 0), K, column,
         (S[:], D[:], SB[:], I[:], PN[:], TBK[:]),
     )
     S[:], D[:], SB[:], I[:], PN[:], TBK[:] = st
@@ -2159,21 +2176,20 @@ def local_engine_headroom_ok(M: int, N: int, match_score: int) -> bool:
 
 def scan_local_pallas_mp(xb, yb, mlens, nlens, pens8, runs="ins"):
     """Local-mode scan (clips == 0): same outputs/layout as
-    scan_custom_pallas_mp (tb run nibble always 0; the sweep walk reads
-    bits 0-11 only)."""
+    scan_custom_pallas_mp, including the j = 0 init column at index 0."""
     B, M = xb.shape
     N = yb.shape[1]
     block_b, K = _pick_block_global(B, M, N, n_state=31)
     CROW = 1 << max(M + 1, 2).bit_length()
     CN = 1 << max(N + 1, 2).bit_length()
     Mp1 = M + 1
-    n_chunks = -(-N // K)
+    n_chunks = -(-(N + 1) // K)
     Np = n_chunks * K
     grid = (B // block_b, n_chunks)
     xt = jnp.transpose(xb.astype(I32), (1, 0))
     yt = jnp.transpose(yb.astype(I32), (1, 0))
-    if Np != N:
-        yt = jnp.pad(yt, ((0, Np - N), (0, 0)))
+    # leading dummy row aligns yt[j] with DP column j (column 0 unused)
+    yt = jnp.pad(yt, ((1, Np - 1 - N), (0, 0)))
     p8 = jnp.asarray(pens8, I32).reshape(8)
     pen = jnp.stack([p8[0], p8[1], p8[6], p8[7], jnp.int32(N)])
     fspec = lambda: pl.BlockSpec((Mp1, block_b), lambda b, c: (0, b))

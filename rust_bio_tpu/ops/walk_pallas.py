@@ -202,6 +202,14 @@ def _pick_block_walk(B: int, X: int, N: int):
         if budget - fixed < perk:
             continue
         K = min(N, (budget - fixed) // perk)
+        # prefer a K dividing N: the pad branch below it is a full copy of
+        # the tb tensor (uint16, often hundreds of MB); shrinking K only
+        # adds a few cheap grid steps, so take any divisor >= K/4
+        for kd in range(K, 0, -1):
+            if N % kd == 0:
+                if kd * 4 >= K:
+                    K = kd
+                break
         return bb, K
     raise AssertionError(f"no feasible walk block for B={B} X={X} N={N}")
 
