@@ -108,8 +108,6 @@ def _kernel_sweep_walk_global(
 
         at = (j_s == j) & (dn_s == 0)  # (1, BB)
         col = tb_ref[k].astype(I32)  # (X, BB)
-        ibv = col & 0xF
-        dbv = (col >> 4) & 0xF
 
         # entry layer + del bits + capped ins-run length at (icur, j):
         # ONE raw-column gather — the scan pre-computed min(run, 15) into
@@ -141,11 +139,13 @@ def _kernel_sweep_walk_global(
         )
         ins_cnt = jnp.where(is_ins, m + 1, 0)
 
-        # packed read at row (icur - m): after-run layer and the del bits
-        # of the row below it (i2 = icur - m - 1)
-        g2 = _gather_row(ibv | (_shift_down(dbv, 0) << 4), i_s - m)
-        layer2 = jnp.where(is_ins, g2 & 0xF, entry)
-        db2 = jnp.where(is_ins, (g2 >> 4) & 0xF, db_i)
+        # after-run reads at rows (icur - m) and (icur - m - 1): two
+        # INDEPENDENT raw-column gathers (both depend only on m) instead
+        # of a packed gather needing full-array ibv/dbv extractions
+        ga = _gather_row(col, i_s - m)
+        gb = _gather_row(col, i_s - m - 1)
+        layer2 = jnp.where(is_ins, ga & 0xF, entry)
+        db2 = jnp.where(is_ins, (gb >> 4) & 0xF, db_i)
         i2 = jnp.where(is_ins, i_s - m - 1, i_s)
 
         is_mm = (layer2 == TB_MATCH) | (layer2 == TB_SUBST)
@@ -645,8 +645,6 @@ def _kernel_sweep_walk_semi(
 
         at = (j_s == j) & (dn_s == 0)
         col = tb_ref[k].astype(I32)
-        ibv = col & 0xF
-        dbv = (col >> 4) & 0xF
 
         # entry layer + del bits + capped ins-run nibble, one raw gather
         # (scan wrote min(run, 15) into bits 12-15; chain finishes > 15)
@@ -675,9 +673,12 @@ def _kernel_sweep_walk_semi(
         )
         ins_cnt = jnp.where(is_ins, m + 1, 0)
 
-        g2 = _gather_row(ibv | (_shift_down(dbv, 0) << 4), i_s - m)
-        layer2 = jnp.where(is_ins, g2 & 0xF, entry)
-        db2 = jnp.where(is_ins, (g2 >> 4) & 0xF, db_i)
+        # two independent raw-column gathers replace the packed gather
+        # (no full-array ibv/dbv extractions; both only depend on m)
+        ga = _gather_row(col, i_s - m)
+        gb = _gather_row(col, i_s - m - 1)
+        layer2 = jnp.where(is_ins, ga & 0xF, entry)
+        db2 = jnp.where(is_ins, (gb >> 4) & 0xF, db_i)
         i2 = jnp.where(is_ins, i_s - m - 1, i_s)
 
         is_mm = (layer2 == TB_MATCH) | (layer2 == TB_SUBST)
@@ -956,35 +957,22 @@ def _kernel_sweep_walk_custom(
         at = (j_s == j) & (dn_s == 0)
         col = tb_ref[k].astype(I32)
         lx = lx_ref[k]
-        ibv = col & 0xF
-        dbv = (col >> 4) & 0xF
 
         # raw-column gathers: bits 8-11 = s_bits, 4-7 = d_bits, 12-15 =
         # capped ins-run nibble (written by the custom/local scans in
-        # sweep mode).  Gather 1 detects the Xclip-suffix pre-op at the
-        # entry row; gather 2 re-reads at the post-clip row i_p and serves
-        # entry bits, del bits AND the run nibble (i_p == icur for
-        # non-clip lanes, so it subsumes the non-clip reads too).
+        # sweep mode).  Gather 1 reads the entry row; the Xclip-suffix
+        # pre-op (row mlens only) jumps to row i_s - lx, whose gather gx
+        # depends only on carried state, so it issues in PARALLEL with g1
+        # (speculative: cheaper than the while_loop this replaces, whose
+        # any-cond paid a cross-lane reduction every column).
         g1 = _gather_row(col, i_s)
+        gx = _gather_row(col, i_s - lx)
         entry0 = jnp.where(us_s == 1, (g1 >> 8) & 0xF, ca_s)
 
-        # Xclip-suffix pre-op (row mlens only).  The re-gather at the
-        # post-clip row runs only when some lane clips THIS column (each
-        # lane x-suffix-clips at most once per alignment, so the loop is
-        # almost always skipped and g1b == g1)
         is_xs = at & (entry0 == TB_XCLIP_SUFFIX)
         pre_len = jnp.where(is_xs, lx, 0)
         i_p = jnp.where(is_xs, i_s - lx, i_s)
-
-        def xs_body(st):
-            gg, act = st
-            g = _gather_row(col, i_p)
-            return jnp.where(act == 1, g, gg), jnp.zeros_like(st[1])
-
-        g1b, _ = jax.lax.while_loop(
-            lambda st: jnp.any(st[1] == 1), xs_body,
-            (g1, is_xs.astype(I32)),
-        )
+        g1b = jnp.where(is_xs, gx, g1)
         entry = jnp.where(is_xs, (g1b >> 8) & 0xF, entry0)
 
         is_ins = at & (entry == TB_INS)
@@ -1007,9 +995,14 @@ def _kernel_sweep_walk_custom(
         )
         ins_cnt = jnp.where(is_ins, m + 1, 0)
 
-        g2 = _gather_row(ibv | (_shift_down(dbv, 0) << 4), i_p - m)
-        layer2 = jnp.where(is_ins, g2 & 0xF, entry)
-        db2 = jnp.where(is_ins, (g2 >> 4) & 0xF, (g1b >> 4) & 0xF)
+        # after-run reads: the opener's i-bits at row i_p - m and the del
+        # bits of the row below it — two INDEPENDENT raw-column gathers
+        # (both depend only on m), replacing a packed gather that needed
+        # full-array ibv/dbv extractions plus a sublane shift
+        ga = _gather_row(col, i_p - m)
+        gb = _gather_row(col, i_p - m - 1)
+        layer2 = jnp.where(is_ins, ga & 0xF, entry)
+        db2 = jnp.where(is_ins, (gb >> 4) & 0xF, (g1b >> 4) & 0xF)
         i2 = jnp.where(is_ins, i_p - m - 1, i_p)
 
         is_mm = (layer2 == TB_MATCH) | (layer2 == TB_SUBST)
@@ -1026,7 +1019,7 @@ def _kernel_sweep_walk_custom(
 
         # after-XCP op: row 0 of this column (cheap (1, BB) slices)
         sb0 = (col[0:1] >> 8) & 0xF
-        db0 = dbv[0:1]
+        db0 = (col[0:1] >> 4) & 0xF
         post = jnp.where(at & is_xcp, sb0, 0)
 
         pre_out[k] = pre_len.astype(jnp.uint16)
