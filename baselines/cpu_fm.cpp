@@ -29,7 +29,7 @@ static std::vector<int64_t> suffix_array_sais(const std::vector<uint8_t>& t) {
   int64_t n = (int64_t)t.size();
   std::vector<int64_t> T(n), sa(n);
   for (int64_t i = 0; i < n; i++) T[i] = t[i];
-  sais::sais_core(T.data(), sa.data(), n, 256);
+  sais::sais_core<int64_t, int64_t>(T.data(), sa.data(), n, int64_t{256});
   return sa;
 }
 
