@@ -2038,14 +2038,13 @@ class BatchAligner:
             results.append(aln)
         return results
 
-    def semiglobal_packed(self, xs, ys) -> "PackedSemiglobal":
-        """Semiglobal batch WITHOUT materializing op lists: returns a
-        ``PackedSemiglobal`` holding the column-RLE walk arrays, with
-        vectorized whole-batch CIGAR construction and per-read on-demand
-        ``Alignment`` decode.  The read-mapper hot path: op-object lists
-        cost ~15 us/read at mapper batch sizes and most consumers only
-        ever read pos/score/CIGAR."""
-        xb, yb, mlens, nlens, = self._pad(xs, ys)
+    def semiglobal_packed_async(self, xs, ys):
+        """Dispatch the packed semiglobal batch WITHOUT syncing: returns an
+        opaque handle whose device work is already in flight.  Pass it to
+        ``semiglobal_packed_finish`` to pull + decode.  Lets the mapper
+        overlap the extension kernel's ~26 ms tunnel round trip + device
+        time with unrelated host work (retry pulls, result assembly)."""
+        xb, yb, mlens, nlens = self._pad(xs, ys)
         pen = np.array(
             [self.scoring.gap_open, self.scoring.gap_extend,
              MIN_SCORE, MIN_SCORE, 0, 0],
@@ -2056,8 +2055,26 @@ class BatchAligner:
             "semiglobal_packed requires the column-RLE engine "
             "(MatchParams scoring, kernel-feasible shapes)"
         )
-        score_np, up = _unpack_rle(np.asarray(out["packed"]))
+        return out["packed"], mlens, nlens
+
+    @staticmethod
+    def semiglobal_packed_finish(handle) -> "PackedSemiglobal":
+        """Pull + decode a ``semiglobal_packed_async`` handle (ONE device
+        transfer)."""
+        packed, mlens, nlens = handle
+        score_np, up = _unpack_rle(np.asarray(packed))
         return PackedSemiglobal(score_np, up, mlens, nlens)
+
+    def semiglobal_packed(self, xs, ys) -> "PackedSemiglobal":
+        """Semiglobal batch WITHOUT materializing op lists: returns a
+        ``PackedSemiglobal`` holding the column-RLE walk arrays, with
+        vectorized whole-batch CIGAR construction and per-read on-demand
+        ``Alignment`` decode.  The read-mapper hot path: op-object lists
+        cost ~15 us/read at mapper batch sizes and most consumers only
+        ever read pos/score/CIGAR."""
+        return self.semiglobal_packed_finish(
+            self.semiglobal_packed_async(xs, ys)
+        )
 
     def custom(self, xs, ys) -> List[Alignment]:
         s = self.scoring

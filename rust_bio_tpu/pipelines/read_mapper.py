@@ -216,54 +216,70 @@ class ReadMapper:
         if pending is not None:
             yield self._finish_batch(*pending)
 
-    def _extend(self, seqs, rcs, ids, picks) -> List[MappedRead]:
-        """Batched semiglobal extension + result assembly.
+    def _extend_dispatch(self, seqs, rcs, picks):
+        """Async half of ``_extend``: batch the pick windows and dispatch
+        the semiglobal extension kernel WITHOUT syncing, so its tunnel
+        round trip + device time overlap later host work.
 
-        ``picks``: read index -> (strand, window start, window end).
+        Returns ``(metas, handle, fallback)``; pass to ``_extend_finish``.
         """
-        B = len(seqs)
         xs, ys, metas = [], [], []
         for i, (strand, win_start, win_end) in sorted(picks.items()):
             oriented = seqs[i] if strand == "+" else rcs[i]
             xs.append(oriented)
             ys.append(self.genome[win_start:win_end])
             metas.append((i, strand, win_start))
+        if not xs:
+            return metas, None, None
+        # pad the pick count to a power-of-two bucket: stable batch
+        # shapes reuse one compiled engine across calls
+        cap = max(8, 1 << (len(xs) - 1).bit_length())
+        xs = xs + [b"A"] * (cap - len(xs))
+        ys = ys + [b"A"] * (cap - len(ys))
+        try:
+            return metas, self.aligner.semiglobal_packed_async(xs, ys), None
+        except AssertionError:  # shapes the column-RLE engine can't hold
+            return metas, None, (xs, ys)
 
+    def _extend_finish(self, out, ids, metas, handle, fallback) -> None:
+        """Sync half of ``_extend``: pull the packed results and assemble
+        ``MappedRead``s into ``out`` at the meta lane indices."""
+        if handle is not None:
+            packed = self.aligner.semiglobal_packed_finish(handle)
+            cigars = packed.cigars()
+            for r, (i, strand, win_start) in enumerate(metas):
+                out[i] = MappedRead(
+                    read_id=ids[i],
+                    pos=win_start + int(packed.ystart[r]),
+                    strand=strand,
+                    score=int(packed.score[r]),
+                    cigar=cigars[r],
+                    _aln=(lambda p=packed, rr=r: p.alignment(rr)),
+                )
+        elif fallback is not None:
+            xs, ys = fallback
+            alns = self.aligner.semiglobal(xs, ys)
+            for (i, strand, win_start), aln in zip(metas, alns):
+                out[i] = MappedRead(
+                    read_id=ids[i],
+                    pos=win_start + aln.ystart,
+                    strand=strand,
+                    score=aln.score,
+                    cigar=aln.cigar(),
+                    _aln=aln,
+                )
+
+    def _extend(self, seqs, rcs, ids, picks) -> List[MappedRead]:
+        """Batched semiglobal extension + result assembly.
+
+        ``picks``: read index -> (strand, window start, window end).
+        """
+        B = len(seqs)
         out: List[MappedRead] = [
             MappedRead(ids[i], -1, "+", 0, "", None) for i in range(B)
         ]
-        if xs:
-            # pad the pick count to a power-of-two bucket: stable batch
-            # shapes reuse one compiled engine across calls
-            cap = max(8, 1 << (len(xs) - 1).bit_length())
-            xs = xs + [b"A"] * (cap - len(xs))
-            ys = ys + [b"A"] * (cap - len(ys))
-            try:
-                packed = self.aligner.semiglobal_packed(xs, ys)
-            except AssertionError:
-                packed = None
-            if packed is not None:
-                cigars = packed.cigars()
-                for r, (i, strand, win_start) in enumerate(metas):
-                    out[i] = MappedRead(
-                        read_id=ids[i],
-                        pos=win_start + int(packed.ystart[r]),
-                        strand=strand,
-                        score=int(packed.score[r]),
-                        cigar=cigars[r],
-                        _aln=(lambda p=packed, rr=r: p.alignment(rr)),
-                    )
-            else:  # shapes the column-RLE engine can't hold
-                alns = self.aligner.semiglobal(xs, ys)
-                for (i, strand, win_start), aln in zip(metas, alns):
-                    out[i] = MappedRead(
-                        read_id=ids[i],
-                        pos=win_start + aln.ystart,
-                        strand=strand,
-                        score=aln.score,
-                        cigar=aln.cigar(),
-                        _aln=aln,
-                    )
+        metas, handle, fallback = self._extend_dispatch(seqs, rcs, picks)
+        self._extend_finish(out, ids, metas, handle, fallback)
         return out
 
 
@@ -310,6 +326,11 @@ class SmemReadMapper(ReadMapper):
         self.aligner = BatchAligner(self.scoring)
         self.min_seed_len = min_seed_len
         self.flank = flank
+        # base candidate-slot budget of the fused seed kernel; overflow
+        # lanes retry at 2*_E0 before the host oracle.  16 is the
+        # measured sweet spot (CLAUDE.md: E=12 loses net); tests shrink
+        # it to force the overflow paths cheaply.
+        self._E0 = 16
 
     def map_stream(self, read_batches, ids_batches=None):
         """Software-pipelined SMEM mapping: batch i+1's (dominant) SMEM
@@ -357,11 +378,14 @@ class SmemReadMapper(ReadMapper):
         rcs = [dna.revcomp(s) for s in seqs]
         return self._smem_finish(seqs, rcs, ids, handle)
 
-    def _seed_kernel(self, pb, plens, iis):
+    def _seed_kernel(self, pb, plens, iis, E: int = 16):
         """Fused device seeding: SMEM search at the given positions ->
         best-slot pick (longest match, first on ties — the host pick
         order) -> sampled-SA locate of its interval start, all in one
         device chain so the host pays ONE round trip per batch.
+
+        ``E`` sizes the candidate-slot/match arrays (static); overflow
+        lanes are retried at E=32 before falling back to the host oracle.
 
         Returns a packed (B, 5) int32: [pos, q0, mlen, found, ovf]."""
         idx = self.index
@@ -376,15 +400,16 @@ class SmemReadMapper(ReadMapper):
             pb,
             plens,
             iis,
+            E,
         )
 
-    @partial(jax.jit, static_argnums=(0,))
+    @partial(jax.jit, static_argnums=(0, 11))
     def _seed_impl(
         self, fused, fused_rows, mxu_T, bwt_sym, sa_sample, sent_rows,
-        sent_vals, pb, plens, iis,
+        sent_vals, pb, plens, iis, E: int = 16,
     ):
         m_lo, _lor, _sz, m_st, m_ml, mcnt, ovf = self.fmd._smems_impl(
-            fused, fused_rows, pb, plens, iis, 16, 16,
+            fused, fused_rows, pb, plens, iis, E, E,
             jnp.int32(self.min_seed_len), True,
         )
         B, MC = m_lo.shape
@@ -423,7 +448,8 @@ class SmemReadMapper(ReadMapper):
             [max(0, len(s) // 2 - 1) for s in seqs], np.int32
         )
         return self._seed_kernel(
-            jnp.asarray(pb), jnp.asarray(plens), jnp.asarray(iis)
+            jnp.asarray(pb), jnp.asarray(plens), jnp.asarray(iis),
+            E=self._E0,
         )
 
     def _pick_of_lane(self, lane):
@@ -468,23 +494,70 @@ class SmemReadMapper(ReadMapper):
                     plens[row] = len(s)
                     iis[row] = max(0, len(s) // frac - 1)
             retry_handle = self._seed_kernel(
-                jnp.asarray(pb), jnp.asarray(plens), jnp.asarray(iis)
+                jnp.asarray(pb), jnp.asarray(plens), jnp.asarray(iis),
+                E=self._E0,
             )  # async: pulled after the host-oracle loop below
             retry_iis = iis
 
-        # overflow lanes: host-oracle SMEMs (rare; never silently wrong),
-        # overlapped with the in-flight retry kernel
-        best_host = {}
-        for i in np.nonzero(ovf_a)[0]:
-            i = int(i)
-            if not seqs[i]:
-                continue
-            lane = self.host_fmd.smems(
-                seqs[i], max(0, len(seqs[i]) // 2 - 1), self.min_seed_len
+        # overflow lanes: retry on device with DOUBLE the slot budget
+        # (2*_E0 = 32) before ever touching the ~10 ms/lane host oracle.  The
+        # wider kernel is dispatched async here so it overlaps the main
+        # extension below; lanes that still overflow at E=32 (rare^2)
+        # fall back to the oracle.
+        ovf_lanes = [i for i in range(B) if seqs[i] and ovf_a[i]]
+        ovf_handle = None
+        if ovf_lanes:
+            cap = max(32, 1 << (len(ovf_lanes) - 1).bit_length())
+            Lo = max(len(seqs[i]) for i in ovf_lanes)
+            pb = np.zeros((cap, Lo), np.uint8)
+            plens = np.ones(cap, np.int32)
+            iis = np.zeros(cap, np.int32)
+            for r, i in enumerate(ovf_lanes):
+                s = seqs[i]
+                pb[r, : len(s)] = np.frombuffer(s, np.uint8)
+                plens[r] = len(s)
+                iis[r] = max(0, len(s) // 2 - 1)
+            ovf_handle = self._seed_kernel(
+                jnp.asarray(pb), jnp.asarray(plens), jnp.asarray(iis),
+                E=2 * self._E0,
             )
-            best = self._pick_of_lane(lane)
-            if best is not None:
-                best_host[i] = best
+
+        # found lanes don't depend on the retries: dispatch their
+        # (dominant) extension kernel NOW so its ~26 ms round trip +
+        # device time run concurrently with the retry kernel pull and
+        # the host-oracle loop below.  Results are lane-independent, so
+        # splitting the extension into two bucketed calls is outcome-
+        # identical to the previous single combined call.
+        main_picks = {}
+        for i in np.nonzero(found_a)[0]:
+            i = int(i)
+            if seqs[i]:
+                main_picks[i] = self._pick_window(
+                    len(seqs[i]), int(pos_a[i]), int(q0_a[i]), int(ml_a[i])
+                )
+        main_ext = self._extend_dispatch(seqs, rcs, main_picks)
+
+        # collect the wide retry; still-overflowing lanes go host-oracle
+        # (never silently wrong), overlapped with the in-flight kernels.
+        # Lanes the wide kernel resolves enter retry_packed directly —
+        # the kernel replicates the oracle's pick order, so this is
+        # outcome-identical to the previous all-oracle path.
+        best_host = {}
+        retry_packed = {}
+        if ovf_handle is not None:
+            sub = np.asarray(ovf_handle)
+            for r, i in enumerate(ovf_lanes):
+                if sub[r, 4]:  # still overflowing at the doubled budget
+                    lane = self.host_fmd.smems(
+                        seqs[i],
+                        max(0, len(seqs[i]) // 2 - 1),
+                        self.min_seed_len,
+                    )
+                    best = self._pick_of_lane(lane)
+                    if best is not None:
+                        best_host[i] = best
+                elif sub[r, 3]:
+                    retry_packed[i] = sub[r]
 
         # dispatch the locate for the host-oracle picks NOW so its ~25 ms
         # lockstep LF-walk latency overlaps the retry pull; retry-overflow
@@ -497,7 +570,6 @@ class SmemReadMapper(ReadMapper):
                            np.int32)
             )
 
-        retry_packed = {}
         if retry_handle is not None:
             sub = np.asarray(retry_handle)
             for r, i in enumerate(pending):
@@ -535,26 +607,40 @@ class SmemReadMapper(ReadMapper):
                     [int(p), q0, mlen, 1, 0], np.int32
                 )
 
-        picks = {}
+        retry_picks = {}
+        for i, rp in retry_packed.items():
+            if seqs[i] and not found_a[i]:
+                p, q0, mlen = (int(x) for x in rp[:3])
+                retry_picks[i] = self._pick_window(len(seqs[i]), p, q0, mlen)
+        retry_ext = (
+            self._extend_dispatch(seqs, rcs, retry_picks)
+            if retry_picks
+            else None
+        )
+
+        out: List[MappedRead] = [
+            MappedRead(ids[i], -1, "+", 0, "", None) for i in range(B)
+        ]
+        # main-lane assembly (host decode) overlaps the in-flight retry
+        # extension's round trip
+        self._extend_finish(out, ids, *main_ext)
+        if retry_ext is not None:
+            self._extend_finish(out, ids, *retry_ext)
+        return out
+
+    def _pick_window(self, n, p, q0, mlen):
+        """Window geometry of a located seed: (strand, win_start, win_end).
+
+        A hit at text position ``p >= G + 1`` lies inside revcomp(T), i.e.
+        the read maps to the '-' strand (fmindex.rs FMD text layout)."""
         G = self.G
-        for i in range(B):
-            if not seqs[i]:
-                continue
-            if found_a[i]:
-                p, q0, mlen = int(pos_a[i]), int(q0_a[i]), int(ml_a[i])
-            elif i in retry_packed:
-                p, q0, mlen = (int(x) for x in retry_packed[i][:3])
-            else:
-                continue
-            n = len(seqs[i])
-            if p < G:  # forward-strand hit
-                strand, off, gpos = "+", q0, p
-            else:  # hit inside revcomp(T): read maps to '-' strand
-                r0 = p - (G + 1)
-                strand = "-"
-                off = n - q0 - mlen  # offset in the oriented (rc) read
-                gpos = G - r0 - mlen
-            win_start = max(gpos - off - self.flank, 0)
-            win_end = min(gpos - off + n + self.flank, G)
-            picks[i] = (strand, win_start, win_end)
-        return self._extend(seqs, rcs, ids, picks)
+        if p < G:  # forward-strand hit
+            strand, off, gpos = "+", q0, p
+        else:
+            r0 = p - (G + 1)
+            strand = "-"
+            off = n - q0 - mlen  # offset in the oriented (rc) read
+            gpos = G - r0 - mlen
+        win_start = max(gpos - off - self.flank, 0)
+        win_end = min(gpos - off + n + self.flank, G)
+        return strand, win_start, win_end

@@ -146,6 +146,44 @@ def test_smem_beats_fixed_window_seeding(genome, mapper, smem_mapper):
     assert out_smem[0].pos == s
 
 
+def test_smem_mapper_overflow_retry_paths(genome):
+    """Slot-overflow lanes must route through the doubled-budget device
+    retry and (if still overflowing) the host oracle, with results
+    identical to a mapper whose budget never overflows.
+
+    A tandem-repeat region makes the backward extension shed occurrences
+    one interval at a time, so a tiny _E0 overflows the candidate slots;
+    _E0=2 forces the ovf retry (E=4) and, for the worst lanes, the
+    host-oracle fallback."""
+    from rust_bio_tpu.pipelines.read_mapper import SmemReadMapper
+
+    rng = np.random.default_rng(23)
+    unit = rng.choice(list(b"ACGT"), size=13).astype("uint8").tobytes()
+    g = genome[:1500] + unit * 30 + genome[1500:3000]
+    big = SmemReadMapper(g, min_seed_len=19, flank=8)
+    small = SmemReadMapper(g, min_seed_len=19, flank=8)
+    small._E0 = 2
+
+    starts = [1400, 1450, 1495, 1520, 1600, 2100, 2500]
+    reads = [g[s : s + 70] for s in starts] + [
+        dna.revcomp(g[1480 : 1480 + 70])
+    ]
+    # the tiny budget must actually overflow on some lane, or this test
+    # isn't exercising the retry paths at all
+    packed = np.asarray(small._smem_dispatch(reads))
+    assert packed[:, 4].any()
+
+    out_small = small.map_batch(reads)
+    out_big = big.map_batch(reads)
+    for k, (a, b) in enumerate(zip(out_small, out_big)):
+        assert (a.pos, a.strand, a.score, a.cigar) == (
+            b.pos,
+            b.strand,
+            b.score,
+            b.cigar,
+        ), k
+
+
 def test_map_stream_pipelined_matches_map_batch():
     """The software-pipelined stream driver (batch i+1's seeding
     dispatched before batch i finishes) must yield exactly map_batch's
