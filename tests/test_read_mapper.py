@@ -184,6 +184,33 @@ def test_smem_mapper_overflow_retry_paths(genome):
         ), k
 
 
+def test_map_batch_chunked_pipeline_identity(genome, mapper, smem_mapper):
+    """Batches >= 2*_PIPE_CHUNK route through the internal chunked
+    pipeline; results must be order-identical to the direct path for
+    BOTH mapper families."""
+    rng = np.random.default_rng(31)
+    starts = [int(s) for s in rng.integers(0, len(genome) - 90, size=13)]
+    reads = [genome[s : s + 90] for s in starts]
+    reads[3] = dna.revcomp(reads[3])
+    reads[7] = rng.choice(list(b"ACGT"), size=90).astype("uint8").tobytes()
+    for m in (mapper, smem_mapper):
+        direct = m.map_batch(reads)
+        old = m._PIPE_CHUNK
+        try:
+            m._PIPE_CHUNK = 4  # force 4 chunks incl. a ragged tail
+            chunked = m.map_batch(reads)
+        finally:
+            m._PIPE_CHUNK = old
+        for a, b in zip(chunked, direct):
+            assert (a.read_id, a.pos, a.strand, a.score, a.cigar) == (
+                b.read_id,
+                b.pos,
+                b.strand,
+                b.score,
+                b.cigar,
+            )
+
+
 def test_map_stream_pipelined_matches_map_batch():
     """The software-pipelined stream driver (batch i+1's seeding
     dispatched before batch i finishes) must yield exactly map_batch's
