@@ -2045,11 +2045,20 @@ class BatchAligner:
         overlap the extension kernel's ~26 ms tunnel round trip + device
         time with unrelated host work (retry pulls, result assembly)."""
         xb, yb, mlens, nlens = self._pad(xs, ys)
+        return self.semiglobal_packed_async_arrays(xb, yb, mlens, nlens)
+
+    def semiglobal_packed_async_arrays(self, xb, yb, mlens, nlens):
+        """``semiglobal_packed_async`` for callers that already hold the
+        padded (B, M)/(B, N) uint8 batches + length vectors (the read
+        mapper's hot path: list-of-bytes packing costs ~50 ms at
+        B=8192)."""
         pen = np.array(
             [self.scoring.gap_open, self.scoring.gap_extend,
              MIN_SCORE, MIN_SCORE, 0, 0],
             dtype=np.int32,
         )
+        mlens = np.asarray(mlens, np.int32)
+        nlens = np.asarray(nlens, np.int32)
         out = self._dispatch(xb, yb, mlens, nlens, pen, with_traceback=True)
         assert "packed" in out, (
             "semiglobal_packed requires the column-RLE engine "

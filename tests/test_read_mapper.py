@@ -170,7 +170,7 @@ def test_smem_mapper_overflow_retry_paths(genome):
     ]
     # the tiny budget must actually overflow on some lane, or this test
     # isn't exercising the retry paths at all
-    packed = np.asarray(small._smem_dispatch(reads))
+    packed = np.asarray(small._smem_dispatch(reads)[0])
     assert packed[:, 4].any()
 
     out_small = small.map_batch(reads)
