@@ -687,10 +687,14 @@ def _pack_rle(
     score, ins_cnt, exit_op, ins0, fix_ins, fix_exit, fix_ly,
     xstart, ystart, xend, yend,
 ):
-    """Single-pull packing of a column-RLE walk result: (10 + 2*Np, B)
+    """Single-pull packing of a column-RLE walk result: (10 + Np, B)
     uint16.  Through the dev tunnel every device->host transfer pays a
     ~26 ms round trip, so pulling the walk dict leaf-by-leaf costs 10x
-    the compute; one packed tensor amortizes it."""
+    the compute; one packed tensor amortizes it.  ``ins_cnt`` <= M+1
+    fits 12 bits (the sweep-walk engines already cap M+1 < 4096 for
+    tbfix) and ``exit_op`` <= TB_REREAD fits 4, so the two per-column
+    arrays share one uint16 row — HALF the transfer (~35 ms at B=8192
+    through the tunnel)."""
     small = jnp.stack(
         [
             (score >> 16) & 0xFFFF,
@@ -705,10 +709,10 @@ def _pack_rle(
             yend,
         ]
     ).astype(jnp.uint16)
-    return jnp.concatenate(
-        [small, ins_cnt.astype(jnp.uint16), exit_op.astype(jnp.uint16)],
-        axis=0,
-    )
+    merged = (
+        exit_op.astype(jnp.uint16) << 12
+    ) | ins_cnt.astype(jnp.uint16)
+    return jnp.concatenate([small, merged], axis=0)
 
 
 def _unpack_rle(packed: np.ndarray):
@@ -717,7 +721,7 @@ def _unpack_rle(packed: np.ndarray):
     small = packed[:10].astype(np.int64)
     v = (small[0] << 16) | small[1]
     score = np.where(v >= 2**31, v - 2**32, v).astype(np.int64)
-    Np = (packed.shape[0] - 10) // 2
+    merged = packed[10:]
     return score, {
         "ins0": small[2],
         "fix_ins": small[3],
@@ -727,8 +731,8 @@ def _unpack_rle(packed: np.ndarray):
         "ystart": small[7],
         "xend": small[8],
         "yend": small[9],
-        "ins_cnt": packed[10 : 10 + Np],
-        "exit_op": packed[10 + Np :],
+        "ins_cnt": merged & 0xFFF,
+        "exit_op": merged >> 12,
     }
 
 
@@ -737,7 +741,9 @@ def _pack_rle_custom(
     xstart, ystart, xend, yend,
 ):
     """Single-pull packing of the general-clip column-RLE walk:
-    (14 + 5*Nc, B) uint16."""
+    (14 + 4*Nc, B) uint16.  Run lengths are <= M+1 < 4096 (12 bits), so
+    ``exit_op`` (4 bits) rides in ``pre``'s spare top bits — one fewer
+    per-column row to transfer."""
     small = jnp.concatenate(
         [
             jnp.stack(
@@ -754,7 +760,10 @@ def _pack_rle_custom(
             jnp.transpose(fix_lens, (1, 0)),
         ]
     ).astype(jnp.uint16)
-    arrs = [pre, ins_cnt, exit_op, elen, post]
+    pre_op = (
+        exit_op.astype(jnp.uint16) << 12
+    ) | pre.astype(jnp.uint16)
+    arrs = [pre_op, ins_cnt, elen, post]
     return jnp.concatenate(
         [small] + [a.astype(jnp.uint16) for a in arrs], axis=0
     )
@@ -764,8 +773,8 @@ def _unpack_rle_custom(packed: np.ndarray):
     small = packed[:14].astype(np.int64)
     v = (small[0] << 16) | small[1]
     score = np.where(v >= 2**31, v - 2**32, v).astype(np.int64)
-    Nc = (packed.shape[0] - 14) // 5
-    arrs = [packed[14 + t * Nc : 14 + (t + 1) * Nc] for t in range(5)]
+    Nc = (packed.shape[0] - 14) // 4
+    arrs = [packed[14 + t * Nc : 14 + (t + 1) * Nc] for t in range(4)]
     return score, {
         "xstart": small[2],
         "ystart": small[3],
@@ -773,11 +782,11 @@ def _unpack_rle_custom(packed: np.ndarray):
         "yend": small[5],
         "fix_codes": small[6:10],
         "fix_lens": small[10:14],
-        "pre": arrs[0],
+        "pre": arrs[0] & 0xFFF,
         "ins_cnt": arrs[1],
-        "exit_op": arrs[2],
-        "elen": arrs[3],
-        "post": arrs[4],
+        "exit_op": arrs[0] >> 12,
+        "elen": arrs[2],
+        "post": arrs[3],
     }
 
 
