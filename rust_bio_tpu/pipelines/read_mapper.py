@@ -68,6 +68,7 @@ class ReadMapper:
         sa_sampling_rate: int = 32,
     ) -> None:
         self.genome = to_bytes(genome)
+        self._genome_np = np.frombuffer(self.genome, np.uint8)
         text = self.genome + b"$"
         sa = suffix_array(text)
         b = bwt(text, sa)
@@ -127,8 +128,10 @@ class ReadMapper:
             ):
                 out.extend(part)
             return out
-        rcs, pats, plens, starts, K, L = self._prepare_seeds(seqs)
-        return self._run_seeds(seqs, rcs, ids, pats, plens, starts, B, K, L)
+        rcs, pats, plens, starts, K, L, rb = self._prepare_seeds(seqs)
+        return self._run_seeds(
+            seqs, rcs, ids, pats, plens, starts, B, K, L, rb
+        )
 
     def _prepare_seeds(self, seqs):
         B = len(seqs)
@@ -152,17 +155,20 @@ class ReadMapper:
         win_idx = np.minimum(win_idx, Lr - 1)
         pats = ob[np.arange(2 * B)[:, None, None], win_idx]  # (2B, K, L)
         plens = np.minimum(np.broadcast_to(olens[:, None], (2 * B, K)), L)
-        return rcs, pats, plens, starts, K, L
+        # (ob, olens) ride along so the extension stage can build its
+        # input by fancy indexing (fwd rows 0..B-1, rc rows B..2B-1)
+        return rcs, pats, plens, starts, K, L, (ob, olens)
 
-    def _run_seeds(self, seqs, rcs, ids, pats, plens, starts, B, K, L):
+    def _run_seeds(self, seqs, rcs, ids, pats, plens, starts, B, K, L, rb):
         status, lower = self._seed_search(
             pats.reshape(2 * B * K, L), plens.reshape(-1).astype(np.int32)
         )
         return self._finish_batch(
-            seqs, rcs, ids, status, lower, starts, B, K
+            seqs, rcs, ids, status, lower, starts, B, K, rb
         )
 
-    def _finish_batch(self, seqs, rcs, ids, status, lower, starts, B, K):
+    def _finish_batch(self, seqs, rcs, ids, status, lower, starts, B, K,
+                      rb=None):
         from rust_bio_tpu.data_structures.fm_device import COMPLETE
 
         status = np.asarray(status)
@@ -204,7 +210,7 @@ class ReadMapper:
                 seed_pos - off + len(oriented) + self.flank, len(self.genome)
             )
             picks[i] = (strand, win_start, win_end)
-        return self._extend(seqs, rcs, ids, picks)
+        return self._extend(seqs, rcs, ids, picks, rb)
 
     def map_stream(self, read_batches, ids_batches=None):
         """Software-pipelined mapping over a stream of read batches
@@ -225,14 +231,14 @@ class ReadMapper:
                 else [getattr(r, "id", str(i)) for i, r in enumerate(reads)]
             )
             B = len(seqs)
-            rcs, pats, plens, starts, K, L = self._prepare_seeds(seqs)
+            rcs, pats, plens, starts, K, L, rb = self._prepare_seeds(seqs)
             fut = self._seed_search_dispatch(
                 pats.reshape(2 * B * K, L),
                 plens.reshape(-1).astype(np.int32),
             )
             if pending is not None:
                 yield self._finish_batch(*pending)
-            pending = (seqs, rcs, ids, fut[0], fut[1], starts, B, K)
+            pending = (seqs, rcs, ids, fut[0], fut[1], starts, B, K, rb)
         if pending is not None:
             yield self._finish_batch(*pending)
 
@@ -289,17 +295,84 @@ class ReadMapper:
                     _aln=aln,
                 )
 
-    def _extend(self, seqs, rcs, ids, picks) -> List[MappedRead]:
+    def _rc_pb(self, pb, plens):
+        """Vectorized per-row reverse complement of a left-aligned padded
+        read batch (replaces B ``dna.revcomp`` calls: ~41 ms at B=8192)."""
+        comp = np.asarray(dna.COMPLEMENT, np.uint8)
+        rev = comp[pb][:, ::-1]
+        rc = np.zeros_like(pb)
+        L = pb.shape[1]
+        for l in np.unique(plens):  # reads are near-uniform length
+            if l <= 0:
+                continue
+            m = plens == l
+            rc[m, :l] = rev[m][:, L - l :]
+        return rc
+
+    def _extend_dispatch_packed(self, pb, plens, rc_pb, picks):
+        """Array-native half of ``_extend_dispatch``: builds the padded
+        extension batch by fancy indexing over the packed read batch and
+        the genome array (no byte-string round trip), then dispatches the
+        packed semiglobal kernel async.  Same (metas, handle, fallback)
+        contract as ``_extend_dispatch``."""
+        items = sorted(picks.items())
+        if not items:
+            return [], None, None
+        rows = np.array([i for i, _ in items], np.int64)
+        neg = np.array([p[0] == "-" for _, p in items])
+        ws = np.array([p[1] for _, p in items], np.int64)
+        we = np.array([p[2] for _, p in items], np.int64)
+        metas = [
+            (int(i), "-" if s else "+", int(w))
+            for (i, _), s, w in zip(items, neg, ws)
+        ]
+        n = len(items)
+        cap = max(8, 1 << (n - 1).bit_length())
+        L = pb.shape[1]
+        xb = np.zeros((cap, L), np.uint8)
+        xb[:n] = np.where(neg[:, None], rc_pb[rows], pb[rows])
+        xb[n:, 0] = ord("A")
+        mlens = np.ones(cap, np.int32)
+        mlens[:n] = plens[rows]
+        nl = (we - ws).astype(np.int32)
+        W = max(int(nl.max()), 1)
+        yb = np.zeros((cap, W), np.uint8)
+        gi = ws[:, None] + np.arange(W)[None, :]
+        g = self._genome_np
+        win = g[np.minimum(gi, len(g) - 1)]
+        yb[:n] = np.where(np.arange(W)[None, :] < nl[:, None], win, 0)
+        yb[n:, 0] = ord("A")
+        nlens = np.ones(cap, np.int32)
+        nlens[:n] = nl
+        try:
+            return metas, self.aligner.semiglobal_packed_async_arrays(
+                xb, yb, mlens, nlens
+            ), None
+        except AssertionError:  # shapes the column-RLE engine can't hold
+            xs = [bytes(xb[r, : mlens[r]]) for r in range(cap)]
+            ys = [bytes(yb[r, : nlens[r]]) for r in range(cap)]
+            return metas, None, (xs, ys)
+
+    def _extend(self, seqs, rcs, ids, picks, rb=None) -> List[MappedRead]:
         """Batched semiglobal extension + result assembly.
 
         ``picks``: read index -> (strand, window start, window end).
+        ``rb``: optional ``(ob, olens)`` from ``_prepare_seeds`` — the
+        both-strand packed read batch, which lets the extension input be
+        built by fancy indexing instead of byte-string re-packing.
         """
         B = len(seqs)
         out: List[MappedRead] = [
             MappedRead(ids[i], -1, "+", 0, "", None) for i in range(B)
         ]
-        metas, handle, fallback = self._extend_dispatch(seqs, rcs, picks)
-        self._extend_finish(out, ids, metas, handle, fallback)
+        if rb is not None:
+            ob, olens = rb
+            ext = self._extend_dispatch_packed(
+                ob[:B], olens[:B].astype(np.int32), ob[B:], picks
+            )
+        else:
+            ext = self._extend_dispatch(seqs, rcs, picks)
+        self._extend_finish(out, ids, *ext)
         return out
 
 
@@ -492,64 +565,6 @@ class SmemReadMapper(ReadMapper):
             if best is None or mlen > best[2]:
                 best = (itv, q0, mlen)
         return best
-
-    def _rc_pb(self, pb, plens):
-        """Vectorized per-row reverse complement of a left-aligned padded
-        read batch (replaces B ``dna.revcomp`` calls: ~41 ms at B=8192)."""
-        comp = np.asarray(dna.COMPLEMENT, np.uint8)
-        rev = comp[pb][:, ::-1]
-        rc = np.zeros_like(pb)
-        L = pb.shape[1]
-        for l in np.unique(plens):  # reads are near-uniform length
-            if l <= 0:
-                continue
-            m = plens == l
-            rc[m, :l] = rev[m][:, L - l :]
-        return rc
-
-    def _extend_dispatch_packed(self, pb, plens, rc_pb, picks):
-        """Array-native half of ``_extend_dispatch``: builds the padded
-        extension batch by fancy indexing over the packed read batch and
-        the genome array (no byte-string round trip), then dispatches the
-        packed semiglobal kernel async.  Same (metas, handle, fallback)
-        contract as ``_extend_dispatch``."""
-        items = sorted(picks.items())
-        if not items:
-            return [], None, None
-        rows = np.array([i for i, _ in items], np.int64)
-        neg = np.array([p[0] == "-" for _, p in items])
-        ws = np.array([p[1] for _, p in items], np.int64)
-        we = np.array([p[2] for _, p in items], np.int64)
-        metas = [
-            (int(i), "-" if s else "+", int(w))
-            for (i, _), s, w in zip(items, neg, ws)
-        ]
-        n = len(items)
-        cap = max(8, 1 << (n - 1).bit_length())
-        L = pb.shape[1]
-        xb = np.zeros((cap, L), np.uint8)
-        xb[:n] = np.where(neg[:, None], rc_pb[rows], pb[rows])
-        xb[n:, 0] = ord("A")
-        mlens = np.ones(cap, np.int32)
-        mlens[:n] = plens[rows]
-        nl = (we - ws).astype(np.int32)
-        W = max(int(nl.max()), 1)
-        yb = np.zeros((cap, W), np.uint8)
-        gi = ws[:, None] + np.arange(W)[None, :]
-        g = self._genome_np
-        win = g[np.minimum(gi, len(g) - 1)]
-        yb[:n] = np.where(np.arange(W)[None, :] < nl[:, None], win, 0)
-        yb[n:, 0] = ord("A")
-        nlens = np.ones(cap, np.int32)
-        nlens[:n] = nl
-        try:
-            return metas, self.aligner.semiglobal_packed_async_arrays(
-                xb, yb, mlens, nlens
-            ), None
-        except AssertionError:  # shapes the column-RLE engine can't hold
-            xs = [bytes(xb[r, : mlens[r]]) for r in range(cap)]
-            ys = [bytes(yb[r, : nlens[r]]) for r in range(cap)]
-            return metas, None, (xs, ys)
 
     def _smem_finish(self, seqs, ids, handle) -> List[MappedRead]:
         B = len(seqs)
