@@ -211,6 +211,30 @@ def test_map_batch_chunked_pipeline_identity(genome, mapper, smem_mapper):
             )
 
 
+def test_smem_mapper_ragged_lengths(genome, smem_mapper):
+    """Mixed read lengths exercise the vectorized per-length revcomp
+    grouping (_rc_pb) and the packed extension's ragged mlens/nlens;
+    results must match single-length batches read-for-read."""
+    rng = np.random.default_rng(53)
+    lens = [60, 72, 85, 100, 100, 60, 85, 72]
+    starts = [int(s) for s in rng.integers(0, len(genome) - 100, size=8)]
+    reads = []
+    for k, (s, l) in enumerate(zip(starts, lens)):
+        r = genome[s : s + l]
+        reads.append(dna.revcomp(r) if k >= 4 else r)
+    mixed = smem_mapper.map_batch(reads)
+    for k, (s, l, m) in enumerate(zip(starts, lens, mixed)):
+        assert m.pos == s, k
+        assert m.strand == ("-" if k >= 4 else "+"), k
+        assert m.cigar == f"{l}=", k
+    # read-for-read identity with uniform-length batches
+    for k in range(8):
+        solo = smem_mapper.map_batch([reads[k]])
+        assert (solo[0].pos, solo[0].strand, solo[0].score, solo[0].cigar) \
+            == (mixed[k].pos, mixed[k].strand, mixed[k].score,
+                mixed[k].cigar), k
+
+
 def test_map_stream_pipelined_matches_map_batch():
     """The software-pipelined stream driver (batch i+1's seeding
     dispatched before batch i finishes) must yield exactly map_batch's
