@@ -498,12 +498,73 @@ def _sw_5kb_rates():
     return dev_rate, cpu_rate
 
 
+def _sw_cigar_delivered_per_s() -> float:
+    """DELIVERED-CIGAR throughput on the headline workload: the same
+    8192x150bp global batch, but the timed loop pulls the packed RLE
+    tensor (one transfer) and runs the vectorized host CIGAR merge
+    (PackedSemiglobal.cigars) — i.e. what a consumer that needs the
+    CIGAR strings in host memory actually gets, vs the device-compute
+    headline row which leaves the ops tensor on device.  K handles are
+    dispatched first so device compute overlaps host pull+decode."""
+    from rust_bio_tpu.alignment.pairwise.batched import BatchAligner
+    from rust_bio_tpu.alignment.pairwise.scoring import Scoring
+
+    B, M, N = 8192, 150, 150
+    rng = np.random.default_rng(7)
+    xb = rng.integers(0, 4, size=(B, M)).astype(np.uint8) + ord("A")
+    yb = rng.integers(0, 4, size=(B, N)).astype(np.uint8) + ord("A")
+    mlens = np.full(B, M, np.int32)
+    nlens = np.full(B, N, np.int32)
+    ba = BatchAligner(Scoring.from_scores(-5, -1, 2, -2))
+
+    # warm + sanity: every lane yields a CIGAR consuming all of x
+    p = BatchAligner.global_packed_finish(
+        ba.global_packed_async_arrays(xb, yb, mlens, nlens)
+    )
+    cigs = p.cigars()
+    assert len(cigs) == B and all(cigs)
+
+    K = 8
+
+    def run():
+        handles = [
+            ba.global_packed_async_arrays(xb, yb, mlens, nlens)
+            for _ in range(K)
+        ]
+        for h in handles:
+            BatchAligner.global_packed_finish(h).cigars()
+
+    run()
+    return K * B / _best_of(run, 3)
+
+
+def _mut_reads(genome, starts, L, rng):
+    """Reads with 2 mixed errors each: substitutions (70%), or 1-2 bp
+    deletions/insertions (15%/15%), placed >=10 bp from the read ends so
+    the true mapping position stays the window start."""
+    reads = []
+    for s in starts:
+        r = bytearray(genome[s : s + L + 8])  # slack for deletions
+        for _ in range(2):
+            p = int(rng.integers(10, L - 10))
+            kind = rng.random()
+            if kind < 0.70:
+                r[p] = int(rng.choice(list(b"ACGT")))
+            elif kind < 0.85:
+                del r[p : p + int(rng.integers(1, 3))]
+            else:
+                ins = rng.choice(list(b"ACGT"), size=int(rng.integers(1, 3)))
+                r[p:p] = ins.astype(np.uint8).tobytes()
+        reads.append(bytes(r[:L]))
+    return reads
+
+
 def _smem_reads_per_s():
     """End-to-end SMEM-seeded read mapping (bwa-mem-style): 1 Mbp genome,
-    100 bp reads with 2 errors, both strands, full CIGARs.  Returns
-    (single-batch map_batch rate, streamed map_stream rate) — the
-    streamed rate is the production shape, where batch i+1's seed kernel
-    overlaps batch i's extension/decode."""
+    100 bp reads with 2 mixed substitution+indel errors, both strands,
+    full CIGARs.  Returns (single-batch map_batch rate, streamed
+    map_stream rate) — the streamed rate is the production shape, where
+    batch i+1's seed kernel overlaps batch i's extension/decode."""
     from rust_bio_tpu.pipelines.read_mapper import SmemReadMapper
 
     rng = np.random.default_rng(29)
@@ -511,13 +572,8 @@ def _smem_reads_per_s():
     genome = rng.choice(list(b"ACGT"), size=G).astype(np.uint8).tobytes()
     mapper = SmemReadMapper(genome, min_seed_len=19)
     B, L = 8192, 100
-    starts = rng.integers(0, G - L, size=B)
-    reads = []
-    for s in starts:
-        r = bytearray(genome[s : s + L])
-        for _ in range(2):
-            r[int(rng.integers(0, L))] = int(rng.choice(list(b"ACGT")))
-        reads.append(bytes(r))
+    starts = rng.integers(0, G - L - 8, size=B)
+    reads = _mut_reads(genome, starts, L, rng)
     out = mapper.map_batch(reads)
     ok = sum(1 for m, s in zip(out, starts) if m.pos == s)
     assert ok >= B * 9 // 10, f"only {ok}/{B} mapped"
@@ -534,14 +590,8 @@ def _smem_reads_per_s():
     NB = 3
     batches = [reads]
     for _ in range(NB - 1):
-        bstarts = rng.integers(0, G - L, size=B)
-        more = []
-        for s in bstarts:
-            r = bytearray(genome[s : s + L])
-            for _ in range(2):
-                r[int(rng.integers(0, L))] = int(rng.choice(list(b"ACGT")))
-            more.append(bytes(r))
-        batches.append(more)
+        bstarts = rng.integers(0, G - L - 8, size=B)
+        batches.append(_mut_reads(genome, bstarts, L, rng))
 
     def run_stream():
         for _ in mapper.map_stream(batches):
@@ -722,6 +772,42 @@ def main() -> None:
         print(f"local bench failed: {e}", file=sys.stderr)
         local_rate = None
 
+    def _custom_rate():
+        # arbitrary clip penalties (the reference's custom() mode,
+        # mod.rs:591): finite nonzero clips keep ALL clip machinery live
+        # in the general transposed kernel + fullclip sweep walk
+        from rust_bio_tpu.alignment.pairwise.batched import (
+            _align_batch_device_custom_mp,
+        )
+
+        pen8_c = jnp.asarray(
+            np.array([-5, -1, -7, -3, -11, -4, 2, -2], np.int32)
+        )
+
+        def run_c():
+            s = None
+            for _ in range(K):
+                out = _align_batch_device_custom_mp(
+                    xb, yb, mlens, nlens, pen8_c, local_engine=False
+                )
+                s = out["score"] if s is None else s + out["score"]
+            return int(np.asarray(s).sum())
+
+        run_c()
+        return K * B / _best_of(run_c)
+
+    try:
+        custom_rate = round(_custom_rate(), 2)
+    except Exception as e:
+        print(f"custom bench failed: {e}", file=sys.stderr)
+        custom_rate = None
+
+    try:
+        cigar_rate = round(_sw_cigar_delivered_per_s(), 2)
+    except Exception as e:
+        print(f"cigar delivered bench failed: {e}", file=sys.stderr)
+        cigar_rate = None
+
     try:
         cpu_rate = _cpu_baseline_rate(M=M, N=N)
     except Exception as e:  # baseline must never break the bench line
@@ -851,7 +937,9 @@ def main() -> None:
                 if cpu_rate == cpu_rate
                 else None,
                 "score_only_alignments_per_s": so_rate,
+                "sw_cigar_delivered_per_s": cigar_rate,
                 "local_alignments_per_s": local_rate,
+                "custom_alignments_per_s": custom_rate,
                 "fm_index_queries_per_s": fm_rate,
                 "fm_vs_baseline": fm_vs,
                 "fm_50mbp_queries_per_s": fm_large,

@@ -1690,11 +1690,15 @@ class PackedSemiglobal:
     """Column-RLE semiglobal batch result: scores/coords as arrays,
     whole-batch vectorized CIGARs, per-read Alignment decode on demand."""
 
-    def __init__(self, score, up, mlens, nlens) -> None:
+    def __init__(
+        self, score, up, mlens, nlens,
+        mode: AlignmentMode = AlignmentMode.Semiglobal,
+    ) -> None:
         self.score = score
         self._up = up
         self.mlens = np.asarray(mlens)
         self.nlens = np.asarray(nlens)
+        self.mode = mode
         self.xstart = up["xstart"]
         self.ystart = up["ystart"]
         self.xend = up["xend"]
@@ -1755,19 +1759,26 @@ class PackedSemiglobal:
     def alignment(self, k: int) -> Alignment:
         """Full reference-exact Alignment for read ``k`` (lazy decode)."""
         up = self._up
-        ops = _decode_ops_colrle_semi(
-            up["ins_cnt"][:, k], up["exit_op"][:, k], up["ins0"][k],
-            up["fix_ins"][k], up["fix_exit"][k], up["fix_ly"][k],
-            int(self.nlens[k]),
-        )
+        if self.mode is AlignmentMode.Global:
+            ops = _decode_ops_colrle(
+                up["ins_cnt"][:, k], up["exit_op"][:, k], up["ins0"][k],
+                int(self.nlens[k]),
+            )
+        else:
+            ops = _decode_ops_colrle_semi(
+                up["ins_cnt"][:, k], up["exit_op"][:, k], up["ins0"][k],
+                up["fix_ins"][k], up["fix_exit"][k], up["fix_ly"][k],
+                int(self.nlens[k]),
+            )
         aln = Alignment(
             score=int(self.score[k]),
             xstart=int(self.xstart[k]), ystart=int(self.ystart[k]),
             xend=int(self.xend[k]), yend=int(self.yend[k]),
             xlen=int(self.mlens[k]), ylen=int(self.nlens[k]),
-            operations=ops, mode=AlignmentMode.Semiglobal,
+            operations=ops, mode=self.mode,
         )
-        aln.filter_clip_operations()
+        if self.mode is not AlignmentMode.Global:
+            aln.filter_clip_operations()
         return aln
 
 
@@ -2092,6 +2103,45 @@ class BatchAligner:
         ever read pos/score/CIGAR."""
         return self.semiglobal_packed_finish(
             self.semiglobal_packed_async(xs, ys)
+        )
+
+    def global_packed_async_arrays(self, xb, yb, mlens, nlens):
+        """``semiglobal_packed_async_arrays`` for GLOBAL mode: dispatch the
+        column-RLE global kernel without syncing.  Global-mode packed rows
+        carry zero fix/clip fields (suffix fixups are provably dead), so
+        the same single-pull uint16 layout and the vectorized
+        ``PackedSemiglobal.cigars()`` merge apply unchanged."""
+        pen = np.array(
+            [self.scoring.gap_open, self.scoring.gap_extend,
+             MIN_SCORE, MIN_SCORE, MIN_SCORE, MIN_SCORE],
+            dtype=np.int32,
+        )
+        mlens = np.asarray(mlens, np.int32)
+        nlens = np.asarray(nlens, np.int32)
+        out = self._dispatch(xb, yb, mlens, nlens, pen, with_traceback=True)
+        assert "packed" in out, (
+            "global_packed requires the column-RLE engine "
+            "(MatchParams scoring, kernel-feasible shapes)"
+        )
+        return out["packed"], mlens, nlens
+
+    @staticmethod
+    def global_packed_finish(handle) -> "PackedSemiglobal":
+        """Pull + decode a ``global_packed_async_arrays`` handle (ONE
+        device transfer): scores/coords as arrays, whole-batch vectorized
+        CIGARs via ``.cigars()``, lazy per-read ``Alignment`` decode."""
+        packed, mlens, nlens = handle
+        score_np, up = _unpack_rle(np.asarray(packed))
+        return PackedSemiglobal(
+            score_np, up, mlens, nlens, mode=AlignmentMode.Global
+        )
+
+    def global_packed(self, xs, ys) -> "PackedSemiglobal":
+        """Global batch WITHOUT materializing op lists (delivered-CIGAR
+        hot path; see ``semiglobal_packed``)."""
+        xb, yb, mlens, nlens = self._pad(xs, ys)
+        return self.global_packed_finish(
+            self.global_packed_async_arrays(xb, yb, mlens, nlens)
         )
 
     def custom(self, xs, ys) -> List[Alignment]:

@@ -207,3 +207,57 @@ def test_rescore_metamorphic_oracle():
         assert validate_alignment_score(
             aln, x, y, scoring.with_clips(0, 0, 0, 0)
         )
+
+
+def test_cpu_banded_twin_score_parity(tmp_path):
+    """The -O3 C++ baseline twin (baselines/cpu_banded.cpp) must be
+    score-exact vs the banded.py oracle on random semiglobal pairs
+    (including the no-kmer-match full-matrix fallback): the
+    `banded_long_vs_baseline` bench row divides by this twin."""
+    import os
+    import subprocess
+
+    import numpy as np
+
+    from rust_bio_tpu.alignment.pairwise.banded import Aligner as HostBanded
+    from rust_bio_tpu.alignment.pairwise.scoring import Scoring
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(here, "baselines", "cpu_banded.cpp")
+    exe = os.path.join(str(tmp_path), "cpu_banded")
+    subprocess.run(["g++", "-O2", "-o", exe, src], check=True)
+
+    rng = np.random.default_rng(101)
+    pairs = []
+    for _ in range(12):
+        N = int(rng.integers(200, 1500))
+        y = rng.choice(list(b"ACGT"), size=N).astype(np.uint8).tobytes()
+        M = int(rng.integers(50, 160))
+        s = int(rng.integers(0, N - M))
+        x = bytearray(y[s : s + M])
+        for _ in range(int(rng.integers(0, 6))):
+            x[int(rng.integers(0, M))] = int(rng.choice(list(b"ACGT")))
+        pairs.append((bytes(x), y))
+    pairs.append(
+        (
+            rng.choice(list(b"ACGT"), size=40).astype(np.uint8).tobytes(),
+            rng.choice(list(b"ACGT"), size=60).astype(np.uint8).tobytes(),
+        )
+    )
+
+    inp = [str(len(pairs))]
+    for x, y in pairs:
+        inp += [x.decode(), y.decode()]
+    out = subprocess.run(
+        [exe, "check", "8", "8"],
+        input="\n".join(inp),
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    lines = out.stdout.strip().splitlines()
+    host = HostBanded(Scoring.from_scores(-5, -1, 2, -2), 8, 8)
+    for k, (x, y) in enumerate(pairs):
+        a = host.semiglobal(x, y)
+        sc = int(lines[k].split()[0])
+        assert sc == a.score, (k, sc, a.score)

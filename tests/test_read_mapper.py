@@ -295,3 +295,98 @@ def test_semiglobal_packed_matches_op_path():
         assert got_aln.operations == want[k].operations, k
         for f in ("xstart", "xend", "ystart", "yend"):
             assert getattr(got_aln, f) == getattr(want[k], f), (k, f)
+
+
+def test_global_packed_matches_op_path():
+    """global_packed (single-pull column-RLE + vectorized CIGARs) must
+    reproduce the global_ op-list path exactly."""
+    import numpy as np
+
+    from rust_bio_tpu.alignment.pairwise.batched import BatchAligner
+    from rust_bio_tpu.alignment.pairwise.scoring import Scoring
+
+    rng = np.random.default_rng(71)
+    ba = BatchAligner(Scoring.from_scores(-5, -1, 2, -2))
+    xs, ys = [], []
+    for _ in range(24):
+        N = int(rng.integers(20, 120))
+        y = rng.choice(list(b"ACGT"), size=N).astype(np.uint8).tobytes()
+        M = int(rng.integers(5, N + 1))
+        x = bytearray(
+            rng.choice(list(b"ACGT"), size=M).astype(np.uint8).tobytes()
+        )
+        xs.append(bytes(x))
+        ys.append(y)
+    packed = ba.global_packed(xs, ys)
+    cigars = packed.cigars()
+    want = ba.global_(xs, ys)
+    from itertools import groupby
+
+    from rust_bio_tpu.alignment.types import Del, Ins, Match, Subst
+
+    ch = {Match: "=", Subst: "X", Ins: "I", Del: "D"}
+    for k in range(len(xs)):
+        assert int(packed.score[k]) == want[k].score, k
+        # the reference forbids .cigar() in Global mode; build the string
+        # from the op list (no clips exist in global mode)
+        exp = "".join(
+            f"{len(list(g))}{ch[op]}"
+            for op, g in groupby(want[k].operations)
+        )
+        assert cigars[k] == exp, (k, cigars[k], exp)
+        got_aln = packed.alignment(k)
+        assert got_aln.operations == want[k].operations, k
+        for f in ("xstart", "xend", "ystart", "yend"):
+            assert getattr(got_aln, f) == getattr(want[k], f), (k, f)
+
+
+def test_smem_mapper_indel_reads(genome, smem_mapper):
+    """Golden SMEM+indel evidence: reads with 1-3 bp insertions/deletions
+    must map to the true position with the indel in the CIGAR (the
+    extension path is the shared semiglobal engine, so indels ride the
+    same affine-gap DP as the pairwise tests)."""
+    import re
+
+    # deletions: read skips k genome bases at offset d
+    for k, d, s in ((1, 30, 500), (2, 70, 1200), (3, 25, 2300)):
+        read = genome[s : s + d] + genome[s + d + k : s + d + k + (100 - d)]
+        assert len(read) == 100
+        m = smem_mapper.map_batch([read])[0]
+        assert m.pos == s, (k, d)
+        assert m.strand == "+"
+        mt = re.fullmatch(r"(\d+)=(\d)D(\d+)=", m.cigar)
+        assert mt, (k, d, m.cigar)
+        assert int(mt.group(2)) == k
+        assert int(mt.group(1)) + int(mt.group(3)) == 100
+        assert m.score == 100 * 2 - (5 + (k - 1) * 1)
+
+    # insertions: k novel bases spliced in at offset d (choose bases that
+    # differ from the genome continuation so the aligner can't absorb
+    # them as matches)
+    rng = np.random.default_rng(23)
+    for k, d, s in ((1, 40, 800), (2, 65, 1600), (3, 35, 3100)):
+        ins = bytes(
+            b"ACGT"[(b"ACGT".index(genome[s + d + j : s + d + j + 1]) + 1) % 4]
+            for j in range(k)
+        )
+        read = genome[s : s + d] + ins + genome[s + d : s + d + (100 - d - k)]
+        assert len(read) == 100
+        m = smem_mapper.map_batch([read])[0]
+        assert m.pos == s, (k, d)
+        assert m.strand == "+"
+        # insertion may shift within a local repeat; require exactly one
+        # k-length I run and 100 read bases consumed
+        runs = re.findall(r"(\d+)([=XID])", m.cigar)
+        assert [int(n) for n, c in runs if c == "I"] == [k], (k, d, m.cigar)
+        consumed = sum(int(n) for n, c in runs if c in "=XI")
+        assert consumed == 100, m.cigar
+        assert m.score >= (100 - k) * 2 - (5 + (k - 1) * 1) - 4 * 2, (k, d, m.cigar)
+
+    # reverse-strand indel read
+    s, k, d = 4000, 2, 55
+    read = genome[s : s + d] + genome[s + d + k : s + d + k + (100 - d)]
+    from rust_bio_tpu.alphabets import dna as _dna
+
+    m = smem_mapper.map_batch([_dna.revcomp(read)])[0]
+    assert (m.pos, m.strand) == (s, "-")
+    assert re.fullmatch(r"(\d+)=2D(\d+)=", m.cigar), m.cigar
