@@ -287,11 +287,33 @@ def _smem_50mbp_reads_per_s() -> float:
     return NB * B / _best_of(run, 3)
 
 
-def _pairhmm_exact_pairs_per_s() -> float:
+def _cpu_pairhmm_baseline_rate(B=1024, M=207, N=54, iters=3, band=4):
+    """pairs/s for the -O3 C++ twin of the reference's banded PairHMM
+    bench loop (benches/pairhmm.rs:88-103, max_edit_dist=4, fastexp
+    LogProb arithmetic; parity-tested vs the host oracle)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "baselines", "cpu_pairhmm.cpp")
+    exe = os.path.join(here, "baselines", "cpu_pairhmm")
+    if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-o", exe, src], check=True
+        )
+    out = subprocess.run(
+        [exe, str(B), str(M), str(N), str(iters), str(band)],
+        check=True,
+        capture_output=True,
+        text=True,
+    )
+    return float(out.stdout.strip().splitlines()[-1])
+
+
+def _pairhmm_exact_rates():
     """The PARITY path: oracle-order f64 PairHMM (stats/pairhmm/exact.py,
     4.3e-15 rel on chip) on the reference bench geometry. f64 on TPU is
     emulated double-float, so this documents the exact-path cost next to
-    the f32 kernel's fast number."""
+    the f32 kernel's fast number.  Returns (unbanded pairs/s, banded
+    max_edit_dist=4 pairs/s — the reference bench's own configuration,
+    benches/pairhmm.rs:97-100 — and the banded cpu twin's pairs/s)."""
     import math
 
     import jax
@@ -337,7 +359,23 @@ def _pairhmm_exact_pairs_per_s() -> float:
             _ = float(np.asarray(s).sum())
 
         run()
-        return K * B / _best_of(run, 3)
+        unbanded = K * B / _best_of(run, 3)
+
+        def run_banded():
+            s = None
+            for _ in range(K):
+                o = hmm._forward(
+                    xs_d, ys_d, xl, yl, ed, semiglobal=True,
+                    max_edit_dist=4,
+                )
+                s = o if s is None else s + o
+            _ = float(np.asarray(s).sum())
+
+        run_banded()
+        banded = K * B / _best_of(run_banded, 3)
+
+    cpu = _cpu_pairhmm_baseline_rate(B=min(B, 1024), M=M, N=N, iters=2)
+    return unbanded, banded, cpu
 
 
 def _homopoly_pairs_per_s() -> float:
@@ -623,15 +661,37 @@ def _fixed_window_mapper_reads_per_s() -> float:
     return B / _best_of(run, 3)
 
 
+def _cpu_banded_baseline_rate(B=64, M=150, N=20_000, iters=2) -> float:
+    """pairs/s for the -O3 C++ twin of the reference's banded pipeline
+    (kmer hash + sdpkpp + band raster + banded DP + traceback walk,
+    banded.rs; score-parity-tested vs the banded.py oracle)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "baselines", "cpu_banded.cpp")
+    exe = os.path.join(here, "baselines", "cpu_banded")
+    dep = os.path.join(here, "native", "biotpu.cpp")
+    if not os.path.exists(exe) or os.path.getmtime(exe) < max(
+        os.path.getmtime(src), os.path.getmtime(dep)
+    ):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-o", exe, src], check=True
+        )
+    out = subprocess.run(
+        [exe, str(B), str(M), str(N), str(iters)],
+        check=True,
+        capture_output=True,
+        text=True,
+    )
+    return float(out.stdout.strip().splitlines()[-1])
+
+
 def _banded_long_rates():
     """Banded aligner in ITS regime (banded.rs:6-16 exists for long
     targets): 150 bp reads vs 20 kb targets, semiglobal, k-mer band.
-    Native band build (kmer match + sdpkpp + raster in C++), column-window
-    crop on device.  Returns (device pairs/s, host-oracle pairs/s,
+    Threaded native band build (kmer match + sdpkpp + raster in C++),
+    column-window crop on device, async-pipelined batches (band build /
+    decode of batch i overlap batch i+1's device DP).  Returns (pipelined
+    device pairs/s, single-call sync pairs/s, cpu-twin pairs/s,
     full-matrix device pairs/s at the same shapes)."""
-    import time as _t
-
-    from rust_bio_tpu.alignment.pairwise.banded import Aligner as HostBanded
     from rust_bio_tpu.alignment.pairwise.banded_device import (
         BatchBandedAligner,
     )
@@ -639,46 +699,86 @@ def _banded_long_rates():
     from rust_bio_tpu.alignment.pairwise.scoring import Scoring
 
     rng = np.random.default_rng(31)
-    B, M, N = 256, 150, 20_000
+    B, M, N = 1024, 150, 20_000
+    NB = 3
+    sc = Scoring.from_scores(-5, -1, 2, -2)
+    batches = []
+    for _ in range(NB):
+        xs, ys = [], []
+        for _ in range(B):
+            y = rng.choice(list(b"ACGT"), size=N).astype(np.uint8).tobytes()
+            s = int(rng.integers(0, N - M))
+            x = bytearray(y[s : s + M])
+            for _ in range(4):
+                x[int(rng.integers(0, M))] = int(rng.choice(list(b"ACGT")))
+            xs.append(bytes(x))
+            ys.append(y)
+        batches.append((xs, ys))
+    bat = BatchBandedAligner(sc, 8, 8)
+    bat.semiglobal(*batches[0])  # compile + warm
+
+    def run_sync():
+        bat.semiglobal(*batches[0])
+
+    sync_rate = B / _best_of(run_sync, 3)
+
+    def run_pipe():
+        h = bat.semiglobal_async(*batches[0])
+        for nxt in range(1, NB):
+            h2 = bat.semiglobal_async(*batches[nxt])
+            bat.semiglobal_finish(h)
+            h = h2
+        bat.semiglobal_finish(h)
+
+    run_pipe()
+    pipe_rate = NB * B / _best_of(run_pipe, 3)
+
+    cpu_rate = _cpu_banded_baseline_rate()
+
+    # full-matrix device engine at the same shapes (what "don't band"
+    # costs at this geometry; scores can legitimately differ — the band
+    # restricts the DP)
+    ba = BatchAligner(sc)
+    xs0, ys0 = batches[0][0][:256], batches[0][1][:256]
+    ba.semiglobal(xs0, ys0)  # compile + warm
+
+    def run_full():
+        ba.semiglobal(xs0, ys0)
+
+    full_rate = 256 / _best_of(run_full, 2)
+    return pipe_rate, sync_rate, cpu_rate, full_rate
+
+
+def _banded_1kb_rates():
+    """Banded aligner with ~1 kb queries vs 20 kb targets (the long-read
+    regime the reference's banded aligner documents, banded.rs:6-16).
+    Returns (device pairs/s, cpu-twin pairs/s)."""
+    from rust_bio_tpu.alignment.pairwise.banded_device import (
+        BatchBandedAligner,
+    )
+    from rust_bio_tpu.alignment.pairwise.scoring import Scoring
+
+    rng = np.random.default_rng(33)
+    B, M, N = 256, 1000, 20_000
     sc = Scoring.from_scores(-5, -1, 2, -2)
     xs, ys = [], []
     for _ in range(B):
         y = rng.choice(list(b"ACGT"), size=N).astype(np.uint8).tobytes()
         s = int(rng.integers(0, N - M))
         x = bytearray(y[s : s + M])
-        for _ in range(4):
+        for _ in range(20):  # ~2% divergence
             x[int(rng.integers(0, M))] = int(rng.choice(list(b"ACGT")))
         xs.append(bytes(x))
         ys.append(y)
     bat = BatchBandedAligner(sc, 8, 8)
-    got = bat.semiglobal(xs, ys)
+    bat.semiglobal(xs, ys)  # compile + warm
 
     def run():
         bat.semiglobal(xs, ys)
 
     dev_rate = B / _best_of(run, 3)
-
-    # host banded oracle on a few pairs (identical results by property
-    # test; rate extrapolated)
-    host = HostBanded(sc.with_clips(-2**30, -2**30, 0, 0), 8, 8)
-    nh = 3
-    t0 = _t.perf_counter()
-    for i in range(nh):
-        host.semiglobal(xs[i], ys[i])
-    host_rate = nh / (_t.perf_counter() - t0)
-
-    # full-matrix device engine at the same shapes (what "don't band"
-    # costs at this geometry; scores can legitimately differ — the band
-    # restricts the DP)
-    del got
-    ba = BatchAligner(sc)
-    ba.semiglobal(xs, ys)  # compile + warm
-
-    def run_full():
-        ba.semiglobal(xs, ys)
-
-    full_rate = B / _best_of(run_full, 2)
-    return dev_rate, host_rate, full_rate
+    cpu_rate = _cpu_banded_baseline_rate(B=32, M=M, N=N, iters=2)
+    return dev_rate, cpu_rate
 
 
 def main() -> None:
@@ -878,19 +978,31 @@ def main() -> None:
         smem_rate = smem_stream_rate = None
 
     try:
-        bl_dev, bl_host, bl_full = _banded_long_rates()
-        banded_rate = round(bl_dev, 2)
-        banded_vs_host = round(bl_dev / bl_host, 2)
-        banded_vs_full = round(bl_dev / bl_full, 2)
+        bl_pipe, bl_sync, bl_cpu, bl_full = _banded_long_rates()
+        banded_rate = round(bl_pipe, 2)
+        banded_sync = round(bl_sync, 2)
+        banded_vs_baseline = round(bl_pipe / bl_cpu, 2)
+        banded_vs_full = round(bl_pipe / bl_full, 2)
     except Exception as e:
         print(f"banded bench failed: {e}", file=sys.stderr)
-        banded_rate = banded_vs_host = banded_vs_full = None
+        banded_rate = banded_sync = banded_vs_baseline = banded_vs_full = None
 
     try:
-        ph_exact = round(_pairhmm_exact_pairs_per_s(), 2)
+        b1k_dev, b1k_cpu = _banded_1kb_rates()
+        banded_1kb = round(b1k_dev, 2)
+        banded_1kb_vs = round(b1k_dev / b1k_cpu, 2)
+    except Exception as e:
+        print(f"banded 1kb bench failed: {e}", file=sys.stderr)
+        banded_1kb = banded_1kb_vs = None
+
+    try:
+        phe_unb, phe_band, phe_cpu = _pairhmm_exact_rates()
+        ph_exact = round(phe_unb, 2)
+        ph_exact_banded = round(phe_band, 2)
+        ph_exact_vs = round(phe_band / phe_cpu, 3)
     except Exception as e:
         print(f"pairhmm exact bench failed: {e}", file=sys.stderr)
-        ph_exact = None
+        ph_exact = ph_exact_banded = ph_exact_vs = None
 
     try:
         hp_rate = round(_homopoly_pairs_per_s(), 2)
@@ -948,6 +1060,8 @@ def main() -> None:
                 "semiglobal_alignments_per_s": sg_rate,
                 "pairhmm_pairs_per_s": ph_rate,
                 "pairhmm_exact_pairs_per_s": ph_exact,
+                "pairhmm_exact_banded_pairs_per_s": ph_exact_banded,
+                "pairhmm_exact_vs_baseline": ph_exact_vs,
                 "homopoly_pairs_per_s": hp_rate,
                 "poa_batch_scores_per_s": poa_rate,
                 "poa_vs_host": poa_vs,
@@ -958,8 +1072,11 @@ def main() -> None:
                 "smem_mapper_50mbp_reads_per_s": smem50,
                 "fixed_window_mapper_reads_per_s": fw_rate,
                 "banded_long_pairs_per_s": banded_rate,
-                "banded_long_vs_host": banded_vs_host,
+                "banded_long_sync_pairs_per_s": banded_sync,
+                "banded_long_vs_baseline": banded_vs_baseline,
                 "banded_long_vs_full_matrix": banded_vs_full,
+                "banded_1kb_pairs_per_s": banded_1kb,
+                "banded_1kb_vs_baseline": banded_1kb_vs,
             }
         )
     )

@@ -12,8 +12,10 @@
 // Exposed with a plain C ABI for ctypes binding (no pybind11 in the image).
 
 #include <algorithm>
+#include <array>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 #include "sais.hpp"
@@ -117,7 +119,31 @@ void sdpkpp_i64(const int64_t* xs, const int64_t* ys, int64_t nm, int64_t k,
     return a.eidx < b.eidx;
   });
 
+#ifndef BIOTPU_REFERENCE_TWIN
+  // Coordinate-compress the Fenwick axis: the tree is only ever SET at
+  // the nm end-event columns (y + k), so prefix-max over ranks of those
+  // values is identical to prefix-max over raw y — and the tree shrinks
+  // from max-coordinate entries (a ~1 MB zero-init per 20 kb pair) to nm.
+  // The baseline twin keeps the reference's raw-coordinate tree
+  // (sparse.rs:231 MaxBitTree::new(n)).
+  std::vector<int64_t> ycoords(nm);
+  for (int64_t i = 0; i < nm; ++i) ycoords[i] = ys[i] + k;
+  std::sort(ycoords.begin(), ycoords.end());
+  ycoords.erase(std::unique(ycoords.begin(), ycoords.end()),
+                ycoords.end());
+  // rank(v) = number of set-columns <= v, minus one (prefix query index)
+  auto rank_of = [&](int64_t v) {
+    return (int64_t)(std::upper_bound(ycoords.begin(), ycoords.end(), v) -
+                     ycoords.begin()) -
+           1;
+  };
+  n = (int64_t)ycoords.size();
   Fenwick max_col_dp(n);
+#define BIOTPU_FW_IDX(v) rank_of(v)
+#else
+  Fenwick max_col_dp(n);
+#define BIOTPU_FW_IDX(v) (v)
+#endif
   for (int64_t i = 0; i < nm; ++i) {
     dp_score[i] = 0;
     dp_prev[i] = 0;
@@ -142,7 +168,7 @@ void sdpkpp_i64(const int64_t* xs, const int64_t* ys, int64_t nm, int64_t k,
     if (ev.eidx >= nm) {  // chain start
       dp_score[p] = k * match_score;
       dp_prev[p] = -1;
-      P6 t = max_col_dp.get(ev.y);
+      P6 t = max_col_dp.get(BIOTPU_FW_IDX(ev.y));
       if (t.b > 0) {
         int64_t gap = std::max(ev.x - t.e, ev.y - t.f);
         int64_t gap_penalty = gap > 0 ? go_neg + gap * ge_neg : 0;
@@ -170,10 +196,11 @@ void sdpkpp_i64(const int64_t* xs, const int64_t* ys, int64_t nm, int64_t k,
         }
       }
       int64_t d = ev.x + ev.y;
-      max_col_dp.set(ev.y,
+      max_col_dp.set(BIOTPU_FW_IDX(ev.y),
                      P6{dp_score[p] + d * ge_neg, dp_score[p], d, p, ev.x, ev.y});
     }
   }
+#undef BIOTPU_FW_IDX
   best_out[0] = best_score;
   best_out[1] = best_idx;
 }
@@ -247,6 +274,118 @@ int64_t kmer_matches_i64(const uint8_t* x, int64_t xm, const uint8_t* y,
   if (k <= 0 || xm < k || yn < k) return 0;
   const int64_t nx = xm + 1 - k;
   const int64_t ny = yn + 1 - k;
+#ifndef BIOTPU_REFERENCE_TWIN
+  // DNA fast path: for pure-ACGT inputs and k <= 31 the k-mer packs into
+  // a rolling 2-bit key, replacing the per-position k-byte FNV hash +
+  // memcmp with two shifts and an integer compare (~4x at 20 kb targets;
+  // byte-identical output order).  Any other byte falls through to the
+  // generic hashed path below.  The CPU baseline twin compiles with
+  // BIOTPU_REFERENCE_TWIN so it keeps the reference's generic hashed
+  // k-mer lookup (sparse.rs hash_kmers is alphabet-agnostic).
+  if (k <= 31) {
+    static const auto CODE_T = [] {
+      std::array<int8_t, 256> t{};
+      t.fill(-1);
+      t['A'] = 0; t['C'] = 1; t['G'] = 2; t['T'] = 3;
+      return t;
+    }();
+    const int8_t* CODE = CODE_T.data();
+    // one vectorizable byte->code pass per input (also the validity
+    // check); scratch is thread_local — the threaded band builder calls
+    // this per pair and per-call vector allocs cost ~60 us at 20 kb
+    thread_local std::vector<int8_t> xc, yc;
+    thread_local std::vector<uint64_t> ykeys_ws, hkey_ws;
+    thread_local std::vector<int64_t> head_ws, nxt_ws, tail_ws;
+    xc.resize(xm);
+    yc.resize(yn);
+    int ok = 1;
+    for (int64_t i = 0; i < xm; ++i) {
+      xc[i] = CODE[x[i]];
+      ok &= xc[i] >= 0;
+    }
+    for (int64_t j = 0; j < yn; ++j) {
+      yc[j] = CODE[y[j]];
+      ok &= yc[j] >= 0;
+    }
+    if (ok) {
+      const uint64_t kmask =
+          k == 32 ? ~0ULL : ((1ULL << (2 * k)) - 1);
+      // open-addressed table over x k-mer KEYS; chains via nxt[]
+      int64_t tbits = 4;
+      while ((int64_t(1) << tbits) < 2 * nx) ++tbits;
+      const int64_t tsz = int64_t(1) << tbits;
+      const uint64_t mask = tsz - 1;
+      auto& head = head_ws;
+      auto& nxt = nxt_ws;
+      auto& tail = tail_ws;
+      auto& hkey = hkey_ws;
+      head.assign(tsz, -1);
+      nxt.assign(nx, -1);
+      tail.assign(tsz, -1);
+      hkey.resize(tsz);
+      uint64_t key = 0;
+      for (int64_t i = 0; i < xm; ++i) {
+        key = ((key << 2) | (uint64_t)xc[i]) & kmask;
+        if (i < k - 1) continue;
+        const int64_t pos = i - (k - 1);
+        // multiplicative scramble spreads the packed key
+        uint64_t s = (key * 0x9E3779B97F4A7C15ULL) & mask;
+        while (true) {
+          if (head[s] < 0) {
+            head[s] = tail[s] = pos;
+            hkey[s] = key;
+            break;
+          }
+          if (hkey[s] == key) {
+            nxt[tail[s]] = pos;
+            tail[s] = pos;
+            break;
+          }
+          s = (s + 1) & mask;
+        }
+      }
+      // y keys built in k vectorizable shifted-add passes (the rolling
+      // single-pass form is a serial dependency chain at ~10 ns/pos;
+      // per-offset array passes auto-vectorize)
+      auto& ykeys = ykeys_ws;
+      ykeys.resize(ny);
+      for (int64_t j = 0; j < ny; ++j) ykeys[j] = (uint64_t)yc[j + k - 1];
+      for (int64_t d = 0; d < k - 1; ++d) {
+        const uint64_t sh = 2 * (k - 1 - d);
+        for (int64_t j = 0; j < ny; ++j)
+          ykeys[j] |= (uint64_t)yc[j + d] << sh;
+      }
+      int64_t count = 0;
+      for (int64_t pos = 0; pos < ny; ++pos) {
+        const uint64_t ykey = ykeys[pos];
+        uint64_t s = (ykey * 0x9E3779B97F4A7C15ULL) & mask;
+        while (head[s] >= 0) {
+          if (hkey[s] == ykey) {
+            for (int64_t i = head[s]; i >= 0; i = nxt[i]) {
+              if (count < cap) {
+                out_xy[2 * count] = i;
+                out_xy[2 * count + 1] = pos;
+              }
+              ++count;
+            }
+            break;
+          }
+          s = (s + 1) & mask;
+        }
+      }
+      if (count <= cap && count > 1) {
+        struct IJ {
+          int64_t i, j;
+        };
+        IJ* p = reinterpret_cast<IJ*>(out_xy);
+        std::sort(p, p + count, [](const IJ& a, const IJ& b) {
+          return a.i != b.i ? a.i < b.i : a.j < b.j;
+        });
+      }
+      return count;
+    }
+  }
+#endif  // BIOTPU_REFERENCE_TWIN
   // FNV-1a over the k bytes; buckets verified byte-wise (collision-safe)
   auto fnv = [&](const uint8_t* p) {
     uint64_t h = 1469598103934665603ULL;
@@ -475,6 +614,280 @@ void band_raster_i64(const int64_t* path_xy, int64_t np_, int64_t m,
     pc = c;
     have_prev = true;
   }
+}
+
+// Batched band build for the device banded aligner: per pair, kmer
+// matches -> sdpkpp chain -> path walk -> band raster (the exact same
+// three routines the per-pair Python path calls), threaded over pairs.
+// At mapper/bench batch sizes the per-pair ctypes round trips and Python
+// path bookkeeping cost ~1 ms/pair; one batched call with a thread
+// stripe costs ~30 us/pair.
+//
+// Batched band build with CROPPED outputs: xb (B, Mmax) row-major u8 +
+// mlens (B,); yb (B, Nmax) + nlens (B,).  Full-width (B, Nmax + 1) band
+// arrays would cost ~160 MB of allocation + writes per 1 K x 20 kb
+// batch, so the band is rasterized into per-worker scratch and only the
+// nonempty column window is emitted:
+//   st_w/en_w: (B, wcap + 1) int32 — band rows for columns
+//     [c0, c0 + nle], padded past the window with (m + 1, 0);
+//   c0_out/nle_out: (B,) int64 — window origin and effective length
+//     (the device column crop: c0 = max(j0 - 1, 0), nle = j1 - c0 + e
+//     with e the final-column two-buffer parity fixup; crop = 0 emits
+//     the whole [0, n] range); nle_out = -1 flags a window wider than
+//     wcap (caller falls back for that pair);
+//   cells: (B,) int64 band num_cells (MAX_CELLS host check);
+//   jwin: (B, 2) int64 first/last nonempty band column (-1/-1 if none).
+void band_build_batch(const uint8_t* xb, const int64_t* mlens,
+                      int64_t Mmax, const uint8_t* yb,
+                      const int64_t* nlens, int64_t Nmax, int64_t B,
+                      int64_t k, int64_t w, int64_t xcp, int64_t xcs,
+                      int64_t ycp, int64_t ycs, int64_t match_score,
+                      int64_t go_neg, int64_t ge_neg, int64_t nthreads,
+                      int64_t crop, int64_t wcap, int32_t* st_w,
+                      int32_t* en_w, int64_t* c0_out, int64_t* nle_out,
+                      int64_t* cells, int64_t* jwin) {
+  if (nthreads <= 0) {
+    nthreads = (int64_t)std::thread::hardware_concurrency();
+    if (nthreads <= 0) nthreads = 1;
+    if (nthreads > 32) nthreads = 32;
+  }
+  if (nthreads > B) nthreads = B > 0 ? B : 1;
+
+  auto worker = [&](int64_t lo, int64_t hi) {
+    std::vector<int64_t> mbuf(4096), xs, ys, dp_score, dp_prev, path_xy;
+    std::vector<int32_t> stf(Nmax + 1), enf(Nmax + 1);
+    for (int64_t b = lo; b < hi; ++b) {
+      const uint8_t* x = xb + b * Mmax;
+      const uint8_t* y = yb + b * Nmax;
+      const int64_t m = mlens[b], n = nlens[b];
+      int32_t* st = stf.data();
+      int32_t* en = enf.data();
+      std::fill(stf.begin(), stf.begin() + n + 1, (int32_t)(m + 1));
+      std::fill(enf.begin(), enf.begin() + n + 1, 0);
+      int64_t nm = kmer_matches_i64(x, m, y, n, k, mbuf.data(),
+                                    (int64_t)mbuf.size() / 2);
+      if (2 * nm > (int64_t)mbuf.size()) {
+        mbuf.resize(2 * nm);
+        nm = kmer_matches_i64(x, m, y, n, k, mbuf.data(), nm);
+      }
+      if (nm == 0) {  // full matrix (banded.rs:1309-1313)
+        for (int64_t j = 0; j <= n; ++j) {
+          st[j] = 0;
+          en[j] = (int32_t)(m + 1);
+        }
+      } else {
+        xs.resize(nm);
+        ys.resize(nm);
+        for (int64_t t = 0; t < nm; ++t) {
+          xs[t] = mbuf[2 * t];
+          ys[t] = mbuf[2 * t + 1];
+        }
+        dp_score.assign(nm, 0);
+        dp_prev.assign(nm, 0);
+        int64_t best[2];
+        sdpkpp_i64(xs.data(), ys.data(), nm, k, match_score, go_neg,
+                   ge_neg, dp_score.data(), dp_prev.data(), best);
+        path_xy.clear();
+        for (int64_t p = best[1]; p >= 0; p = dp_prev[p]) {
+          path_xy.push_back(xs[p]);
+          path_xy.push_back(ys[p]);
+        }
+        const int64_t np_ = (int64_t)path_xy.size() / 2;
+        for (int64_t t = 0; t < np_ / 2; ++t) {
+          std::swap(path_xy[2 * t], path_xy[2 * (np_ - 1 - t)]);
+          std::swap(path_xy[2 * t + 1], path_xy[2 * (np_ - 1 - t) + 1]);
+        }
+        band_raster_i64(path_xy.data(), np_, m, n, k, w, xcp, xcs, ycp,
+                        ycs, st, en);
+      }
+      int64_t c = 0, j0 = -1, j1 = -1;
+      for (int64_t j = 0; j <= n; ++j) {
+        if (en[j] > st[j]) {
+          c += en[j] - st[j];
+          if (j0 < 0) j0 = j;
+          j1 = j;
+        }
+      }
+      cells[b] = c;
+      jwin[2 * b] = j0;
+      jwin[2 * b + 1] = j1;
+      // column-window crop + window emission
+      int64_t c0 = 0, nle = n;
+      if (crop && j0 >= 0) {
+        c0 = j0 > 0 ? j0 - 1 : 0;
+        int64_t tail = n - j1;
+        int64_t e = tail == 0 ? 0 : (tail % 2 == 1 ? 1 : 2);
+        nle = j1 - c0 + e;
+      }
+      c0_out[b] = c0;
+      if (nle > wcap) {
+        nle_out[b] = -1;  // window overflow: caller falls back
+        continue;
+      }
+      nle_out[b] = nle;
+      int32_t* sw = st_w + b * (wcap + 1);
+      int32_t* ew = en_w + b * (wcap + 1);
+      const int64_t win = std::min(nle, n - c0) + 1;
+      for (int64_t j = 0; j < win; ++j) {
+        sw[j] = st[c0 + j];
+        ew[j] = en[c0 + j];
+      }
+      for (int64_t j = win; j <= wcap; ++j) {
+        sw[j] = (int32_t)(m + 1);
+        ew[j] = 0;
+      }
+    }
+  };
+
+  if (nthreads == 1) {
+    worker(0, B);
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(nthreads);
+  const int64_t step = (B + nthreads - 1) / nthreads;
+  for (int64_t t = 0; t < nthreads; ++t) {
+    int64_t lo = t * step, hi = std::min(B, lo + step);
+    if (lo >= hi) break;
+    pool.emplace_back(worker, lo, hi);
+  }
+  for (auto& th : pool) th.join();
+}
+
+}  // extern "C"
+
+#include "banded_dp.hpp"
+
+extern "C" {
+
+// Threaded native banded aligner batch: full per-pair pipeline (kmer
+// matches -> sdpkpp -> band raster -> banded custom-clip DP + traceback
+// walk, the shared banded_dp.hpp statement twin of banded.rs) for shapes
+// the TPU kernels cannot hold (e.g. kb-scale queries whose transposed
+// state exceeds VMEM).  Replaces the per-pair CPython fallback (~3
+// pairs/s at 1 kb x 20 kb) with ~1 K pairs/s on this 4-core host.
+//
+// scores: (B,); coords: (B, 4) xstart/ystart/xend/yend; ops are emitted
+// start -> end as RLE entries (code, len) with clips single-entry:
+// ops_code/ops_len (B, cap), n_ops (B,).  n_ops = -1 flags a band over
+// MAX_CELLS (banded.rs empty MIN_SCORE alignment) and -2 an ops
+// overflow (> cap entries; caller falls back per pair).
+void banded_batch(const uint8_t* xb, const int64_t* mlens, int64_t Mmax,
+                  const uint8_t* yb, const int64_t* nlens, int64_t Nmax,
+                  int64_t B, int64_t k, int64_t w, int64_t xcp,
+                  int64_t xcs, int64_t ycp, int64_t ycs, int64_t ma,
+                  int64_t mi, int64_t go, int64_t ge, int64_t nthreads,
+                  int64_t cap, int32_t* scores, int32_t* coords,
+                  uint8_t* ops_code, int32_t* ops_len, int32_t* n_ops) {
+  const int64_t MAX_CELLS = 5000000;  // banded.rs:104
+  if (nthreads <= 0) {
+    nthreads = (int64_t)std::thread::hardware_concurrency();
+    if (nthreads <= 0) nthreads = 1;
+    if (nthreads > 32) nthreads = 32;
+  }
+  if (nthreads > B) nthreads = B > 0 ? B : 1;
+
+  auto worker = [&](int64_t lo, int64_t hi) {
+    banded_dp::Workspace ws;
+    for (int64_t b = lo; b < hi; ++b) {
+      const int m = (int)mlens[b], n = (int)nlens[b];
+      banded_dp::Scoring sc{(int32_t)go, (int32_t)ge, (int32_t)ma,
+                            (int32_t)mi, (int32_t)xcp, (int32_t)xcs,
+                            (int32_t)ycp, (int32_t)ycs};
+      // band build (same three native routines as band_build_batch)
+      ws.starts.assign(n + 1, (int32_t)(m + 1));
+      ws.ends.assign(n + 1, 0);
+      if ((int64_t)ws.mbuf.size() < 2048) ws.mbuf.resize(2048);
+      int64_t nm = kmer_matches_i64(xb + b * Mmax, m, yb + b * Nmax, n,
+                                    k, ws.mbuf.data(),
+                                    (int64_t)ws.mbuf.size() / 2);
+      if (2 * nm > (int64_t)ws.mbuf.size()) {
+        ws.mbuf.resize(2 * nm);
+        nm = kmer_matches_i64(xb + b * Mmax, m, yb + b * Nmax, n, k,
+                              ws.mbuf.data(), nm);
+      }
+      if (nm == 0) {
+        for (int j = 0; j <= n; ++j) {
+          ws.starts[j] = 0;
+          ws.ends[j] = (int32_t)(m + 1);
+        }
+      } else {
+        std::vector<int64_t> xs(nm), ys(nm);
+        for (int64_t t = 0; t < nm; ++t) {
+          xs[t] = ws.mbuf[2 * t];
+          ys[t] = ws.mbuf[2 * t + 1];
+        }
+        ws.dp_score.assign(nm, 0);
+        ws.dp_prev.assign(nm, 0);
+        int64_t best[2];
+        sdpkpp_i64(xs.data(), ys.data(), nm, k, ma, -go, -ge,
+                   ws.dp_score.data(), ws.dp_prev.data(), best);
+        ws.path_xy.clear();
+        for (int64_t p = best[1]; p >= 0; p = ws.dp_prev[p]) {
+          ws.path_xy.push_back(xs[p]);
+          ws.path_xy.push_back(ys[p]);
+        }
+        const int64_t np_ = (int64_t)ws.path_xy.size() / 2;
+        for (int64_t t = 0; t < np_ / 2; ++t) {
+          std::swap(ws.path_xy[2 * t], ws.path_xy[2 * (np_ - 1 - t)]);
+          std::swap(ws.path_xy[2 * t + 1],
+                    ws.path_xy[2 * (np_ - 1 - t) + 1]);
+        }
+        band_raster_i64(ws.path_xy.data(), np_, m, n, k, w, xcp, xcs,
+                        ycp, ycs, ws.starts.data(), ws.ends.data());
+      }
+      int64_t cells = 0;
+      for (int j = 0; j <= n; ++j)
+        cells += ws.ends[j] > ws.starts[j] ? ws.ends[j] - ws.starts[j] : 0;
+      if (cells > MAX_CELLS) {
+        scores[b] = banded_dp::NS;
+        n_ops[b] = -1;
+        continue;
+      }
+      scores[b] = banded_dp::banded_align(xb + b * Mmax, m, yb + b * Nmax,
+                                          n, sc, ws);
+      coords[4 * b + 0] = ws.xstart;
+      coords[4 * b + 1] = ws.ystart;
+      coords[4 * b + 2] = ws.xend;
+      coords[4 * b + 3] = ws.yend;
+      // RLE-merge the reversed walk into start -> end (code, len) entries
+      int64_t t = (int64_t)ws.ops.size() - 1, cnt = 0;
+      bool ovf = false;
+      while (t >= 0) {
+        int code = ws.ops[t];
+        int64_t len = ws.ops_len[t];
+        --t;
+        if (code <= banded_dp::TB_MATCH) {  // run-mergeable unit ops
+          while (t >= 0 && ws.ops[t] == code) {
+            len += ws.ops_len[t];
+            --t;
+          }
+        }
+        if (cnt >= cap) {
+          ovf = true;
+          break;
+        }
+        ops_code[b * cap + cnt] = (uint8_t)code;
+        ops_len[b * cap + cnt] = (int32_t)len;
+        ++cnt;
+      }
+      n_ops[b] = ovf ? -2 : (int32_t)cnt;
+    }
+  };
+
+  if (nthreads == 1) {
+    worker(0, B);
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(nthreads);
+  const int64_t step = (B + nthreads - 1) / nthreads;
+  for (int64_t t = 0; t < nthreads; ++t) {
+    int64_t lo = t * step, hi = std::min(B, lo + step);
+    if (lo >= hi) break;
+    pool.emplace_back(worker, lo, hi);
+  }
+  for (auto& th : pool) th.join();
 }
 
 }  // extern "C"

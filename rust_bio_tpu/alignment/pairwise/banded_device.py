@@ -424,8 +424,81 @@ def _align_batch_device_banded_mp(
     out = _walk_banded(
         tb_xb, tbfix, Lx_full, mlens, nlens, B, M, N, pens
     )
-    out["score"] = score
+    # single-pull packing: through the dev tunnel every device->host
+    # transfer pays ~26 ms, so the 7-leaf dict costs 7x the compute.
+    # Codes are 4 bits, lens/coords already uint16-bounded (the walk
+    # buffers are uint16 today), score rides as two uint16 rows.
+    small = jnp.stack(
+        [
+            (score >> 16) & 0xFFFF,
+            score & 0xFFFF,
+            out["xstart"],
+            out["ystart"],
+            out["xend"],
+            out["yend"],
+        ]
+    ).astype(jnp.uint16)
+    packed = jnp.concatenate(
+        [small, out["op_codes"].astype(jnp.uint16), out["op_lens"]],
+        axis=0,
+    )
+    return {"packed_banded": packed}
+
+
+def _decode_ops_batch(codes: np.ndarray, lens: np.ndarray):
+    """Whole-batch twin of batched._decode_ops over (T, B) walk buffers:
+    one flat object-LUT expansion + per-lane split instead of B per-lane
+    numpy passes (~60 ms -> ~10 ms at B=1024).  Entry semantics are
+    identical: codes are 0 after a lane finishes, clip entries stay
+    single with parametrized length, and each lane's list is reversed
+    (walk emits end -> start)."""
+    from rust_bio_tpu.alignment.pairwise.batched import _OP_ARR
+    from rust_bio_tpu.alignment.types import Xclip, Yclip
+
+    c = codes.T.astype(np.intp)  # (B, T), row-major per lane
+    ln = lens.T.astype(np.int64)
+    valid = c != 0
+    is_clip = (c >= TB_XCLIP_PREFIX) & valid
+    reps = np.where(valid, np.where(is_clip, 1, np.maximum(ln, 1)), 0)
+    flat_reps = reps.ravel()
+    flat_c = c.ravel()
+    expanded = _OP_ARR[np.repeat(flat_c, flat_reps)]
+    offs = np.zeros(flat_reps.size + 1, np.int64)
+    np.cumsum(flat_reps, out=offs[1:])
+    flat_l = ln.ravel()
+    for idx in np.nonzero(is_clip.ravel())[0]:
+        code = int(flat_c[idx])
+        expanded[offs[idx]] = (
+            Xclip(int(flat_l[idx]))
+            if code in (TB_XCLIP_PREFIX, TB_XCLIP_SUFFIX)
+            else Yclip(int(flat_l[idx]))
+        )
+    lane_tot = reps.sum(axis=1)
+    lane_offs = np.zeros(len(lane_tot) + 1, np.int64)
+    np.cumsum(lane_tot, out=lane_offs[1:])
+    flat_ops = expanded.tolist()
+    out = []
+    for b in range(c.shape[0]):
+        ops = flat_ops[int(lane_offs[b]) : int(lane_offs[b + 1])]
+        ops.reverse()
+        out.append(ops)
     return out
+
+
+def _unpack_banded(packed: np.ndarray):
+    """Host inverse of the packed banded walk: (score i32 (B,), dict)."""
+    small = packed[:6].astype(np.int64)
+    v = (small[0] << 16) | small[1]
+    score = np.where(v >= 2**31, v - 2**32, v).astype(np.int64)
+    T = (packed.shape[0] - 6) // 2
+    return score, {
+        "xstart": small[2],
+        "ystart": small[3],
+        "xend": small[4],
+        "yend": small[5],
+        "op_codes": packed[6 : 6 + T],
+        "op_lens": packed[6 + T :],
+    }
 
 
 class BatchBandedAligner:
@@ -470,7 +543,103 @@ class BatchBandedAligner:
             aln.filter_clip_operations()
         return aln
 
+    def _host_batch(self, xs, ys, sc, mode, filter_clips):
+        """Host fallback for shapes the TPU kernels cannot hold: the
+        threaded native pipeline (banded_dp.hpp, ~300x the per-pair
+        CPython path at kb-scale queries) when scoring is MatchParams,
+        else per-pair Python."""
+        if isinstance(sc.match_fn, MatchParams):
+            from rust_bio_tpu import native as _native
+            from rust_bio_tpu.alignment.pairwise.batched import _OP_ARR
+            from rust_bio_tpu.alignment.types import Xclip, Yclip
+
+            B = len(xs)
+            M = max((len(x) for x in xs), default=1) or 1
+            N = max((len(y) for y in ys), default=1) or 1
+            xb = np.zeros((B, M), np.uint8)
+            yb = np.zeros((B, N), np.uint8)
+            for i, (x, y) in enumerate(zip(xs, ys)):
+                xb[i, : len(x)] = np.frombuffer(x, np.uint8)
+                yb[i, : len(y)] = np.frombuffer(y, np.uint8)
+            ml = np.array([len(x) for x in xs], np.int64)
+            nl = np.array([len(y) for y in ys], np.int64)
+            res = _native.banded_batch(
+                xb, ml, yb, nl, self.k, self.w,
+                (sc.xclip_prefix, sc.xclip_suffix,
+                 sc.yclip_prefix, sc.yclip_suffix),
+                sc.match_fn.match_score, sc.match_fn.mismatch_score,
+                sc.gap_open, sc.gap_extend,
+            )
+            if res is not None:
+                scores, coords, oc, ol, n_ops = res
+                out = []
+                for b in range(B):
+                    no = int(n_ops[b])
+                    if no == -1:  # band over MAX_CELLS (banded.rs:407)
+                        aln = Alignment(
+                            score=MIN_SCORE, ystart=0, xstart=0, yend=0,
+                            xend=0, ylen=0, xlen=0, operations=[],
+                            mode=AlignmentMode.Custom,
+                        )
+                        aln.mode = mode
+                        out.append(aln)
+                        continue
+                    if no == -2:  # RLE overflow: per-pair Python path
+                        out.append(
+                            self._host_one(sc, xs[b], ys[b], mode,
+                                           filter_clips)
+                        )
+                        continue
+                    c = oc[b, :no].astype(np.intp)
+                    ln = ol[b, :no].astype(np.int64)
+                    is_clip = c >= TB_XCLIP_PREFIX
+                    reps = np.where(is_clip, 1, ln)
+                    ops = _OP_ARR[np.repeat(c, reps)].tolist()
+                    if is_clip.any():
+                        offs = np.concatenate([[0], np.cumsum(reps)])
+                        for j in np.nonzero(is_clip)[0]:
+                            code = int(c[j])
+                            ops[int(offs[j])] = (
+                                Xclip(int(ln[j]))
+                                if code
+                                in (TB_XCLIP_PREFIX, TB_XCLIP_SUFFIX)
+                                else Yclip(int(ln[j]))
+                            )
+                    aln = Alignment(
+                        score=int(scores[b]),
+                        xstart=int(coords[b, 0]), ystart=int(coords[b, 1]),
+                        xend=int(coords[b, 2]), yend=int(coords[b, 3]),
+                        xlen=len(xs[b]), ylen=len(ys[b]),
+                        operations=ops, mode=AlignmentMode.Custom,
+                    )
+                    aln.mode = mode
+                    if filter_clips:
+                        aln.filter_clip_operations()
+                    out.append(aln)
+                return out
+        return [
+            self._host_one(sc, x, y, mode, filter_clips)
+            for x, y in zip(xs, ys)
+        ]
+
+    def semiglobal_async(self, xs, ys):
+        """Dispatch a semiglobal batch WITHOUT syncing: the host band
+        build + upload run now, the device DP is left in flight.  Pass
+        the handle to ``semiglobal_finish`` to pull + decode — batch
+        i+1's band build (CPU threads) then overlaps batch i's device
+        compute + pull (the production pipeline shape)."""
+        sc = self.scoring.with_clips(MIN_SCORE, MIN_SCORE, 0, 0)
+        return self._run_async(xs, ys, sc, AlignmentMode.Semiglobal, True)
+
+    def semiglobal_finish(self, handle) -> List[Alignment]:
+        return self._run_finish(handle)
+
     def _run(self, xs, ys, sc, mode, filter_clips) -> List[Alignment]:
+        return self._run_finish(
+            self._run_async(xs, ys, sc, mode, filter_clips)
+        )
+
+    def _run_async(self, xs, ys, sc, mode, filter_clips):
         from rust_bio_tpu.ops.sw_pallas import transposed_feasible
 
         xs = [to_bytes(x) for x in xs]
@@ -488,32 +657,32 @@ class BatchBandedAligner:
             and 2 <= M
         )
         if not device_ok:
-            return [
-                self._host_one(sc, x, y, mode, filter_clips)
-                for x, y in zip(xs, ys)
-            ]
+            return ("done", self._host_batch(xs, ys, sc, mode, filter_clips))
 
-        # host band rasterization (the reference's own seeding path)
-        bands = [
-            Band.create(x, y, self.k, self.w, sc) for x, y in zip(xs, ys)
-        ]
-        out: List = [None] * B
-        run_idx = []
-        for i, band in enumerate(bands):
-            if band.num_cells() > MAX_CELLS:
-                out[i] = Alignment(
-                    score=MIN_SCORE, ystart=0, xstart=0, yend=0, xend=0,
-                    ylen=0, xlen=0, operations=[], mode=AlignmentMode.Custom,
-                )
-                out[i].mode = mode
-            else:
-                run_idx.append(i)
-        if not run_idx:
-            return out
-
-        nb = len(run_idx)
-        pad = -nb % 8
-        Bp = nb + pad
+        # host band rasterization (the reference's own seeding path).
+        # One threaded native call builds all B bands (byte-identical to
+        # Band.create, property-tested); per-pair Python+ctypes costs
+        # ~1 ms/pair at 20 kb targets vs ~30 us/pair batched.
+        clips = (
+            int(sc.xclip_prefix), int(sc.xclip_suffix),
+            int(sc.yclip_prefix), int(sc.yclip_suffix),
+        )
+        ml_h = np.array([len(x) for x in xs], np.int64)
+        nl_h = np.array([len(y) for y in ys], np.int64)
+        # padded (B, M)/(B, N) byte matrices; uniform lengths take one
+        # C-level join+frombuffer instead of B row copies
+        if (ml_h == M).all():
+            xb_h = np.frombuffer(b"".join(xs), np.uint8).reshape(B, M)
+        else:
+            xb_h = np.zeros((B, M), np.uint8)
+            for i, x in enumerate(xs):
+                xb_h[i, : len(x)] = np.frombuffer(x, np.uint8)
+        if (nl_h == N).all():
+            yb_h = np.frombuffer(b"".join(ys), np.uint8).reshape(B, N)
+        else:
+            yb_h = np.zeros((B, N), np.uint8)
+            for i, y in enumerate(ys):
+                yb_h[i, : len(y)] = np.frombuffer(y, np.uint8)
 
         # --- column-window crop (the long-target regime) ---------------
         # With free y clips the band occupies a narrow column window of a
@@ -522,54 +691,132 @@ class BatchBandedAligner:
         # matching the global final column's two-buffer PARITY (the host
         # oracle's stale-carry fixups read buffer[n % 2]).  Yclip lengths
         # and y coordinates are patched back below; ops/scores stay
-        # byte-identical to the uncropped run (property-tested).
+        # byte-identical to the uncropped run (property-tested).  The
+        # native builder emits the windows directly (full-width band
+        # arrays cost ~160 MB of writes per 1K x 20 kb batch).
         crop = int(sc.yclip_prefix) == 0 and int(sc.yclip_suffix) == 0
-        c0s = np.zeros(B, np.int64)
-        nl_effs = np.array([len(ys[i]) for i in range(B)], np.int64)
+        # pre-feasibility: a semiglobal band window spans >= ~M/2 columns
+        # (the backbone path covers all M rows), so if even that width
+        # cannot fit the kernel's VMEM state, skip the band build and go
+        # straight to the threaded native host pipeline (avoids building
+        # every band twice for kb-scale queries)
+        Nc_pre = max(8, (min(M, N) // 2) if crop else N)
+        Bp_pre = len(xs) + (-len(xs) % 8)
+        if not transposed_feasible(max(Bp_pre, 8), M, Nc_pre):
+            return (
+                "done",
+                self._host_batch(xs, ys, sc, mode, filter_clips),
+            )
         if crop:
-            for i in run_idx:
-                band = bands[i]
+            wcap = min(
+                max(N, 8),
+                max(1024, 1 << (M + 8 * (self.k + self.w) + 16).bit_length()),
+            )
+        else:
+            wcap = max(N, 8)
+
+        stw = enw = c0_all = nle_all = cells_all = None
+        if isinstance(sc.match_fn, MatchParams):
+            from rust_bio_tpu import native as _native
+
+            res = _native.band_build_batch(
+                xb_h, ml_h, yb_h, nl_h, self.k, self.w, clips,
+                sc.match_fn.match_score, -sc.gap_open, -sc.gap_extend,
+                crop, wcap,
+            )
+            if res is not None:
+                stw, enw, c0_all, nle_all, cells_all, _jwin = res
+        if stw is None:
+            # library unavailable: per-pair Python band build, windowed
+            # with the identical formula
+            stw = np.empty((B, wcap + 1), np.int32)
+            enw = np.empty((B, wcap + 1), np.int32)
+            c0_all = np.zeros(B, np.int64)
+            nle_all = np.empty(B, np.int64)
+            cells_all = np.empty(B, np.int64)
+            for i, (x, y) in enumerate(zip(xs, ys)):
+                band = Band.create(x, y, self.k, self.w, sc)
+                n_i, m_i = len(y), len(x)
+                cells_all[i] = band.num_cells()
                 nz = np.nonzero(band.ends > band.starts)[0]
-                if nz.size == 0:
+                if crop and nz.size:
+                    j0, j1 = int(nz[0]), int(nz[-1])
+                    c0 = max(j0 - 1, 0)
+                    tail = n_i - j1
+                    e = 0 if tail == 0 else (1 if tail % 2 == 1 else 2)
+                    nle = j1 - c0 + e
+                else:
+                    c0, nle = 0, n_i
+                c0_all[i] = c0
+                if nle > wcap:
+                    nle_all[i] = -1
                     continue
-                j0, j1 = int(nz[0]), int(nz[-1])
-                Ny = len(ys[i])
-                c0 = max(j0 - 1, 0)
-                tail = Ny - j1
-                e = 0 if tail == 0 else (1 if tail % 2 == 1 else 2)
-                c0s[i] = c0
-                nl_effs[i] = j1 - c0 + e
-        Nc = int(max(nl_effs[i] for i in run_idx))
+                nle_all[i] = nle
+                win_i = min(nle, n_i - c0) + 1
+                stw[i, :win_i] = band.starts[c0 : c0 + win_i]
+                stw[i, win_i:] = m_i + 1
+                enw[i, :win_i] = band.ends[c0 : c0 + win_i]
+                enw[i, win_i:] = 0
+
+        out: List = [None] * B
+        run_idx = []
+        for i in range(B):
+            if int(cells_all[i]) > MAX_CELLS:
+                out[i] = Alignment(
+                    score=MIN_SCORE, ystart=0, xstart=0, yend=0, xend=0,
+                    ylen=0, xlen=0, operations=[], mode=AlignmentMode.Custom,
+                )
+                out[i].mode = mode
+            elif int(nle_all[i]) < 0:
+                # band window wider than wcap (rare huge gap chains):
+                # per-pair host path
+                out[i] = self._host_one(sc, xs[i], ys[i], mode, filter_clips)
+            else:
+                run_idx.append(i)
+        if not run_idx:
+            return ("done", out)
+
+        nb = len(run_idx)
+        pad = -nb % 8
+        Bp = nb + pad
+
+        ri = np.asarray(run_idx, np.int64)
+        c0s = c0_all[ri]
+        nl_effs = nle_all[ri]
+        Nc = int(nl_effs.max())
         Nc = max(8, 1 << (Nc - 1).bit_length())  # stable compile buckets
 
         # VMEM feasibility is judged on the CROPPED width (the uncropped
         # target length is irrelevant to the kernel's state)
         if not transposed_feasible(max(Bp, 8), M, Nc):
-            return [
-                self._host_one(sc, x, y, mode, filter_clips)
-                for x, y in zip(xs, ys)
-            ]
+            return (
+                "done",
+                self._host_batch(xs, ys, sc, mode, filter_clips),
+            )
 
+        # vectorized window gathers (a per-pair slice loop costs ~100 ms
+        # at B=1024 x 20 kb; yb_h rows are zero-padded past each pair's
+        # true length, so clipped gathers read only zeros)
         xb = np.zeros((Bp, M), np.uint8)
         yb = np.zeros((Bp, Nc), np.uint8)
         mlens = np.ones(Bp, np.int32)
         nlens = np.ones(Bp, np.int32)
         starts = np.full((Bp, Nc + 1), M + 1, np.int32)
         ends = np.zeros((Bp, Nc + 1), np.int32)
-        for r, i in enumerate(run_idx):
-            x, y, band = xs[i], ys[i], bands[i]
-            c0, nl = int(c0s[i]), int(nl_effs[i])
-            xb[r, : len(x)] = np.frombuffer(x, np.uint8)
-            ycut = y[c0 : c0 + nl]
-            yb[r, : len(ycut)] = np.frombuffer(ycut, np.uint8)
-            mlens[r], nlens[r] = len(x), nl
-            win = min(nl, len(y) - c0) + 1  # band cols c0..c0+win-1
-            starts[r, :win] = band.starts[c0 : c0 + win]
-            ends[r, :win] = band.ends[c0 : c0 + win]
+        xb[:nb] = xb_h[ri]
+        yidx = np.minimum(c0s[:, None] + np.arange(Nc)[None, :], N - 1)
+        ymask = np.arange(Nc)[None, :] < nl_effs[:, None]
+        yb[:nb] = np.where(ymask, yb_h[ri[:, None], yidx], 0)
+        mlens[:nb] = ml_h[ri]
+        nlens[:nb] = nl_effs
+        wc = min(Nc, wcap)
+        starts[:nb, : wc + 1] = stw[ri, : wc + 1]
+        ends[:nb, : wc + 1] = enw[ri, : wc + 1]
         # dummy pad lanes: full 1x1 band
-        for r in range(nb, Bp):
-            starts[r, :2] = 0
-            ends[r, :2] = 2
+        starts[nb:, :2] = 0
+        ends[nb:, :2] = 2
+        starts[nb:, 2:] = M + 1
+        ends[nb:, 2:] = 0
 
         mp = sc.match_fn
         pen8 = np.array(
@@ -587,21 +834,34 @@ class BatchBandedAligner:
             jnp.asarray(pen8),
             jnp.asarray(starts), jnp.asarray(ends),
         )
-        scores = np.asarray(dev["score"])
-        codes = np.asarray(dev["op_codes"])
-        lens = np.asarray(dev["op_lens"])
-        xst = np.asarray(dev["xstart"])
-        yst = np.asarray(dev["ystart"])
-        xen = np.asarray(dev["xend"])
-        yen = np.asarray(dev["yend"])
+        return (
+            "dev", dev, out, run_idx, xs, ys, crop, c0s, nb,
+            mode, filter_clips,
+        )
+
+    def _run_finish(self, handle) -> List[Alignment]:
+        if handle[0] == "done":
+            return handle[1]
+        (
+            _, dev, out, run_idx, xs, ys, crop, c0s, nb,
+            mode, filter_clips,
+        ) = handle
+        scores, up = _unpack_banded(np.asarray(dev["packed_banded"]))
+        codes = up["op_codes"]
+        lens = up["op_lens"]
+        xst = up["xstart"]
+        yst = up["ystart"]
+        xen = up["xend"]
+        yen = up["yend"]
         from rust_bio_tpu.alignment.types import Yclip as _Yclip
 
+        ops_all = _decode_ops_batch(codes[:, :nb], lens[:, :nb])
         for r, i in enumerate(run_idx):
-            ops = _decode_ops(codes[:, r], lens[:, r])
+            ops = ops_all[r]
             ystart, yend = int(yst[r]), int(yen[r])
             if crop:
                 # shift the window back to global y coordinates
-                c0, Ny = int(c0s[i]), len(ys[i])
+                c0, Ny = int(c0s[r]), len(ys[i])
                 ystart += c0
                 yend += c0
                 if c0 > 0:

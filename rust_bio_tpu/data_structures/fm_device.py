@@ -98,7 +98,9 @@ class DeviceFMIndex:
         self._build_fused_search(bits, ckpt)
         self.less = jnp.asarray(less.astype(np.int32))
         self.sym_of = jnp.asarray(sym_of)
-        self.bwt_sym = jnp.asarray(sym_of[b])  # (n,) int32 symbol indices
+        # (n,) symbol indices; uint8 storage (S <= 256 always) — int32
+        # costs 4 GB of HBM at a 1 Gbp text
+        self.bwt_sym = jnp.asarray(sym_of[b].astype(np.uint8))
         # less re-keyed by symbol rank (tiny; replaces a byte-table gather
         # in the locate walk)
         self.less_sym = jnp.asarray(
@@ -689,7 +691,7 @@ class DeviceFMIndex:
             # one symbol gather per step; the sentinel row is sym == 0
             # (smallest symbol), which is the reference's extra_rows patch
             # (suffix_array.rs:166-175) specialized to one final sentinel
-            sym = bwt_sym[pos]
+            sym = bwt_sym[pos].astype(I32)
             done2 = done | ((pos % s) == 0) | (sym == 0)
             less_v = jnp.zeros_like(pos)
             for si in range(S):  # tiny-table select, not a gather

@@ -25,7 +25,7 @@ def _content_hash(arrays: dict) -> str:
     return h.hexdigest()[:16]
 
 
-def save_fm_index(path, device_index) -> None:
+def save_fm_index(path, device_index, compress: bool = True) -> None:
     """Persist a DeviceFMIndex's packed arrays (npz, versioned + hashed)."""
     arrays = {
         "bits": np.asarray(device_index.bits),
@@ -44,6 +44,9 @@ def save_fm_index(path, device_index) -> None:
     }
     if device_index.sa_sample is not None:
         arrays["sa_sample"] = np.asarray(device_index.sa_sample)
+    if getattr(device_index, "_lut", None) is not None:
+        arrays["lut"] = np.asarray(device_index._lut)
+        arrays["lut_rank"] = np.asarray(device_index._lut_rank)
     meta = {
         "format_version": FORMAT_VERSION,
         "kind": "fm_index",
@@ -51,9 +54,13 @@ def save_fm_index(path, device_index) -> None:
         "s": int(device_index.s),
         "sentinel": int(device_index.sentinel),
         "symbols": list(device_index.symbols),
+        "lut_q": int(getattr(device_index, "_lut_q", 0)),
         "hash": _content_hash(arrays),
     }
-    np.savez_compressed(
+    # genome-scale artifacts (GBs) skip zlib: a 2.4 GB index compresses
+    # for minutes but writes uncompressed in seconds
+    saver = np.savez_compressed if compress else np.savez
+    saver(
         path, __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
         **arrays,
     )
@@ -95,7 +102,14 @@ def load_fm_index(path, verify: bool = True):
     idx.bwt_bytes = jnp.asarray(arrays["bwt_bytes"])
     idx.bwt_sym = jnp.asarray(
         np.asarray(arrays["sym_of"])[np.asarray(arrays["bwt_bytes"])]
+        .astype(np.uint8)
     )
+    idx._mxu_swt = 0
+    idx._fs_cfg = None
+    if "lut" in arrays:
+        idx._lut_q = int(meta.get("lut_q", 12))
+        idx._lut = jnp.asarray(arrays["lut"])
+        idx._lut_rank = np.asarray(arrays["lut_rank"])
     idx.sa_sample = (
         jnp.asarray(arrays["sa_sample"]) if "sa_sample" in arrays else None
     )

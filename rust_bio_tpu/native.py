@@ -95,6 +95,31 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.sais_u8_i64.restype = None
         except AttributeError:
             pass  # stale .so without the genome-scale entry points
+        try:
+            u8pp = u8p
+            lib.banded_batch.argtypes = [
+                u8pp, i64p, ctypes.c_int64, u8pp, i64p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, i32p, i32p, u8pp, i32p, i32p,
+            ]
+            lib.banded_batch.restype = None
+        except AttributeError:
+            pass  # stale .so without the banded host batch
+        try:
+            lib.band_build_batch.argtypes = [
+                u8p, i64p, ctypes.c_int64, u8p, i64p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, i32p, i32p, i64p, i64p, i64p, i64p,
+            ]
+            lib.band_build_batch.restype = None
+        except AttributeError:
+            pass  # stale .so without the batched band builder
         _lib = lib
         return _lib
 
@@ -224,6 +249,107 @@ def band_raster(path_xy: np.ndarray, m: int, n: int, k: int, w: int, clips):
         starts.ctypes.data_as(i32p), ends.ctypes.data_as(i32p),
     )
     return starts, ends
+
+
+def band_build_batch(
+    xb: np.ndarray, mlens: np.ndarray, yb: np.ndarray, nlens: np.ndarray,
+    k: int, w: int, clips, match_score: int, go_neg: int, ge_neg: int,
+    crop: bool, wcap: int, nthreads: int = 0,
+):
+    """Batched threaded band build (kmer matches -> sdpkpp -> raster per
+    pair, all native) with CROPPED window outputs: returns (st_w, en_w
+    (B, wcap+1) i32 band rows for columns [c0, c0+nle], c0 (B,) i64,
+    nle (B,) i64 (-1 = window wider than wcap), cells (B,) i64 band
+    sizes, jwin (B, 2) i64 first/last nonempty band column or -1/-1) or
+    None when the library is unavailable.
+
+    ``xb``/``yb``: (B, Mmax)/(B, Nmax) uint8 padded rows; ``clips``:
+    (xcp, xcs, ycp, ycs).  One call replaces B x 3 per-pair ctypes round
+    trips (~1 ms/pair -> ~30 us/pair at bench batch sizes), and window
+    outputs avoid materializing (B, Nmax+1) arrays (~160 MB per
+    1K x 20 kb batch)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "band_build_batch"):
+        return None
+    xb = np.ascontiguousarray(xb, dtype=np.uint8)
+    yb = np.ascontiguousarray(yb, dtype=np.uint8)
+    mlens = np.ascontiguousarray(mlens, dtype=np.int64)
+    nlens = np.ascontiguousarray(nlens, dtype=np.int64)
+    B, Mmax = xb.shape
+    Nmax = yb.shape[1]
+    st_w = np.empty((B, wcap + 1), dtype=np.int32)
+    en_w = np.empty((B, wcap + 1), dtype=np.int32)
+    c0 = np.empty(B, dtype=np.int64)
+    nle = np.empty(B, dtype=np.int64)
+    cells = np.empty(B, dtype=np.int64)
+    jwin = np.empty((B, 2), dtype=np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.band_build_batch(
+        xb.ctypes.data_as(u8p), mlens.ctypes.data_as(i64p),
+        ctypes.c_int64(Mmax),
+        yb.ctypes.data_as(u8p), nlens.ctypes.data_as(i64p),
+        ctypes.c_int64(Nmax), ctypes.c_int64(B),
+        ctypes.c_int64(k), ctypes.c_int64(w),
+        ctypes.c_int64(clips[0]), ctypes.c_int64(clips[1]),
+        ctypes.c_int64(clips[2]), ctypes.c_int64(clips[3]),
+        ctypes.c_int64(match_score), ctypes.c_int64(go_neg),
+        ctypes.c_int64(ge_neg), ctypes.c_int64(nthreads),
+        ctypes.c_int64(1 if crop else 0), ctypes.c_int64(wcap),
+        st_w.ctypes.data_as(i32p), en_w.ctypes.data_as(i32p),
+        c0.ctypes.data_as(i64p), nle.ctypes.data_as(i64p),
+        cells.ctypes.data_as(i64p), jwin.ctypes.data_as(i64p),
+    )
+    return st_w, en_w, c0, nle, cells, jwin
+
+
+def banded_batch(
+    xb: np.ndarray, mlens: np.ndarray, yb: np.ndarray, nlens: np.ndarray,
+    k: int, w: int, clips, match_score: int, mismatch_score: int,
+    gap_open: int, gap_extend: int, nthreads: int = 0,
+):
+    """Threaded native banded-aligner batch (band build + banded DP +
+    walk per pair, banded_dp.hpp): returns (scores (B,) i32, coords
+    (B, 4) i32 xstart/ystart/xend/yend, ops_code (B, cap) u8, ops_len
+    (B, cap) i32 start->end RLE entries, n_ops (B,) i32) or None when
+    the library is unavailable.  n_ops -1 = band over MAX_CELLS (empty
+    MIN_SCORE alignment); -2 = RLE overflow (retry that pair on the
+    Python host path)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "banded_batch"):
+        return None
+    xb = np.ascontiguousarray(xb, dtype=np.uint8)
+    yb = np.ascontiguousarray(yb, dtype=np.uint8)
+    mlens = np.ascontiguousarray(mlens, dtype=np.int64)
+    nlens = np.ascontiguousarray(nlens, dtype=np.int64)
+    B, Mmax = xb.shape
+    Nmax = yb.shape[1]
+    cap = Mmax + Nmax + 8
+    scores = np.empty(B, dtype=np.int32)
+    coords = np.empty((B, 4), dtype=np.int32)
+    ops_code = np.empty((B, cap), dtype=np.uint8)
+    ops_len = np.empty((B, cap), dtype=np.int32)
+    n_ops = np.empty(B, dtype=np.int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.banded_batch(
+        xb.ctypes.data_as(u8p), mlens.ctypes.data_as(i64p),
+        ctypes.c_int64(Mmax),
+        yb.ctypes.data_as(u8p), nlens.ctypes.data_as(i64p),
+        ctypes.c_int64(Nmax), ctypes.c_int64(B),
+        ctypes.c_int64(k), ctypes.c_int64(w),
+        ctypes.c_int64(clips[0]), ctypes.c_int64(clips[1]),
+        ctypes.c_int64(clips[2]), ctypes.c_int64(clips[3]),
+        ctypes.c_int64(match_score), ctypes.c_int64(mismatch_score),
+        ctypes.c_int64(gap_open), ctypes.c_int64(gap_extend),
+        ctypes.c_int64(nthreads), ctypes.c_int64(cap),
+        scores.ctypes.data_as(i32p), coords.ctypes.data_as(i32p),
+        ops_code.ctypes.data_as(u8p), ops_len.ctypes.data_as(i32p),
+        n_ops.ctypes.data_as(i32p),
+    )
+    return scores, coords, ops_code, ops_len, n_ops
 
 
 def sdpkpp_native(xs, ys, k, match_score, go_neg, ge_neg):

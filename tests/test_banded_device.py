@@ -181,6 +181,7 @@ def test_native_band_build_matches_python():
         np.testing.assert_array_equal(got.ends, want.ends, err_msg=str(trial))
 
 
+@pytest.mark.slow
 def test_banded_crop_long_targets_matches_host():
     """Column-window crop (free y clips): short reads vs long targets at
     every tail parity/offset must produce the HOST banded aligner's exact
@@ -241,3 +242,45 @@ def test_banded_crop_long_targets_matches_host():
             assert got[i].operations == want.operations, (mode, i)
             for f in ("xstart", "xend", "ystart", "yend"):
                 assert getattr(got[i], f) == getattr(want, f), (mode, i, f)
+
+
+def test_native_host_fallback_matches_python_host():
+    """Shapes the transposed kernel cannot hold (kb-scale queries) route
+    to the threaded native banded pipeline (banded_dp.hpp); results must
+    be identical to the per-pair Python host path (itself the oracle)."""
+    import numpy as np
+
+    from rust_bio_tpu.alignment.pairwise.banded_device import (
+        BatchBandedAligner,
+    )
+    from rust_bio_tpu.alignment.pairwise.scoring import Scoring
+    from rust_bio_tpu.ops.sw_pallas import transposed_feasible
+
+    rng = np.random.default_rng(57)
+    B, M, N = 4, 1500, 4000
+    sc = Scoring.from_scores(-5, -1, 2, -2)
+    xs, ys = [], []
+    for _ in range(B):
+        y = rng.choice(list(b"ACGT"), size=N).astype(np.uint8).tobytes()
+        s = int(rng.integers(0, N - M))
+        x = bytearray(y[s : s + M])
+        for _ in range(20):
+            x[int(rng.integers(0, M))] = int(rng.choice(list(b"ACGT")))
+        xs.append(bytes(x))
+        ys.append(y)
+    # no-kmer-match junk pair exercises the full-matrix band
+    xs.append(rng.choice(list(b"ACGT"), size=40).astype(np.uint8).tobytes())
+    ys.append(rng.choice(list(b"ACGT"), size=60).astype(np.uint8).tobytes())
+
+    assert not transposed_feasible(8, M, 2048), "shape must be infeasible"
+    bat = BatchBandedAligner(sc, 8, 8)
+    got = bat.semiglobal(xs, ys)
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        want = bat._host_one(
+            sc.with_clips(-858993459, -858993459, 0, 0), x, y,
+            got[i].mode, True,
+        )
+        assert got[i].score == want.score, i
+        assert got[i].operations == want.operations, i
+        for f in ("xstart", "xend", "ystart", "yend"):
+            assert getattr(got[i], f) == getattr(want, f), (i, f)

@@ -166,6 +166,7 @@ def test_mxu_rank_matches_gather_rank():
     assert (got == want).all()
 
 
+@pytest.mark.slow
 def test_fused_search_matches_scan_path():
     """The fused Pallas search kernel (ops/fm_pallas.py) must be
     bit-identical to the XLA lax.scan path on every output, including
@@ -324,6 +325,7 @@ def test_device_all_smems_match_host():
         assert got[b] == fmd.all_smems(p, 5), (b, p)
 
 
+@pytest.mark.slow
 def test_device_smems_mapper_mode_matches_default():
     """mapper_mode skips lower_rev updates in the backward phase; lower,
     size, start and match length must stay exactly the host oracle's."""

@@ -149,6 +149,7 @@ def test_exact_reference_bench_semiglobal_banded():
         assert got_u == pytest.approx(want_u, rel=1e-12, abs=1e-12)
 
 
+@pytest.mark.slow
 def test_exact_global_random_batch():
     with jax.enable_x64(True):
         rng = np.random.default_rng(5)
@@ -161,6 +162,7 @@ def test_exact_global_random_batch():
             assert got[i] == pytest.approx(want, rel=1e-12, abs=1e-12), i
 
 
+@pytest.mark.slow
 def test_exact_semiglobal_random_batch_banded():
     with jax.enable_x64(True):
         rng = np.random.default_rng(6)
@@ -183,6 +185,7 @@ def test_exact_semiglobal_random_batch_banded():
                 ), (i, med)
 
 
+@pytest.mark.slow
 def test_exact_extend_gaps_sequential_path():
     """Finite gap extends exercise the in-row sequential fy recurrence."""
     with jax.enable_x64(True):
@@ -249,3 +252,48 @@ def test_exact_degenerate_lanes():
         for i in range(3):
             want = _oracle(xs[i], ys[i], Global())
             assert got[i] == pytest.approx(want, rel=1e-12, abs=1e-12), i
+
+
+def test_cpu_pairhmm_twin_parity(tmp_path):
+    """The -O3 C++ baseline twin (baselines/cpu_pairhmm.cpp) must match
+    the host PairHMM oracle to f64 rounding on the reference bench
+    geometry, banded and unbanded: the `pairhmm_exact_vs_baseline` bench
+    row divides by this twin."""
+    import os
+    import subprocess
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(here, "baselines", "cpu_pairhmm.cpp")
+    exe = os.path.join(str(tmp_path), "cpu_pairhmm")
+    subprocess.run(["g++", "-O2", "-o", exe, src], check=True)
+
+    rng = np.random.default_rng(77)
+    pairs = [(BENCH_TEXT, BENCH_PATTERN)]
+    for _ in range(6):
+        M, N = 120, 40
+        x = rng.choice(list(b"ACGT"), size=M).astype(np.uint8).tobytes()
+        s = int(rng.integers(0, M - N))
+        y = bytearray(x[s : s + N])
+        for _ in range(2):
+            y[int(rng.integers(0, N))] = int(rng.choice(list(b"ACGT")))
+        pairs.append((x, bytes(y)))
+
+    for band in (4, -1):
+        inp = [str(len(pairs))]
+        for x, y in pairs:
+            inp += [x.decode(), y.decode()]
+        out = subprocess.run(
+            [exe, "check", str(band)],
+            input="\n".join(inp),
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        got = [float(v) for v in out.stdout.split()]
+        for k, (x, y) in enumerate(pairs):
+            want = _oracle(
+                x, y, Semiglobal(), med=None if band < 0 else band
+            )
+            assert got[k] == pytest.approx(want, rel=1e-12, abs=1e-12), (
+                band, k, got[k], want,
+            )

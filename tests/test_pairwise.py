@@ -109,6 +109,7 @@ class TestBatchedVsScalar:
                 want.yend,
             )
 
+    @pytest.mark.slow
     def test_custom_random_clips(self):
         rng = random.Random(11)
         clip_choices = [MIN_SCORE, 0, -1, -7]

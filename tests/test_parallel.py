@@ -104,6 +104,7 @@ def test_occ_sharded_fmindex_matches_host():
             assert res.interval == expect.interval
 
 
+@pytest.mark.slow
 def test_sharded_read_mapper_matches_single_device():
     from rust_bio_tpu import parallel
     from rust_bio_tpu.parallel.pipeline import ShardedReadMapper

@@ -132,6 +132,7 @@ def test_smem_mapper_reverse_and_errors(genome, smem_mapper):
         assert m.score == 97 * 2 - 3 * 2
 
 
+@pytest.mark.slow
 def test_smem_beats_fixed_window_seeding(genome, mapper, smem_mapper):
     # a read whose every fixed seed window straddles an error: the classic
     # mapper misses it, the SMEM mapper maps it
@@ -146,6 +147,7 @@ def test_smem_beats_fixed_window_seeding(genome, mapper, smem_mapper):
     assert out_smem[0].pos == s
 
 
+@pytest.mark.slow
 def test_smem_mapper_overflow_retry_paths(genome):
     """Slot-overflow lanes must route through the doubled-budget device
     retry and (if still overflowing) the host oracle, with results
@@ -184,6 +186,7 @@ def test_smem_mapper_overflow_retry_paths(genome):
         ), k
 
 
+@pytest.mark.slow
 def test_map_batch_chunked_pipeline_identity(genome, mapper, smem_mapper):
     """Batches >= 2*_PIPE_CHUNK route through the internal chunked
     pipeline; results must be order-identical to the direct path for
@@ -211,6 +214,7 @@ def test_map_batch_chunked_pipeline_identity(genome, mapper, smem_mapper):
             )
 
 
+@pytest.mark.slow
 def test_smem_mapper_ragged_lengths(genome, smem_mapper):
     """Mixed read lengths exercise the vectorized per-length revcomp
     grouping (_rc_pb) and the packed extension's ragged mlens/nlens;

@@ -61,6 +61,7 @@ def test_pallas_subs_tensor_kernel_matches_oracle():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_full_scan_engine_chunked_matches_scalar(monkeypatch):
     """Full traceback engine through the chunked Pallas scan, multi-chunk
     path forced (K < N), vs the scalar aligner."""
@@ -248,6 +249,7 @@ def test_semiglobal_lut_streamed_kernel_blosum(monkeypatch):
         assert got[k].operations == want.operations, (k, x, y)
 
 
+@pytest.mark.slow
 def test_custom_transposed_kernel_random_clips(monkeypatch):
     """General-clip transposed kernel vs scalar: random clip combos
     including local (0,0,0,0), multi-chunk forced."""
@@ -477,6 +479,7 @@ def test_block_row_engine_matches_single_block(monkeypatch):
         assert o1 == o2, k
 
 
+@pytest.mark.slow
 def test_block_row_segmented_walk_long_sequences():
     """Long sequences (M > 1024: segmented sweep walk, real row seams)
     through the public dispatch, vs the scalar oracle; half the lanes are
@@ -572,6 +575,7 @@ def test_lut_rank_compaction_edge_bytes():
         assert got2[i].operations == want.operations, i
 
 
+@pytest.mark.slow
 def test_custom_sweep_walk_matches_gather_walk(monkeypatch):
     """The general-clip column-sweep walk must produce exactly the ops of
     the per-step-gather walk (multi-chunk forced), across clip configs
@@ -634,6 +638,7 @@ def test_custom_sweep_walk_matches_gather_walk(monkeypatch):
                 assert int(up[key][k]) == int(old[key][k]), (clips, k, key)
 
 
+@pytest.mark.slow
 def test_sweep_walks_degenerate_lengths():
     """1-char and highly ragged pairs through all sweep-walked modes."""
     from rust_bio_tpu.alignment.pairwise.scalar import Aligner
@@ -654,6 +659,7 @@ def test_sweep_walks_degenerate_lengths():
             ), (mode, i)
 
 
+@pytest.mark.slow
 def test_custom_sweep_walk_column0_ins_run():
     """A custom-mode path that enters column 0's I-layer with a multi-row
     insertion run (gap beats the x-prefix clip): regression for the sweep
@@ -686,6 +692,7 @@ def test_custom_sweep_walk_column0_ins_run():
             assert res[i].operations == w.operations, (xs[i], ys[i])
 
 
+@pytest.mark.slow
 def test_sweep_walks_tiny_row_count():
     """Batches whose padded M+1 <= 8 (fewer rows than the largest ins-run
     nibble shift) through all sweep-walked modes: regression for
@@ -703,6 +710,7 @@ def test_sweep_walks_tiny_row_count():
             assert got.operations == want.operations, (mode, x, y)
 
 
+@pytest.mark.slow
 def test_local_engine_matches_custom_engine(monkeypatch):
     """The specialized local kernel (clips == 0) must emit byte-identical
     scan outputs to the general-clip kernel (tb layer bits, Lx columns,
@@ -780,6 +788,7 @@ def test_local_engine_matches_custom_engine(monkeypatch):
             assert res[k].operations == want_a.operations, (trial, k, x, y)
 
 
+@pytest.mark.slow
 def test_sweep_walks_long_insertion_runs():
     """Paths with vertical insertion runs far beyond the 15-cell run
     nibble (x >> y) must still decode exactly: exercises the walks' rare
@@ -814,6 +823,7 @@ def test_sweep_walks_long_insertion_runs():
             assert res[k].operations == want.operations, (mode, k)
 
 
+@pytest.mark.slow
 def test_block_row_engine_medium_m_walk():
     """M in the transposed-infeasible but X <= 1024 range routes the
     block-row engine's REREAD-containing, nibble-less tb to the SEGMENTED
@@ -833,6 +843,7 @@ def test_block_row_engine_medium_m_walk():
         assert res[k].operations == want.operations, k
 
 
+@pytest.mark.slow
 def test_dispatch_fuzz_engine_boundaries():
     """Random ragged pairs across the shape bands that cross engine
     boundaries (tiny / long-x / long-y / bench-shape), all three public
