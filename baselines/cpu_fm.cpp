@@ -34,10 +34,12 @@ static std::vector<int64_t> suffix_array_sais(const std::vector<uint8_t>& t) {
 }
 
 struct Occ {
-  // checkpoints every k rows per symbol byte: occ[a][i] = count of a in
-  // bwt[0 .. i*k)
+  // checkpoints every k rows per PRESENT symbol (the reference's Occ is
+  // alphabet-sized, bwt.rs:76-92 — a dense 256-row table would cost
+  // 16 GB at a 1 Gbp text): occ[sym_id][i] = count in bwt[0 .. i*k)
   int k;
-  std::vector<std::vector<uint32_t>> table;  // [256][n/k + 1]
+  std::vector<std::vector<uint32_t>> table;  // [n_syms][n/k + 1]
+  int sym_id[256];
   const uint8_t* bwt;
   int64_t n;
 
@@ -45,31 +47,37 @@ struct Occ {
     k = k_;
     n = (int64_t)b.size();
     bwt = b.data();
+    for (int a = 0; a < 256; a++) sym_id[a] = -1;
+    int ns = 0;
+    for (int64_t i = 0; i < n; i++)
+      if (sym_id[b[i]] < 0) sym_id[b[i]] = ns++;
     int64_t ncp = n / k + 1;
-    table.assign(256, std::vector<uint32_t>(ncp, 0));
-    std::vector<uint32_t> cur(256, 0);
+    table.assign(ns, std::vector<uint32_t>(ncp, 0));
+    std::vector<uint32_t> cur(ns, 0);
     for (int64_t i = 0; i < n; i++) {
       if (i % k == 0) {
         int64_t cp = i / k;
-        for (int a = 0; a < 256; a++) table[a][cp] = cur[a];
+        for (int a = 0; a < ns; a++) table[a][cp] = cur[a];
       }
-      cur[b[i]]++;
+      cur[sym_id[b[i]]]++;
     }
   }
 
   // count of symbol a in bwt[0 ..= r] (bwt.rs:129-182): nearest checkpoint,
   // counting forward from the one at/below r or backward from the one above
   inline uint32_t get(int64_t r, uint8_t a) const {
+    int id = sym_id[a];
+    if (id < 0) return 0;
     int64_t cp = r / k;
     int64_t lo = cp * k;
     int64_t hi = lo + k;  // next checkpoint row (may be past n)
     if (r - lo < hi - 1 - r || hi >= n) {
-      uint32_t c = table[a][cp];
+      uint32_t c = table[id][cp];
       const uint8_t* p = bwt + lo;
       for (int64_t i = lo; i <= r; i++) c += (*p++ == a);
       return c;
     }
-    uint32_t c = table[a][cp + 1];
+    uint32_t c = table[id][cp + 1];
     const uint8_t* p = bwt + r + 1;
     uint32_t sub = 0;
     for (int64_t i = r + 1; i < hi; i++) sub += (*p++ == a);
@@ -88,9 +96,17 @@ struct FM {
     bwt.resize(n);
     for (int64_t i = 0; i < n; i++)
       bwt[i] = text[(sa[i] + n - 1) % n];
+    build_from_bwt_inplace(occ_k);
+  }
+
+  // genome-scale anchor path: the caller injects a prebuilt BWT (build
+  // time is not measured; the 1 Gbp int64 SA build would cost ~24 GB and
+  // ~10 min per bench run).  `less` from BWT counts == from text counts
+  // (the BWT is a permutation of the text).
+  void build_from_bwt_inplace(int occ_k) {
     less.assign(257, 0);
-    int64_t counts[256] = {0};
-    for (uint8_t c : text) counts[c]++;
+    std::vector<int64_t> counts(256, 0);
+    for (uint8_t c : bwt) counts[c]++;
     for (int a = 1; a <= 256; a++) less[a] = less[a - 1] + counts[a - 1];
     occ.build(bwt, occ_k);
   }
@@ -116,6 +132,53 @@ struct FM {
 };
 
 int main(int argc, char** argv) {
+  // --bwt <bwtfile> <patsfile> <B> <L> <occ_k> <iters>: query a prebuilt
+  // index (the 1 Gbp anchor row; patterns are raw B*L bytes)
+  if (argc >= 8 && strcmp(argv[1], "--bwt") == 0) {
+    const char* bwtfile = argv[2];
+    const char* patfile = argv[3];
+    int B = atoi(argv[4]);
+    int L = atoi(argv[5]);
+    int occ_k = atoi(argv[6]);
+    int iters = atoi(argv[7]);
+    FM fm;
+    {
+      FILE* f = fopen(bwtfile, "rb");
+      if (!f) return 2;
+      fseek(f, 0, SEEK_END);
+      int64_t n = ftell(f);
+      fseek(f, 0, SEEK_SET);
+      fm.bwt.resize(n);
+      if ((int64_t)fread(fm.bwt.data(), 1, n, f) != n) return 2;
+      fclose(f);
+    }
+    fm.build_from_bwt_inplace(occ_k);
+    std::vector<uint8_t> pats((size_t)B * L);
+    {
+      FILE* f = fopen(patfile, "rb");
+      if (!f) return 2;
+      if (fread(pats.data(), 1, pats.size(), f) != pats.size()) return 2;
+      fclose(f);
+    }
+    volatile int64_t sink = 0;
+    for (int b = 0; b < B; b++) {
+      int64_t l, r;
+      sink += fm.backward_search(&pats[(size_t)b * L], L, &l, &r);
+    }
+    double best = 1e100;
+    for (int it = 0; it < iters; it++) {
+      auto t0 = std::chrono::steady_clock::now();
+      for (int b = 0; b < B; b++) {
+        int64_t l, r;
+        sink += fm.backward_search(&pats[(size_t)b * L], L, &l, &r) + l + r;
+      }
+      double dt = std::chrono::duration<double>(
+          std::chrono::steady_clock::now() - t0).count();
+      best = std::min(best, dt);
+    }
+    printf("%.2f\n", B / best);
+    return (int)(sink & 1);
+  }
   int64_t text_len = argc > 1 ? atoll(argv[1]) : 100000;
   int B = argc > 2 ? atoi(argv[2]) : 65536;
   int L = argc > 3 ? atoi(argv[3]) : 20;

@@ -639,6 +639,289 @@ def _smem_reads_per_s():
     return batch_rate, stream_rate
 
 
+_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_cache"
+)
+
+_ACGT_LUT = np.frombuffer(b"ACGT", np.uint8)
+
+
+def _dna_text(G: int, seed: int) -> bytes:
+    """Vectorized random DNA text (a per-char Python loop costs minutes
+    at Gbp scale)."""
+    rng = np.random.default_rng(seed)
+    return _ACGT_LUT[rng.integers(0, 4, size=G, dtype=np.uint8)].tobytes()
+
+
+def _repeat_genome(G: int, seed: int):
+    """Repeat-structured genome: ~20% of the sequence is segmental
+    duplications (0.5-3 kb copies) plus tandem repeats (2-50 bp units,
+    10-100 copies) pasted over a random backbone — the regime that
+    stresses SMEM slot compaction, the overflow retries, and locate at
+    wide intervals (random texts are the EASY case for FM seeding).
+    Returns (genome bytes, uniquely_mappable (G,) bool mask: positions
+    never overwritten by a paste)."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 4, size=G, dtype=np.uint8)
+    pasted = np.zeros(G, bool)
+    dup_target = int(G * 0.15)
+    placed = 0
+    while placed < dup_target:
+        L = int(rng.integers(500, 3000))
+        src = int(rng.integers(0, G - L))
+        dst = int(rng.integers(0, G - L))
+        base[dst : dst + L] = base[src : src + L]
+        pasted[dst : dst + L] = True
+        # the SOURCE copy is no longer uniquely mappable either
+        pasted[src : src + L] = True
+        placed += L
+    tr_target = int(G * 0.05)
+    placed = 0
+    while placed < tr_target:
+        u = int(rng.integers(2, 50))
+        reps = int(rng.integers(10, 100))
+        L = u * reps
+        dst = int(rng.integers(0, G - L))
+        base[dst : dst + L] = np.tile(
+            rng.integers(0, 4, size=u, dtype=np.uint8), reps
+        )
+        pasted[dst : dst + L] = True
+        placed += L
+    return _ACGT_LUT[base].tobytes(), ~pasted
+
+
+def _fm_1gbp_rates():
+    """Human-genome-scale FM search: 1 Gbp text, HBM bit-plane rank +
+    q=12 LUT jump, vs the cpu_fm twin queried on the SAME text (the twin
+    gets the cached BWT injected — its own 1 Gbp int64 SA build would
+    cost ~24 GB/10 min per bench run; build time is unmeasured in every
+    FM row).  The index is built once (native u8/i32 SAIS) and cached
+    under .bench_cache/.  Returns (lut q/s, plain q/s, twin q/s)."""
+    import gc
+    import jax
+    import jax.numpy as jnp
+
+    from rust_bio_tpu.alphabets import dna
+    from rust_bio_tpu.data_structures.bwt import bwt
+    from rust_bio_tpu.data_structures.fm_device import DeviceFMIndex
+    from rust_bio_tpu.data_structures.serialize import (
+        load_fm_index,
+        save_fm_index,
+    )
+    from rust_bio_tpu.data_structures.suffix_array import suffix_array
+
+    G = 1_000_000_000
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    cache = os.path.join(_CACHE_DIR, "fm_1gbp_v1.npz")
+    text = _dna_text(G, 23) + b"$"
+    if os.path.exists(cache):
+        idx = load_fm_index(cache)
+        assert idx.n == G + 1
+    else:
+        t0 = time.perf_counter()
+        sa = suffix_array(text)
+        t_sa = time.perf_counter() - t0
+        idx = DeviceFMIndex(bwt(text, sa), dna.n_alphabet())
+        del sa
+        gc.collect()
+        idx.build_kmer_lut(q=12)
+        save_fm_index(cache, idx, compress=False)
+        print(
+            f"fm_1gbp: built (SAIS {t_sa:.0f}s, total "
+            f"{time.perf_counter() - t0:.0f}s), cached to {cache}",
+            file=sys.stderr,
+        )
+    assert idx._fs_cfg is None and not idx._mxu_swt
+
+    rng = np.random.default_rng(27)
+    B, L = 65536, 20
+    starts = rng.integers(0, G - L - 1, size=B)
+    tarr = np.frombuffer(text, dtype=np.uint8)
+    pats = tarr[starts[:, None] + np.arange(L)[None, :]]
+    plens = np.full(B, L, dtype=np.int32)
+    pats_d, plens_d = jnp.asarray(pats), jnp.asarray(plens)
+
+    st, lo, up, ml = idx.search_batch_lut(pats[:2048], plens[:2048])
+    assert (st == 2).all() and (ml == L).all()
+    _, _, _, _, miss = jax.tree.map(
+        np.asarray, idx._search_kernel_lut(pats_d, plens_d)
+    )
+    assert not miss.any()
+
+    K = 8
+
+    def run_lut():
+        s = None
+        for _ in range(K):
+            out = idx._search_kernel_lut(pats_d, plens_d)
+            s = out[3] if s is None else s + out[3]
+        _ = np.asarray(s).sum()
+
+    run_lut()
+    lut_rate = K * B / _best_of(run_lut, 3)
+
+    def run_plain():
+        s = None
+        for _ in range(K):
+            out = idx._search_kernel(pats_d, plens_d)
+            s = out[3] if s is None else s + out[3]
+        _ = np.asarray(s).sum()
+
+    run_plain()
+    plain_rate = K * B / _best_of(run_plain, 3)
+
+    # twin on the SAME text: inject the cached BWT + real-substring pats
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "baselines", "cpu_fm.cpp")
+    exe = os.path.join(here, "baselines", "cpu_fm")
+    if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-o", exe, src], check=True
+        )
+    bwt_path = os.path.join(_CACHE_DIR, "fm_1gbp_bwt.bin")
+    if not os.path.exists(bwt_path):
+        np.asarray(idx.bwt_bytes).tofile(bwt_path)
+    Bt = 16384
+    pat_path = os.path.join(_CACHE_DIR, "fm_1gbp_pats.bin")
+    pats[:Bt].tofile(pat_path)
+    out = subprocess.run(
+        [exe, "--bwt", bwt_path, pat_path, str(Bt), str(L), "64", "2"],
+        check=True,
+        capture_output=True,
+        text=True,
+    )
+    cpu_rate = float(out.stdout.strip().splitlines()[-1])
+
+    del idx
+    gc.collect()
+    return lut_rate, plain_rate, cpu_rate
+
+
+def _smem_300mbp_reads_per_s() -> float:
+    """End-to-end SMEM mapping at 300 Mbp (600 Mbp FMD text), 100 bp
+    reads with 2 errors, streamed (production shape).  The FMD index is
+    built once (native SAIS) and cached under .bench_cache/."""
+    import gc
+
+    from rust_bio_tpu.pipelines.read_mapper import SmemReadMapper
+
+    G = 300_000_000
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    cache = os.path.join(_CACHE_DIR, "smem_300mbp_v1.npz")
+    genome = _dna_text(G, 29)
+    t0 = time.perf_counter()
+    fresh = not os.path.exists(cache)
+    mapper = SmemReadMapper(genome, min_seed_len=19, index_cache=cache)
+    if fresh:
+        print(
+            f"smem_300mbp: built + cached in {time.perf_counter() - t0:.0f}s",
+            file=sys.stderr,
+        )
+    rng = np.random.default_rng(31)
+    B, L, NB = 1024, 100, 4
+    batches = []
+    all_starts = []
+    for _ in range(NB):
+        starts = rng.integers(0, G - L, size=B)
+        reads = []
+        for s in starts:
+            r = bytearray(genome[s : s + L])
+            for _ in range(2):
+                r[int(rng.integers(0, L))] = int(rng.choice(list(b"ACGT")))
+            reads.append(bytes(r))
+        batches.append(reads)
+        all_starts.append(starts)
+    outs = [m for batch in mapper.map_stream(batches) for m in batch]
+    ok = sum(
+        1 for m, s in zip(outs, np.concatenate(all_starts)) if m.pos == s
+    )
+    assert ok >= NB * B * 85 // 100, f"only {ok}/{NB * B} mapped at 300 Mbp"
+
+    def run():
+        for _ in mapper.map_stream(batches):
+            pass
+
+    rate = NB * B / _best_of(run, 3)
+    del mapper
+    gc.collect()
+    return rate
+
+
+def _smem_repeats_rates():
+    """SMEM mapping on a repeat-structured genome (the HARD case for FM
+    seeding: ~20% duplications + tandem repeats).  Returns (1 Mbp-class
+    reads/s, fraction of uniquely-originating reads mapped to their true
+    position, 50 Mbp-class reads/s)."""
+    import gc
+
+    from rust_bio_tpu.pipelines.read_mapper import SmemReadMapper
+
+    # --- 1 Mbp class ---
+    G1 = 1_000_000
+    genome, uniq = _repeat_genome(G1, 41)
+    mapper = SmemReadMapper(genome, min_seed_len=19)
+    rng = np.random.default_rng(43)
+    B, L = 8192, 100
+    # cumulative mask: a read start is "uniquely originating" iff its
+    # whole window avoids pasted regions
+    cm = np.concatenate([[0], np.cumsum(~uniq)])
+    starts = rng.integers(0, G1 - L, size=B)
+    read_uniq = (cm[starts + L] - cm[starts]) == 0
+    reads = _mut_reads(genome, starts, L, rng)
+    out = mapper.map_batch(reads)
+    okn = sum(
+        1
+        for m, s, u in zip(out, starts, read_uniq)
+        if u and m.pos == s
+    )
+    nu = int(read_uniq.sum())
+    frac = okn / max(nu, 1)
+    assert frac >= 0.9, f"only {okn}/{nu} uniquely-mappable reads mapped"
+
+    def run():
+        mapper.map_batch(reads)
+
+    rate1 = B / _best_of(run, 3)
+    del mapper
+    gc.collect()
+
+    # --- 50 Mbp class ---
+    G50 = 50_000_000
+    genome50, uniq50 = _repeat_genome(G50, 47)
+    mapper50 = SmemReadMapper(genome50, min_seed_len=19)
+    cm50 = np.concatenate([[0], np.cumsum(~uniq50)])
+    NB = 4
+    batches = []
+    metas = []
+    for _ in range(NB):
+        starts = rng.integers(0, G50 - L, size=1024)
+        ru = (cm50[starts + L] - cm50[starts]) == 0
+        batches.append(_mut_reads(genome50, starts, L, rng))
+        metas.append((starts, ru))
+    outs = [m for batch in mapper50.map_stream(batches) for m in batch]
+    okn = 0
+    nu = 0
+    flat = [
+        (s, u)
+        for starts, ru in metas
+        for s, u in zip(starts, ru)
+    ]
+    for m, (s, u) in zip(outs, flat):
+        if u:
+            nu += 1
+            okn += m.pos == s
+    assert okn >= nu * 85 // 100, f"only {okn}/{nu} at 50 Mbp repeats"
+
+    def run50():
+        for _ in mapper50.map_stream(batches):
+            pass
+
+    rate50 = NB * 1024 / _best_of(run50, 3)
+    del mapper50
+    gc.collect()
+    return rate1, frac, rate50
+
+
 def _fixed_window_mapper_reads_per_s() -> float:
     """Fixed-window seed-and-extend mapper (ReadMapper): 1 Mbp genome,
     100 bp error-free-window reads, both strands, full CIGARs."""
@@ -1039,6 +1322,30 @@ def main() -> None:
         print(f"fixed-window mapper bench failed: {e}", file=sys.stderr)
         fw_rate = None
 
+    try:
+        rep1, rep_frac, rep50 = _smem_repeats_rates()
+        rep1 = round(rep1, 2)
+        rep50 = round(rep50, 2)
+        rep_frac = round(rep_frac, 4)
+    except Exception as e:
+        print(f"smem repeats bench failed: {e}", file=sys.stderr)
+        rep1 = rep50 = rep_frac = None
+
+    try:
+        fm1g_lut, fm1g_plain, fm1g_cpu = _fm_1gbp_rates()
+        fm_1gbp = round(fm1g_lut, 2)
+        fm_1gbp_vs = round(fm1g_lut / fm1g_cpu, 3)
+        fm_1gbp_plain = round(fm1g_plain, 2)
+    except Exception as e:
+        print(f"fm 1gbp bench failed: {e}", file=sys.stderr)
+        fm_1gbp = fm_1gbp_vs = fm_1gbp_plain = None
+
+    try:
+        smem300 = round(_smem_300mbp_reads_per_s(), 2)
+    except Exception as e:
+        print(f"smem 300mbp bench failed: {e}", file=sys.stderr)
+        smem300 = None
+
     print(
         json.dumps(
             {
@@ -1070,6 +1377,13 @@ def main() -> None:
                 "smem_mapper_reads_per_s": smem_rate,
                 "smem_mapper_streamed_reads_per_s": smem_stream_rate,
                 "smem_mapper_50mbp_reads_per_s": smem50,
+                "smem_mapper_300mbp_reads_per_s": smem300,
+                "smem_mapper_repeats_reads_per_s": rep1,
+                "smem_mapper_repeats_unique_mapped_frac": rep_frac,
+                "smem_mapper_repeats_50mbp_reads_per_s": rep50,
+                "fm_1gbp_queries_per_s": fm_1gbp,
+                "fm_1gbp_vs_baseline": fm_1gbp_vs,
+                "fm_1gbp_nolut_queries_per_s": fm_1gbp_plain,
                 "fixed_window_mapper_reads_per_s": fw_rate,
                 "banded_long_pairs_per_s": banded_rate,
                 "banded_long_sync_pairs_per_s": banded_sync,

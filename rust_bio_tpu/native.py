@@ -96,6 +96,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         except AttributeError:
             pass  # stale .so without the genome-scale entry points
         try:
+            u16p = ctypes.POINTER(ctypes.c_uint16)
+            lib.cigars_colrle.argtypes = [
+                u16p, u16p, ctypes.c_int64, ctypes.c_int64,
+                i32p, i32p, i32p, i32p, i32p, i32p, i32p,
+                ctypes.c_int64, ctypes.c_char_p, i32p, ctypes.c_int64,
+            ]
+            lib.cigars_colrle.restype = None
+        except AttributeError:
+            pass  # stale .so without the CIGAR emitter
+        try:
             u8pp = u8p
             lib.banded_batch.argtypes = [
                 u8pp, i64p, ctypes.c_int64, u8pp, i64p, ctypes.c_int64,
@@ -302,6 +312,49 @@ def band_build_batch(
         cells.ctypes.data_as(i64p), jwin.ctypes.data_as(i64p),
     )
     return st_w, en_w, c0, nle, cells, jwin
+
+
+def cigars_colrle(
+    ex: np.ndarray, cnt: np.ndarray, nlens, mlens, ins0, fix_exit,
+    fix_ins, xstart, xend, nthreads: int = 0,
+):
+    """Threaded native column-RLE -> CIGAR strings: returns a list of B
+    strings, or None when the library is unavailable or any row
+    overflows the emit buffer (caller falls back to the numpy path).
+
+    ``ex``/``cnt``: (B, N) row-major uint16 exit codes / ins runs."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "cigars_colrle"):
+        return None
+    ex = np.ascontiguousarray(ex, dtype=np.uint16)
+    cnt = np.ascontiguousarray(cnt, dtype=np.uint16)
+    B, N = ex.shape
+    cap = 12 * N + 48
+    out = np.empty(B * cap, dtype=np.uint8)
+    out_len = np.empty(B, dtype=np.int32)
+    a32 = lambda v: np.ascontiguousarray(v, dtype=np.int32)
+    nlens, mlens, ins0 = a32(nlens), a32(mlens), a32(ins0)
+    fix_exit, fix_ins = a32(fix_exit), a32(fix_ins)
+    xstart, xend = a32(xstart), a32(xend)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.cigars_colrle(
+        ex.ctypes.data_as(u16p), cnt.ctypes.data_as(u16p),
+        ctypes.c_int64(B), ctypes.c_int64(N),
+        nlens.ctypes.data_as(i32p), mlens.ctypes.data_as(i32p),
+        ins0.ctypes.data_as(i32p), fix_exit.ctypes.data_as(i32p),
+        fix_ins.ctypes.data_as(i32p), xstart.ctypes.data_as(i32p),
+        xend.ctypes.data_as(i32p), ctypes.c_int64(cap),
+        out.ctypes.data_as(ctypes.c_char_p), out_len.ctypes.data_as(i32p),
+        ctypes.c_int64(nthreads),
+    )
+    if (out_len < 0).any():
+        return None
+    raw = out.tobytes()
+    return [
+        raw[b * cap : b * cap + int(out_len[b])].decode()
+        for b in range(B)
+    ]
 
 
 def banded_batch(

@@ -394,7 +394,14 @@ class SmemReadMapper(ReadMapper):
         min_seed_len: int = 19,
         flank: int = 8,
         sa_sampling_rate: int = 8,
+        index_cache: Optional[str] = None,
     ) -> None:
+        # ``index_cache``: path to a serialized FMD DeviceFMIndex
+        # (serialize.save_fm_index).  When the file exists the SAIS/BWT
+        # build (~minutes per 100 Mbp of genome) is skipped and the index
+        # is rehydrated straight into HBM; when absent it is built once
+        # and saved (uncompressed — GB-scale artifacts).
+        #
         # sa_sampling_rate 8 (not the serialization default 32): the locate
         # LF-walk is a lockstep while_loop over <= s sequential rank steps
         # (~0.9 ms each), and the sample array is 4 bytes per s text chars —
@@ -406,12 +413,31 @@ class SmemReadMapper(ReadMapper):
         self.genome = to_bytes(genome)
         self._genome_np = np.frombuffer(self.genome, np.uint8)
         G = len(self.genome)
-        text = self.genome + b"$" + dna.revcomp(self.genome) + b"$"
-        sa = suffix_array(text)
-        b = bwt(text, sa)
-        alpha = dna.n_alphabet()
-        alpha.insert(ord("$"))
-        self.index = DeviceFMIndex(b, alpha, sa=sa, sampling_rate=sa_sampling_rate)
+        import os as _os
+
+        if index_cache is not None and _os.path.exists(index_cache):
+            from rust_bio_tpu.data_structures.serialize import load_fm_index
+
+            self.index = load_fm_index(index_cache)
+            assert self.index.n == 2 * G + 2, (
+                "cached index does not match this genome's FMD text length"
+            )
+            b = np.asarray(self.index.bwt_bytes)
+        else:
+            text = self.genome + b"$" + dna.revcomp(self.genome) + b"$"
+            sa = suffix_array(text)
+            b = bwt(text, sa)
+            alpha = dna.n_alphabet()
+            alpha.insert(ord("$"))
+            self.index = DeviceFMIndex(
+                b, alpha, sa=sa, sampling_rate=sa_sampling_rate
+            )
+            if index_cache is not None:
+                from rust_bio_tpu.data_structures.serialize import (
+                    save_fm_index,
+                )
+
+                save_fm_index(index_cache, self.index, compress=False)
         self.fmd = DeviceFMDIndex(self.index)
         self._bwt = b
         self._host_fmd = None  # overflow-fallback oracle, built lazily

@@ -394,3 +394,85 @@ def test_smem_mapper_indel_reads(genome, smem_mapper):
     m = smem_mapper.map_batch([_dna.revcomp(read)])[0]
     assert (m.pos, m.strand) == (s, "-")
     assert re.fullmatch(r"(\d+)=2D(\d+)=", m.cigar), m.cigar
+
+
+def test_smem_mapper_index_cache_roundtrip(genome, tmp_path):
+    """SmemReadMapper(index_cache=...) must build+save on first run and
+    rehydrate an identical-behavior index on the second (the genome-scale
+    bench path: SAIS once, load forever)."""
+    import os
+
+    from rust_bio_tpu.pipelines.read_mapper import SmemReadMapper
+
+    cache = str(tmp_path / "fmd_idx.npz")
+    m1 = SmemReadMapper(genome, min_seed_len=19, index_cache=cache)
+    assert os.path.exists(cache)
+    m2 = SmemReadMapper(genome, min_seed_len=19, index_cache=cache)
+
+    rng = np.random.default_rng(91)
+    starts = [int(s) for s in rng.integers(0, len(genome) - 100, size=12)]
+    reads = []
+    for k, s in enumerate(starts):
+        r = bytearray(genome[s : s + 100])
+        for _ in range(2):
+            r[int(rng.integers(0, 100))] = int(rng.choice(list(b"ACGT")))
+        r = bytes(r)
+        reads.append(dna.revcomp(r) if k % 2 else r)
+    out1 = m1.map_batch(reads)
+    out2 = m2.map_batch(reads)
+    for a, b in zip(out1, out2):
+        assert (a.pos, a.strand, a.score, a.cigar) == (
+            b.pos, b.strand, b.score, b.cigar,
+        )
+    # host-oracle fallback path must also work from a rehydrated index
+    assert m2.host_fmd is not None
+
+
+def test_native_cigar_emitter_matches_numpy_merge():
+    """The threaded native column-RLE CIGAR emitter must byte-match the
+    numpy merge (itself tested against the op-list path) on mixed
+    semiglobal/global batches with clips, long runs, and ragged lens."""
+    import numpy as np
+
+    from rust_bio_tpu import native as _native
+    from rust_bio_tpu.alignment.pairwise.batched import BatchAligner
+    from rust_bio_tpu.alignment.pairwise.scoring import Scoring
+
+    if _native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(83)
+    ba = BatchAligner(Scoring.from_scores(-5, -1, 2, -2))
+    xs, ys = [], []
+    for _ in range(32):
+        N = int(rng.integers(30, 200))
+        y = rng.choice(list(b"ACGT"), size=N).astype(np.uint8).tobytes()
+        M = int(rng.integers(5, min(80, N)))
+        s = int(rng.integers(0, N - M))
+        x = bytearray(y[s : s + M])
+        for _ in range(int(rng.integers(0, 6))):
+            x[int(rng.integers(0, M))] = int(rng.choice(list(b"ACGT")))
+        xs.append(bytes(x))
+        ys.append(y)
+    for packed in (ba.semiglobal_packed(xs, ys), ba.global_packed(xs, ys)):
+        up = packed._up
+        B = len(packed.mlens)
+        N = int(packed.nlens.max())
+        native = _native.cigars_colrle(
+            up["exit_op"][:N].T, up["ins_cnt"][:N].T,
+            packed.nlens, packed.mlens, up["ins0"],
+            up["fix_exit"], up["fix_ins"], packed.xstart, packed.xend,
+        )
+        assert native is not None
+        # numpy-merge reference: force the fallback path
+        import rust_bio_tpu.native as nat_mod
+
+        orig = nat_mod.cigars_colrle
+        try:
+            nat_mod.cigars_colrle = lambda *a, **k: None
+            want = packed.cigars()
+        finally:
+            nat_mod.cigars_colrle = orig
+        assert native == want
