@@ -80,8 +80,12 @@ class DeviceFMIndex:
 
         packed = np.stack([bits.view(np.int32), ckpt], axis=-1)
         self._fused = jnp.asarray(packed)
-        self.bits = jnp.asarray(bits)
-        self.ckpt = jnp.asarray(ckpt)
+        # bits/ckpt stay HOST-side: every consumer (sharding, save,
+        # row-layout build) starts from np.asarray(...), and device
+        # copies would duplicate the fused table's HBM (1.25 GB at a
+        # 1 Gbp text).  parallel/pipeline.py re-device_puts on shard.
+        self.bits = bits
+        self.ckpt = ckpt
         # MXU rank path: one-hot-matmul table scan (byte-plane table is
         # exact in bf16; one-hot rows select a single product, so the dot
         # is bit-exact).  The per-query random gather scalarizes on TPU

@@ -90,8 +90,8 @@ def load_fm_index(path, verify: bool = True):
     idx.s = meta["s"]
     idx.sentinel = meta["sentinel"]
     idx.symbols = list(meta["symbols"])
-    idx.bits = jnp.asarray(arrays["bits"])
-    idx.ckpt = jnp.asarray(arrays["ckpt"])
+    idx.bits = np.asarray(arrays["bits"])  # host-side (see __init__)
+    idx.ckpt = np.asarray(arrays["ckpt"])
     idx._refresh_fused()
     idx.less = jnp.asarray(arrays["less"])
     idx.less_sym = jnp.asarray(
