@@ -982,7 +982,7 @@ def _banded_long_rates():
     from rust_bio_tpu.alignment.pairwise.scoring import Scoring
 
     rng = np.random.default_rng(31)
-    B, M, N = 1024, 150, 20_000
+    B, M, N = 2048, 150, 20_000
     NB = 3
     sc = Scoring.from_scores(-5, -1, 2, -2)
     batches = []
