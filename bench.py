@@ -378,7 +378,7 @@ def _pairhmm_exact_rates():
     return unbanded, banded, cpu
 
 
-def _homopoly_pairs_per_s() -> float:
+def _homopoly_pairs_per_s():
     """HomopolyPairHMM device path (14-state, f32) on the bench geometry."""
     import math
 
@@ -420,7 +420,21 @@ def _homopoly_pairs_per_s() -> float:
         _ = float(np.asarray(s).sum())
 
     run()
-    return K * B / _best_of(run, 3)
+    rate = K * B / _best_of(run, 3)
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "baselines", "cpu_homopoly.cpp")
+    exe = os.path.join(here, "baselines", "cpu_homopoly")
+    if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-o", exe, src], check=True
+        )
+    out = subprocess.run(
+        [exe, "256", str(M), str(N), "2"],
+        check=True, capture_output=True, text=True,
+    )
+    cpu = float(out.stdout.strip().splitlines()[-1])
+    return rate, cpu
 
 
 def _poa_rates():
@@ -690,13 +704,15 @@ def _repeat_genome(G: int, seed: int):
     return _ACGT_LUT[base].tobytes(), ~pasted
 
 
-def _fm_1gbp_rates():
-    """Human-genome-scale FM search: 1 Gbp text, HBM bit-plane rank +
+def _fm_big_rates(G: int, seed: int, tag: str):
+    """Human-genome-scale FM search: G bp text, HBM bit-plane rank +
     q=12 LUT jump, vs the cpu_fm twin queried on the SAME text (the twin
-    gets the cached BWT injected — its own 1 Gbp int64 SA build would
-    cost ~24 GB/10 min per bench run; build time is unmeasured in every
-    FM row).  The index is built once (native u8/i32 SAIS) and cached
-    under .bench_cache/.  Returns (lut q/s, plain q/s, twin q/s)."""
+    gets the cached BWT injected — its own Gbp-scale int64 SA build
+    would cost tens of GB and minutes per bench run; build time is
+    unmeasured in every FM row).  The index is built once (native SAIS —
+    u8/i32 below 2^31 symbols, u8/i64 above, the reference's dtype
+    dispatch) and cached under .bench_cache/.
+    Returns (lut q/s, plain q/s, twin q/s)."""
     import gc
     import jax
     import jax.numpy as jnp
@@ -710,10 +726,9 @@ def _fm_1gbp_rates():
     )
     from rust_bio_tpu.data_structures.suffix_array import suffix_array
 
-    G = 1_000_000_000
     os.makedirs(_CACHE_DIR, exist_ok=True)
-    cache = os.path.join(_CACHE_DIR, "fm_1gbp_v1.npz")
-    text = _dna_text(G, 23) + b"$"
+    cache = os.path.join(_CACHE_DIR, f"fm_{tag}_v1.npz")
+    text = _dna_text(G, seed) + b"$"
     if os.path.exists(cache):
         idx = load_fm_index(cache)
         assert idx.n == G + 1
@@ -721,13 +736,16 @@ def _fm_1gbp_rates():
         t0 = time.perf_counter()
         sa = suffix_array(text)
         t_sa = time.perf_counter() - t0
-        idx = DeviceFMIndex(bwt(text, sa), dna.n_alphabet())
+        b = bwt(text, sa)
         del sa
+        gc.collect()
+        idx = DeviceFMIndex(b, dna.n_alphabet())
+        del b
         gc.collect()
         idx.build_kmer_lut(q=12)
         save_fm_index(cache, idx, compress=False)
         print(
-            f"fm_1gbp: built (SAIS {t_sa:.0f}s, total "
+            f"fm_{tag}: built (SAIS {t_sa:.0f}s, total "
             f"{time.perf_counter() - t0:.0f}s), cached to {cache}",
             file=sys.stderr,
         )
@@ -778,11 +796,11 @@ def _fm_1gbp_rates():
         subprocess.run(
             ["g++", "-O3", "-march=native", "-o", exe, src], check=True
         )
-    bwt_path = os.path.join(_CACHE_DIR, "fm_1gbp_bwt.bin")
+    bwt_path = os.path.join(_CACHE_DIR, f"fm_{tag}_bwt.bin")
     if not os.path.exists(bwt_path):
         np.asarray(idx.bwt_bytes).tofile(bwt_path)
     Bt = 16384
-    pat_path = os.path.join(_CACHE_DIR, "fm_1gbp_pats.bin")
+    pat_path = os.path.join(_CACHE_DIR, f"fm_{tag}_pats.bin")
     pats[:Bt].tofile(pat_path)
     out = subprocess.run(
         [exe, "--bwt", bwt_path, pat_path, str(Bt), str(L), "64", "2"],
@@ -795,6 +813,19 @@ def _fm_1gbp_rates():
     del idx
     gc.collect()
     return lut_rate, plain_rate, cpu_rate
+
+
+def _fm_1gbp_rates():
+    return _fm_big_rates(1_000_000_000, 23, "1gbp")
+
+
+def _fm_3gbp_rates():
+    """Full human-genome scale (the reference's dtype-dispatch SAIS
+    exists precisely for 3 Gbp texts, suffix_array.rs:270-281): n > 2^31
+    exercises the u8-text/i64-SA build; the device index at 3 Gbp costs
+    ~10 GB HBM (fused rank table 3.75 GB + BWT byte/symbol arrays 6 GB +
+    LUT), so this row runs LAST in the bench."""
+    return _fm_big_rates(3_000_000_000, 59, "3gbp")
 
 
 def _smem_300mbp_reads_per_s() -> float:
@@ -1294,10 +1325,12 @@ def main() -> None:
         ph_exact = ph_exact_banded = ph_exact_vs = None
 
     try:
-        hp_rate = round(_homopoly_pairs_per_s(), 2)
+        hp_rate, hp_cpu = _homopoly_pairs_per_s()
+        hp_rate = round(hp_rate, 2)
+        hp_vs = round(hp_rate / hp_cpu, 2)
     except Exception as e:
         print(f"homopoly bench failed: {e}", file=sys.stderr)
-        hp_rate = None
+        hp_rate = hp_vs = None
 
     try:
         poa_rate, poa_host = _poa_rates()
@@ -1352,6 +1385,14 @@ def main() -> None:
         print(f"fm 1gbp bench failed: {e}", file=sys.stderr)
         fm_1gbp = fm_1gbp_vs = fm_1gbp_plain = None
 
+    try:
+        fm3g_lut, _fm3g_plain, fm3g_cpu = _fm_3gbp_rates()
+        fm_3gbp = round(fm3g_lut, 2)
+        fm_3gbp_vs = round(fm3g_lut / fm3g_cpu, 3)
+    except Exception as e:
+        print(f"fm 3gbp bench failed: {e}", file=sys.stderr)
+        fm_3gbp = fm_3gbp_vs = None
+
     print(
         json.dumps(
             {
@@ -1376,6 +1417,7 @@ def main() -> None:
                 "pairhmm_exact_banded_pairs_per_s": ph_exact_banded,
                 "pairhmm_exact_vs_baseline": ph_exact_vs,
                 "homopoly_pairs_per_s": hp_rate,
+                "homopoly_vs_baseline": hp_vs,
                 "poa_batch_scores_per_s": poa_rate,
                 "poa_vs_host": poa_vs,
                 "sw_5kb_alignments_per_s": sw5_rate,
@@ -1390,6 +1432,8 @@ def main() -> None:
                 "fm_1gbp_queries_per_s": fm_1gbp,
                 "fm_1gbp_vs_baseline": fm_1gbp_vs,
                 "fm_1gbp_nolut_queries_per_s": fm_1gbp_plain,
+                "fm_3gbp_queries_per_s": fm_3gbp,
+                "fm_3gbp_vs_baseline": fm_3gbp_vs,
                 "fixed_window_mapper_reads_per_s": fw_rate,
                 "banded_long_pairs_per_s": banded_rate,
                 "banded_long_sync_pairs_per_s": banded_sync,

@@ -384,3 +384,88 @@ def test_device_matches_oracle(semiglobal, gp, hp, hmm):
             assert got[b] < -75, (b, want, got[b])
         else:
             assert got[b] == pytest.approx(want, rel=2e-3, abs=2e-3), b
+
+
+def test_cpu_homopoly_twin_parity(tmp_path):
+    """The -O3 C++ baseline twin (baselines/cpu_homopoly.cpp) must match
+    the host HomopolyPairHMM oracle to f64 rounding on the bench row's
+    parameters: the `homopoly_vs_baseline` bench row divides by it."""
+    import os
+    import subprocess
+
+    import numpy as np
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(here, "baselines", "cpu_homopoly.cpp")
+    exe = os.path.join(str(tmp_path), "cpu_homopoly")
+    subprocess.run(["g++", "-O2", "-o", exe, src], check=True)
+
+    class BenchGaps(GapParameters):
+        def prob_gap_x(self):
+            return math.log(PROB_ILLUMINA_INS)
+
+        def prob_gap_y(self):
+            return math.log(PROB_ILLUMINA_DEL)
+
+        def prob_gap_x_extend(self):
+            return NEG_INF
+
+        def prob_gap_y_extend(self):
+            return NEG_INF
+
+    class BenchHops(HopParameters):
+        def prob_hop_x(self):
+            return math.log(1e-4)
+
+        def prob_hop_y(self):
+            return math.log(1e-4)
+
+        def prob_hop_x_extend(self):
+            return math.log(0.5)
+
+        def prob_hop_y_extend(self):
+            return math.log(0.5)
+
+    class BenchEmit(EmParams):
+        def prob_emit_xy(self, i, j):
+            if self.x[i] == self.y[j]:
+                return XYEmission.match_(
+                    math.log1p(-PROB_ILLUMINA_SUBST)
+                )
+            return XYEmission.mismatch(
+                math.log(PROB_ILLUMINA_SUBST / 3.0)
+            )
+
+        def prob_emit_x(self, i):
+            return math.log1p(-PROB_ILLUMINA_SUBST)
+
+        def prob_emit_y(self, j):
+            return math.log1p(-PROB_ILLUMINA_SUBST)
+
+    hmm = HomopolyPairHMM(BenchGaps(), BenchHops())
+    rng = np.random.default_rng(15)
+    pairs = []
+    for _ in range(5):
+        M, N = 80, 30
+        x = rng.choice(list(b"ACGT"), size=M).astype(np.uint8).tobytes()
+        s = int(rng.integers(0, M - N))
+        y = bytearray(x[s : s + N])
+        for _ in range(int(rng.integers(0, 3))):
+            y[int(rng.integers(0, N))] = int(rng.choice(list(b"ACGT")))
+        pairs.append((x, bytes(y)))
+    inp = [str(len(pairs))]
+    for x, y in pairs:
+        inp += [x.decode(), y.decode()]
+    out = subprocess.run(
+        [exe, "check"],
+        input="\n".join(inp),
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    got = [float(v) for v in out.stdout.split()]
+    for k, (x, y) in enumerate(pairs):
+        want = float(hmm.prob_related(BenchEmit(x, y), Semiglobal()))
+        assert got[k] == pytest.approx(want, rel=1e-12, abs=1e-12), (
+            k, got[k], want,
+        )
