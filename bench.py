@@ -730,7 +730,8 @@ def _fm_big_rates(G: int, seed: int, tag: str):
     cache = os.path.join(_CACHE_DIR, f"fm_{tag}_v1.npz")
     text = _dna_text(G, seed) + b"$"
     if os.path.exists(cache):
-        idx = load_fm_index(cache)
+        # skip the sha256 integrity pass: it reads all N GB twice
+        idx = load_fm_index(cache, verify=False)
         assert idx.n == G + 1
     else:
         t0 = time.perf_counter()

@@ -27,10 +27,7 @@ from jax import lax
 
 from rust_bio_tpu.alignment.pairwise import banded as _banded
 from rust_bio_tpu.alignment.pairwise.banded import MAX_CELLS, Band
-from rust_bio_tpu.alignment.pairwise.batched import (
-    _decode_ops,
-    MIN,
-)
+from rust_bio_tpu.alignment.pairwise.batched import MIN
 from rust_bio_tpu.alignment.pairwise.scalar import (
     TB_DEL,
     TB_INS,
