@@ -827,13 +827,15 @@ def _fm_1gbp_rates():
     return _fm_big_rates(1_000_000_000, 23, "1gbp")
 
 
-def _fm_3gbp_rates():
-    """Full human-genome scale (the reference's dtype-dispatch SAIS
-    exists precisely for 3 Gbp texts, suffix_array.rs:270-281): n > 2^31
-    exercises the u8-text/i64-SA build; the device index at 3 Gbp costs
-    ~10 GB HBM (fused rank table 3.75 GB + BWT byte/symbol arrays 6 GB +
-    LUT), so this row runs LAST in the bench."""
-    return _fm_big_rates(3_000_000_000, 59, "3gbp")
+def _fm_2gbp_rates():
+    """2 Gbp — the largest text the u8/i32 SAIS path holds (n < 2^31;
+    the reference's dtype-dispatch threshold, suffix_array.rs:270-281).
+    Build: ~35 min / ~57 GB host RSS, cached.  A full 3.1 Gbp human
+    genome needs the u8/i64 build (>2.5 h single-core on this 2.1 GHz
+    VM — attempted, timed out; envelope documented in PARITY.md) but
+    fits the chip: the 2 Gbp index costs ~6.5 GB HBM, 3 Gbp ~10 GB of
+    the 16 GB."""
+    return _fm_big_rates(2_000_000_000, 61, "2gbp")
 
 
 def _smem_300mbp_reads_per_s() -> float:
@@ -1394,12 +1396,12 @@ def main() -> None:
         fm_1gbp = fm_1gbp_vs = fm_1gbp_plain = None
 
     try:
-        fm3g_lut, _fm3g_plain, fm3g_cpu = _fm_3gbp_rates()
-        fm_3gbp = round(fm3g_lut, 2)
-        fm_3gbp_vs = round(fm3g_lut / fm3g_cpu, 3)
+        fm2g_lut, _fm2g_plain, fm2g_cpu = _fm_2gbp_rates()
+        fm_2gbp = round(fm2g_lut, 2)
+        fm_2gbp_vs = round(fm2g_lut / fm2g_cpu, 3)
     except Exception as e:
-        print(f"fm 3gbp bench failed: {e}", file=sys.stderr)
-        fm_3gbp = fm_3gbp_vs = None
+        print(f"fm 2gbp bench failed: {e}", file=sys.stderr)
+        fm_2gbp = fm_2gbp_vs = None
 
     print(
         json.dumps(
@@ -1440,8 +1442,8 @@ def main() -> None:
                 "fm_1gbp_queries_per_s": fm_1gbp,
                 "fm_1gbp_vs_baseline": fm_1gbp_vs,
                 "fm_1gbp_nolut_queries_per_s": fm_1gbp_plain,
-                "fm_3gbp_queries_per_s": fm_3gbp,
-                "fm_3gbp_vs_baseline": fm_3gbp_vs,
+                "fm_2gbp_queries_per_s": fm_2gbp,
+                "fm_2gbp_vs_baseline": fm_2gbp_vs,
                 "fixed_window_mapper_reads_per_s": fw_rate,
                 "banded_long_pairs_per_s": banded_rate,
                 "banded_long_sync_pairs_per_s": banded_sync,

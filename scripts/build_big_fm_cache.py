@@ -7,5 +7,5 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import bench
 t0 = time.time()
-lut, plain, cpu = bench._fm_3gbp_rates()
-print(f"fm_3gbp: lut {lut:.0f} plain {plain:.0f} cpu {cpu:.0f} q/s vs {lut/cpu:.2f}x ({time.time()-t0:.0f}s)", flush=True)
+lut, plain, cpu = bench._fm_2gbp_rates()
+print(f"fm_2gbp: lut {lut:.0f} plain {plain:.0f} cpu {cpu:.0f} q/s vs {lut/cpu:.2f}x ({time.time()-t0:.0f}s)", flush=True)
