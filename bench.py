@@ -78,6 +78,21 @@ def _best_of(f, n=5) -> float:
     return dt
 
 
+def _free_device(*objs):
+    """Release big device indexes between rows: several device methods
+    jit with static self, so the jit cache holds a STRONG ref to the
+    whole index (at 1-2 Gbp that pins GBs of HBM across rows).  Clearing
+    jax's caches breaks those refs; later rows recompile from the
+    persistent on-disk compile cache."""
+    import gc
+    import jax
+
+    for o in objs:
+        del o
+    jax.clear_caches()
+    gc.collect()
+
+
 def _fm_queries_per_s() -> float:
     """Secondary stat: batched FM-index backward searches per second."""
     import jax.numpy as jnp
@@ -818,8 +833,7 @@ def _fm_big_rates(G: int, seed: int, tag: str):
     )
     cpu_rate = float(out.stdout.strip().splitlines()[-1])
 
-    del idx
-    gc.collect()
+    _free_device(idx)
     return lut_rate, plain_rate, cpu_rate
 
 
@@ -883,8 +897,7 @@ def _smem_300mbp_reads_per_s() -> float:
             pass
 
     rate = NB * B / _best_of(run, 3)
-    del mapper
-    gc.collect()
+    _free_device(mapper)
     return rate
 
 
@@ -923,7 +936,12 @@ def _smem_repeats_rates():
         mapper.map_batch(reads)
 
     rate1 = B / _best_of(run, 3)
+    # NOTE: no jax.clear_caches() here — re-TRACING the mapper's Pallas
+    # kernels costs ~10+ min of host CPU (tracing/lowering is not disk-
+    # cached); the 1 Mbp index pins only ~10 MB
     del mapper
+    import gc
+
     gc.collect()
 
     # --- 50 Mbp class ---
