@@ -29,6 +29,7 @@
 #include <cstdio>
 #include <random>
 #include <string>
+#include <thread>
 
 #include "../native/banded_dp.hpp"
 
@@ -66,6 +67,7 @@ int main(int argc, char** argv) {
   int iters = argc > 4 ? std::atoi(argv[4]) : 3;
   int k = argc > 5 ? std::atoi(argv[5]) : 8;
   int w = argc > 6 ? std::atoi(argv[6]) : 8;
+  int nthreads = argc > 7 ? std::atoi(argv[7]) : 1;
 
   // workload distribution mirrors bench._banded_long_rates: random y,
   // x = M-window of y with 4 substitutions
@@ -80,14 +82,34 @@ int main(int argc, char** argv) {
     for (int e = 0; e < 4; ++e) xs[b][rng() % M] = ACGT[rng() & 3];
   }
 
-  Workspace ws;
+  // optional thread fan-out over the pair batch (per-thread Workspace) —
+  // the reference's documented scale-out model (lib.rs:173-210)
   double best = 1e100;
   int64_t sink = 0;
+  std::vector<Workspace> wss(std::max(nthreads, 1));
   for (int it = 0; it < iters; ++it) {
     auto t0 = std::chrono::steady_clock::now();
-    for (int b = 0; b < B; ++b) {
-      sink += run_pair(xs[b].data(), M, ys[b].data(), N, sc, k, w, ws);
-      sink += (int64_t)ws.ops.size();
+    if (nthreads <= 1) {
+      Workspace& ws = wss[0];
+      for (int b = 0; b < B; ++b) {
+        sink += run_pair(xs[b].data(), M, ys[b].data(), N, sc, k, w, ws);
+        sink += (int64_t)ws.ops.size();
+      }
+    } else {
+      std::vector<std::thread> th;
+      std::vector<int64_t> sinks(nthreads, 0);
+      for (int t = 0; t < nthreads; ++t) {
+        th.emplace_back([&, t]() {
+          int64_t s = 0;
+          for (int b = t; b < B; b += nthreads) {
+            s += run_pair(xs[b].data(), M, ys[b].data(), N, sc, k, w, wss[t]);
+            s += (int64_t)wss[t].ops.size();
+          }
+          sinks[t] = s;
+        });
+      }
+      for (auto& x : th) x.join();
+      for (int t = 0; t < nthreads; ++t) sink += sinks[t];
     }
     double dt = std::chrono::duration<double>(
                     std::chrono::steady_clock::now() - t0)

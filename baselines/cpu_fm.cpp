@@ -16,6 +16,7 @@
 #include <cstring>
 #include <chrono>
 #include <random>
+#include <thread>
 #include <vector>
 #include <algorithm>
 
@@ -141,6 +142,7 @@ int main(int argc, char** argv) {
     int L = atoi(argv[5]);
     int occ_k = atoi(argv[6]);
     int iters = atoi(argv[7]);
+    int nthreads = argc > 8 ? atoi(argv[8]) : 1;
     FM fm;
     {
       FILE* f = fopen(bwtfile, "rb");
@@ -165,12 +167,32 @@ int main(int argc, char** argv) {
       int64_t l, r;
       sink += fm.backward_search(&pats[(size_t)b * L], L, &l, &r);
     }
+    // optional thread fan-out over the query batch — the reference's
+    // documented scale-out model (lib.rs:173-210: embarrassingly
+    // parallel per-query work fanned over OS threads)
     double best = 1e100;
     for (int it = 0; it < iters; it++) {
       auto t0 = std::chrono::steady_clock::now();
-      for (int b = 0; b < B; b++) {
-        int64_t l, r;
-        sink += fm.backward_search(&pats[(size_t)b * L], L, &l, &r) + l + r;
+      if (nthreads <= 1) {
+        for (int b = 0; b < B; b++) {
+          int64_t l, r;
+          sink += fm.backward_search(&pats[(size_t)b * L], L, &l, &r) + l + r;
+        }
+      } else {
+        std::vector<std::thread> th;
+        std::vector<int64_t> sinks(nthreads, 0);
+        for (int t = 0; t < nthreads; t++) {
+          th.emplace_back([&, t]() {
+            int64_t s = 0;
+            for (int b = t; b < B; b += nthreads) {
+              int64_t l, r;
+              s += fm.backward_search(&pats[(size_t)b * L], L, &l, &r) + l + r;
+            }
+            sinks[t] = s;
+          });
+        }
+        for (auto& x : th) x.join();
+        for (int t = 0; t < nthreads; t++) sink += sinks[t];
       }
       double dt = std::chrono::duration<double>(
           std::chrono::steady_clock::now() - t0).count();
@@ -207,12 +229,30 @@ int main(int argc, char** argv) {
     int64_t l, r;
     sink += fm.backward_search(&pats[(size_t)b * L], L, &l, &r);
   }
+  int nthreads = argc > 6 ? atoi(argv[6]) : 1;
   double best = 1e100;
   for (int it = 0; it < iters; it++) {
     auto t0 = std::chrono::steady_clock::now();
-    for (int b = 0; b < B; b++) {
-      int64_t l, r;
-      sink += fm.backward_search(&pats[(size_t)b * L], L, &l, &r) + l + r;
+    if (nthreads <= 1) {
+      for (int b = 0; b < B; b++) {
+        int64_t l, r;
+        sink += fm.backward_search(&pats[(size_t)b * L], L, &l, &r) + l + r;
+      }
+    } else {
+      std::vector<std::thread> th;
+      std::vector<int64_t> sinks(nthreads, 0);
+      for (int t = 0; t < nthreads; t++) {
+        th.emplace_back([&, t]() {
+          int64_t s = 0;
+          for (int b = t; b < B; b += nthreads) {
+            int64_t l, r;
+            s += fm.backward_search(&pats[(size_t)b * L], L, &l, &r) + l + r;
+          }
+          sinks[t] = s;
+        });
+      }
+      for (auto& x : th) x.join();
+      for (int t = 0; t < nthreads; t++) sink += sinks[t];
     }
     double dt = std::chrono::duration<double>(
         std::chrono::steady_clock::now() - t0).count();

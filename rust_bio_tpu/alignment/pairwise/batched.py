@@ -1761,7 +1761,10 @@ class PackedSemiglobal:
         # vectorized byte-level formatting: per-run Python f-strings cost
         # ~0.4 s per 8192-lane low-identity batch (~100 runs/pair); fixed
         # 5-digit buffers + a boolean compaction build every string in
-        # one pass (run lengths are uint16-bounded -> <= 5 digits)
+        # one pass.  Per-column entries are uint16-bounded, but MERGED
+        # runs (e.g. one D run spanning the whole target) can reach N and
+        # overflow 5 digits — widen to 7 (covers N < 10^7; guarded).
+        assert run_len.max() < 10_000_000, "CIGAR run exceeds 7 digits"
         R = len(run_len)
         opch = np.array(
             [0, ord("I"), ord("D"), ord("X"), ord("=")], np.uint8
@@ -1772,15 +1775,19 @@ class PackedSemiglobal:
             + (run_len >= 100)
             + (run_len >= 1000)
             + (run_len >= 10000)
+            + (run_len >= 100000)
+            + (run_len >= 1000000)
         ).astype(np.int64)
-        buf = np.empty((R, 6), np.uint8)
-        buf[:, 0] = 48 + run_len // 10000 % 10
-        buf[:, 1] = 48 + run_len // 1000 % 10
-        buf[:, 2] = 48 + run_len // 100 % 10
-        buf[:, 3] = 48 + run_len // 10 % 10
-        buf[:, 4] = 48 + run_len % 10
-        buf[:, 5] = opch
-        keep = np.arange(6)[None, :] >= (5 - ndig)[:, None]
+        buf = np.empty((R, 8), np.uint8)
+        buf[:, 0] = 48 + run_len // 1000000 % 10
+        buf[:, 1] = 48 + run_len // 100000 % 10
+        buf[:, 2] = 48 + run_len // 10000 % 10
+        buf[:, 3] = 48 + run_len // 1000 % 10
+        buf[:, 4] = 48 + run_len // 100 % 10
+        buf[:, 5] = 48 + run_len // 10 % 10
+        buf[:, 6] = 48 + run_len % 10
+        buf[:, 7] = opch
+        keep = np.arange(8)[None, :] >= (7 - ndig)[:, None]
         flat = buf[keep].tobytes()  # row-major: run order preserved
         row_nbytes = np.bincount(
             run_row, weights=ndig + 1, minlength=B

@@ -103,14 +103,17 @@ class DeviceFMIndex:
         self.less = jnp.asarray(less.astype(np.int32))
         self.sym_of = jnp.asarray(sym_of)
         # (n,) symbol indices; uint8 storage (S <= 256 always) — int32
-        # costs 4 GB of HBM at a 1 Gbp text
-        self.bwt_sym = jnp.asarray(sym_of[b].astype(np.uint8))
+        # costs 4 GB of HBM at a 1 Gbp text.  Both byte arrays stay
+        # HOST-side until a device consumer touches them (search never
+        # does; only locate needs bwt_sym): at a 2 Gbp text an eager
+        # upload costs 4 GB of HBM plus ~60 s through the axon tunnel.
+        self._bwt_sym = sym_of[b].astype(np.uint8)
         # less re-keyed by symbol rank (tiny; replaces a byte-table gather
         # in the locate walk)
         self.less_sym = jnp.asarray(
             less[np.asarray(symbols, np.int64)].astype(np.int32)
         )
-        self.bwt_bytes = jnp.asarray(b)
+        self._bwt_bytes = b
         # lexicographically smallest symbol == the sentinel (by construction
         # the text's final sentinel is the smallest; suffix_array.rs:431-441)
         self.sentinel = int(b.min()) if self.n else 0
@@ -128,6 +131,35 @@ class DeviceFMIndex:
             self.sent_vals = jnp.asarray(sa[sent_rows].astype(np.int32))
         else:
             self.sa_sample = None
+
+    # ------------------------------------------------------------------
+    # lazy device views of the BWT byte arrays (search never reads them;
+    # locate walks bwt_sym): host numpy until first device access
+    @property
+    def bwt_bytes(self):
+        if isinstance(self._bwt_bytes, np.ndarray):
+            self._bwt_bytes = jnp.asarray(self._bwt_bytes)
+        return self._bwt_bytes
+
+    @bwt_bytes.setter
+    def bwt_bytes(self, v):
+        self._bwt_bytes = v
+
+    @property
+    def bwt_sym(self):
+        if isinstance(self._bwt_sym, np.ndarray):
+            self._bwt_sym = jnp.asarray(self._bwt_sym)
+        return self._bwt_sym
+
+    @bwt_sym.setter
+    def bwt_sym(self, v):
+        self._bwt_sym = v
+
+    def bwt_host(self) -> np.ndarray:
+        """BWT bytes as host numpy WITHOUT forcing a device upload (and
+        without a device->host pull if already uploaded)."""
+        v = self._bwt_bytes
+        return v if isinstance(v, np.ndarray) else np.asarray(v)
 
     # ------------------------------------------------------------------
     def _refresh_fused(self, device_put_sharding=None):
@@ -483,7 +515,7 @@ class DeviceFMIndex:
     def build_kmer_lut(self, q: int = 12) -> None:
         """Host-side LUT build (numpy; ~seconds at 100 Mbp, one-time) +
         one HBM upload of 8 * 4^q bytes (134 MB at q = 12)."""
-        b = np.asarray(self.bwt_bytes)
+        b = self.bwt_host()
         less = np.asarray(self.less).astype(np.int64)
         dna_bytes = [x for x in (65, 67, 71, 84) if self.sym_of[x] >= 0]
         if len(dna_bytes) < 4:

@@ -25,8 +25,13 @@ def _content_hash(arrays: dict) -> str:
     return h.hexdigest()[:16]
 
 
-def save_fm_index(path, device_index, compress: bool = True) -> None:
-    """Persist a DeviceFMIndex's packed arrays (npz, versioned + hashed)."""
+def save_fm_index(
+    path, device_index, compress: bool = True, extra_meta: dict | None = None
+) -> None:
+    """Persist a DeviceFMIndex's packed arrays (npz, versioned + hashed).
+
+    ``extra_meta`` entries (e.g. a genome content hash) are merged into the
+    header so loaders can validate provenance without re-reading arrays."""
     arrays = {
         "bits": np.asarray(device_index.bits),
         "ckpt": np.asarray(device_index.ckpt),
@@ -40,7 +45,7 @@ def save_fm_index(path, device_index, compress: bool = True) -> None:
         ),
         "less": np.asarray(device_index.less),
         "sym_of": np.asarray(device_index.sym_of),
-        "bwt_bytes": np.asarray(device_index.bwt_bytes),
+        "bwt_bytes": device_index.bwt_host(),
     }
     if device_index.sa_sample is not None:
         arrays["sa_sample"] = np.asarray(device_index.sa_sample)
@@ -56,6 +61,7 @@ def save_fm_index(path, device_index, compress: bool = True) -> None:
         "symbols": list(device_index.symbols),
         "lut_q": int(getattr(device_index, "_lut_q", 0)),
         "hash": _content_hash(arrays),
+        **(extra_meta or {}),
     }
     # genome-scale artifacts (GBs) skip zlib: a 2.4 GB index compresses
     # for minutes but writes uncompressed in seconds
@@ -66,8 +72,11 @@ def save_fm_index(path, device_index, compress: bool = True) -> None:
     )
 
 
-def load_fm_index(path, verify: bool = True):
-    """Rehydrate a DeviceFMIndex; arrays go straight to device HBM."""
+def load_fm_index(path, verify: bool = True, return_meta: bool = False):
+    """Rehydrate a DeviceFMIndex; arrays go straight to device HBM.
+
+    ``return_meta=True`` additionally returns the header dict (including
+    any ``extra_meta`` recorded at save time)."""
     import jax.numpy as jnp
 
     from rust_bio_tpu.data_structures.fm_device import DeviceFMIndex
@@ -99,13 +108,16 @@ def load_fm_index(path, verify: bool = True):
         .astype(np.int32)
     )
     idx.sym_of = jnp.asarray(arrays["sym_of"])
-    idx.bwt_bytes = jnp.asarray(arrays["bwt_bytes"])
-    idx.bwt_sym = jnp.asarray(
+    # host-side until a device consumer (locate) touches them — a 2 Gbp
+    # index otherwise pays 4 GB of HBM + a ~60 s tunnel upload on load.
+    # NOTE: set via the property setters; _refresh_fused above already
+    # (re)decided _mxu_swt/_fs_cfg — do not reset them here (that would
+    # silently disable the MXU/fused search paths on rehydrated indexes).
+    idx.bwt_bytes = np.asarray(arrays["bwt_bytes"])
+    idx.bwt_sym = (
         np.asarray(arrays["sym_of"])[np.asarray(arrays["bwt_bytes"])]
         .astype(np.uint8)
     )
-    idx._mxu_swt = 0
-    idx._fs_cfg = None
     if "lut" in arrays:
         idx._lut_q = int(meta.get("lut_q", 12))
         idx._lut = jnp.asarray(arrays["lut"])
@@ -116,4 +128,4 @@ def load_fm_index(path, verify: bool = True):
     if "sent_rows" in arrays:
         idx.sent_rows = jnp.asarray(arrays["sent_rows"])
         idx.sent_vals = jnp.asarray(arrays["sent_vals"])
-    return idx
+    return (idx, meta) if return_meta else idx

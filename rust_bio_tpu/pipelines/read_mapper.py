@@ -416,13 +416,35 @@ class SmemReadMapper(ReadMapper):
         import os as _os
 
         if index_cache is not None and _os.path.exists(index_cache):
+            import hashlib
+            import sys as _sys
+
             from rust_bio_tpu.data_structures.serialize import load_fm_index
 
-            self.index = load_fm_index(index_cache)
+            # provenance: the header's genome hash (cheap — hashes only the
+            # genome we already hold, not the multi-GB arrays) replaces the
+            # full content-hash pass; caches predating the field fall back
+            # to the length check alone.
+            self.index, meta = load_fm_index(
+                index_cache, verify=False, return_meta=True
+            )
             assert self.index.n == 2 * G + 2, (
                 "cached index does not match this genome's FMD text length"
             )
-            b = np.asarray(self.index.bwt_bytes)
+            want = hashlib.sha256(self.genome).hexdigest()[:16]
+            got = meta.get("genome_sha256")
+            assert got is None or got == want, (
+                f"cached index was built from a DIFFERENT genome "
+                f"(hash {got} != {want}): refusing to map against it"
+            )
+            if self.index.s != sa_sampling_rate:
+                print(
+                    f"SmemReadMapper: cached index uses sa_sampling_rate="
+                    f"{self.index.s} (requested {sa_sampling_rate}); using "
+                    f"the cached value",
+                    file=_sys.stderr,
+                )
+            b = self.index.bwt_host()
         else:
             text = self.genome + b"$" + dna.revcomp(self.genome) + b"$"
             sa = suffix_array(text)
@@ -437,7 +459,18 @@ class SmemReadMapper(ReadMapper):
                     save_fm_index,
                 )
 
-                save_fm_index(index_cache, self.index, compress=False)
+                import hashlib
+
+                save_fm_index(
+                    index_cache,
+                    self.index,
+                    compress=False,
+                    extra_meta={
+                        "genome_sha256": hashlib.sha256(
+                            self.genome
+                        ).hexdigest()[:16]
+                    },
+                )
         self.fmd = DeviceFMDIndex(self.index)
         self._bwt = b
         self._host_fmd = None  # overflow-fallback oracle, built lazily
