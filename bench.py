@@ -770,7 +770,7 @@ def _fm_big_rates(G: int, seed: int, tag: str, twin_threads: int = 0):
         # (scripts/build_big_fm_cache.py sets BENCH_BUILD_BIG) — report
         # the row as absent instead of stalling a driver bench run
         raise RuntimeError(
-            f"{tag} cache missing; run scripts/build_big_fm_cache.py first"
+            f"{tag} cache missing; run scripts/build_3gbp_cache.py first"
         )
     else:
         text = _dna_text(G, seed) + b"$"

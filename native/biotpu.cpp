@@ -96,6 +96,12 @@ void sais_u8_i64(const uint8_t* text, int64_t n, int64_t K, int64_t* sa) {
   sais::sais_core(text, sa, n, K);
 }
 
+// 2^31 <= n < 2^32 (full human genome): u32 SA storage at the top level,
+// i32 recursion — half the i64 path's working set (sais.hpp).
+void sais_u8_u32(const uint8_t* text, int64_t n, int64_t K, uint32_t* sa) {
+  sais::sais_top_u8_u32(text, sa, n, K);
+}
+
 // sdpkpp chaining over nm sorted (x, y) kmer matches.  go_neg/ge_neg are the
 // POSITIVE gap penalties (-gap_open, -gap_extend).  Outputs: per-match
 // dp_score/dp_prev and best_out = {best_score, best_end_index_or_-1}.

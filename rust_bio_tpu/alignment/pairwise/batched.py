@@ -769,6 +769,51 @@ def _pack_rle_custom(
     )
 
 
+def _pack_rle_local(
+    score, ins_cnt, exit_op, fix_codes, fix_lens, xstart, ystart, xend, yend,
+):
+    """Single-pull packing of the LOCAL-mode column-RLE walk:
+    (14 + Nc, B) uint16 — one merged per-column stream (vs the custom
+    walk's four: local interior ops carry no clip machinery)."""
+    small = jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    (score >> 16) & 0xFFFF,
+                    score & 0xFFFF,
+                    xstart,
+                    ystart,
+                    xend,
+                    yend,
+                ]
+            ),
+            jnp.transpose(fix_codes, (1, 0)),
+            jnp.transpose(fix_lens, (1, 0)),
+        ]
+    ).astype(jnp.uint16)
+    merged = (
+        exit_op.astype(jnp.uint16) << 12
+    ) | ins_cnt.astype(jnp.uint16)
+    return jnp.concatenate([small, merged], axis=0)
+
+
+def _unpack_rle_local(packed: np.ndarray):
+    small = packed[:14].astype(np.int64)
+    v = (small[0] << 16) | small[1]
+    score = np.where(v >= 2**31, v - 2**32, v).astype(np.int64)
+    merged = packed[14:]
+    return score, {
+        "xstart": small[2],
+        "ystart": small[3],
+        "xend": small[4],
+        "yend": small[5],
+        "fix_codes": small[6:10],
+        "fix_lens": small[10:14],
+        "ins_cnt": merged & 0xFFF,
+        "exit_op": merged >> 12,
+    }
+
+
 def _unpack_rle_custom(packed: np.ndarray):
     small = packed[:14].astype(np.int64)
     v = (small[0] << 16) | small[1]
@@ -1194,11 +1239,15 @@ def _walk_fullclip(tb_xb, tbfix, Lx_full, mlens, nlens, B, M, N):
 
 
 @partial(
-    jax.jit, static_argnames=("with_traceback", "sweep_walk", "local_engine")
+    jax.jit,
+    static_argnames=(
+        "with_traceback", "sweep_walk", "local_engine", "local_walk"
+    ),
 )
 def _align_batch_device_custom_mp(
     xb, yb, mlens, nlens, penalties8, with_traceback: bool = True,
     sweep_walk: bool = True, local_engine: bool = False,
+    local_walk: bool = False,
 ):
     """General-clip MatchParams fast path (local/custom modes): the
     transposed general kernel streams per-column Lx clip lengths, the
@@ -1251,6 +1300,26 @@ def _align_batch_device_custom_mp(
             jnp.transpose(lx_cols, (1, 0)), nlens[:, None], axis=1
         )[:, 0],
     )
+    if sweep_walk and local_walk:
+        # LOCAL-specialized walk (caller guarantees local_engine clips
+        # AND gap_open + gap_extend < 0 — see sweep_walk_local): the
+        # interior kernel drops all clip machinery (global-kernel cost)
+        # and the packed pull is ONE stream instead of four
+        from rust_bio_tpu.ops.walk_pallas import sweep_walk_local
+
+        (
+            ins_cnt, exit_op, fix_codes, fix_lens,
+            xstart, ystart, xend, yend,
+        ) = sweep_walk_local(
+            tb_cols, tbfix, lx_cols, lx_n_patched, mlens, nlens
+        )
+        return {
+            "score": score,
+            "packed_local": _pack_rle_local(
+                score, ins_cnt, exit_op, fix_codes, fix_lens,
+                xstart, ystart, xend, yend,
+            ),
+        }
     if sweep_walk:
         from rust_bio_tpu.ops.walk_pallas import sweep_walk_custom
 
@@ -1607,6 +1676,39 @@ def _decode_semi_batch(
     return [ops_flat[offs[k] : offs[k + 1]].tolist() for k in range(B)]
 
 
+def _decode_ops_colrle_local(
+    ins_cnt, exit_op, fix_codes, fix_lens, nlen: int,
+) -> List[AlignmentOperation]:
+    """Decode the local-mode column-RLE walk (columns 0..nlen ascending;
+    per column [exit][Ins x cnt]; then the fixed-column slots, newest
+    last).  Interior streams carry no clips — terminal Xclip/Yclip
+    prefixes resolved to coordinates in the kernel; suffix clips live in
+    the fix slots (dropped by local's filter_clip_operations anyway)."""
+    ops: List[AlignmentOperation] = []
+    exits = exit_op[: nlen + 1].tolist()
+    cnts = ins_cnt[: nlen + 1].tolist()
+    for j in range(nlen + 1):
+        e = exits[j]
+        if e:
+            ops.append(_OP_BY_CODE[e])
+        n = cnts[j]
+        if n:
+            ops.extend([Ins] * n)
+    for t in range(3, -1, -1):
+        c = int(fix_codes[t])
+        if not c:
+            continue
+        if c == TB_INS:
+            ops.extend([Ins] * int(fix_lens[t]))
+        elif c in (TB_XCLIP_PREFIX, TB_XCLIP_SUFFIX):
+            ops.append(Xclip(int(fix_lens[t])))
+        elif c in (TB_YCLIP_PREFIX, TB_YCLIP_SUFFIX):
+            ops.append(Yclip(int(fix_lens[t])))
+        else:
+            ops.append(_OP_BY_CODE[c])
+    return ops
+
+
 def _decode_ops_colrle_custom(
     pre, ins_cnt, exit_op, elen, post, fix_codes, fix_lens, nlen: int,
 ) -> List[AlignmentOperation]:
@@ -1944,6 +2046,16 @@ class BatchAligner:
             use_local = all(int(c) == 0 for c in pen[2:6]) and (
                 local_engine_headroom_ok(M, yb.shape[1], mp.match_score)
             )
+            # the local-specialized sweep walk requires strictly negative
+            # gap steps: with gap_open + gap_extend == 0 a del-run past a
+            # free x-suffix clip can TIE the direct clip and appear on the
+            # argmax path as an interior TB_XCLIP_SUFFIX, which only the
+            # general (custom) walk resolves
+            use_local_walk = (
+                use_local
+                and with_traceback
+                and int(pen[0]) + int(pen[1]) < 0
+            )
             return _align_batch_device_custom_mp(
                 jnp.asarray(xb),
                 jnp.asarray(yb),
@@ -1952,6 +2064,7 @@ class BatchAligner:
                 jnp.asarray(pen8),
                 with_traceback=with_traceback,
                 local_engine=use_local,
+                local_walk=use_local_walk,
             )
         if eligible and x_clips_off and B % 8 == 0:
             # arbitrary LUT scoring (BLOSUM/PAM/callable): streamed
@@ -2048,7 +2161,12 @@ class BatchAligner:
 
         out = self._dispatch(xb, yb, mlens, nlens, pen, with_traceback=True)
         custom_rle = False
-        if "packed_custom" in out:
+        local_rle = False
+        if "packed_local" in out:
+            score_np, out = _unpack_rle_local(np.asarray(out["packed_local"]))
+            out["score"] = score_np
+            local_rle = True
+        elif "packed_custom" in out:
             score_np, out = _unpack_rle_custom(np.asarray(out["packed_custom"]))
             out["score"] = score_np
             custom_rle = True
@@ -2071,7 +2189,15 @@ class BatchAligner:
         )
         results = []
         for k in range(B):
-            if custom_rle:
+            if local_rle:
+                ops = _decode_ops_colrle_local(
+                    out["ins_cnt"][:, k],
+                    out["exit_op"][:, k],
+                    out["fix_codes"][:, k],
+                    out["fix_lens"][:, k],
+                    int(nlens[k]),
+                )
+            elif custom_rle:
                 ops = _decode_ops_colrle_custom(
                     out["pre"][:, k],
                     out["ins_cnt"][:, k],

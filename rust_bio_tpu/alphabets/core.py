@@ -18,8 +18,16 @@ class Alphabet:
 
     def __init__(self, symbols: TextLike = b"") -> None:
         self._mask = np.zeros(256, dtype=bool)
-        for s in to_bytes(symbols):
-            self._mask[s] = True
+        b = to_bytes(symbols)
+        if len(b) > 4096:
+            # one vectorized pass — the byte-wise Python loop costs
+            # ~minutes on a Gbp-scale genome text
+            self._mask |= (
+                np.bincount(np.frombuffer(b, np.uint8), minlength=256) > 0
+            )
+        else:
+            for s in b:
+                self._mask[s] = True
 
     @classmethod
     def new(cls, symbols: TextLike) -> "Alphabet":

@@ -31,9 +31,17 @@ def bwt(text, pos) -> BWT:
     b'ATTATTCAGGACCC$CTTTCAA'
     """
     arr = to_array(text)
-    pos = np.asarray(pos, dtype=np.int64)
+    pos = np.asarray(pos)
     assert len(arr) == len(pos)
-    return arr[pos - 1]  # pos==0 wraps to text[-1] via negative indexing
+    n = len(arr)
+    # chunked gather: upcasting a 3.1 Gbp uint32 SA to int64 wholesale
+    # costs ~50 GB of transients; 64 M-row chunks keep the peak flat
+    out = np.empty(n, dtype=arr.dtype)
+    step = 1 << 26
+    for s in range(0, n, step):
+        p = pos[s : s + step].astype(np.int64) - 1
+        out[s : s + step] = arr[p]  # pos==0 wraps to text[-1] (negative ix)
+    return out
 
 
 def invert_bwt(bwt_arr) -> np.ndarray:

@@ -37,6 +37,8 @@ from rust_bio_tpu.data_structures.fmindex import (
 from rust_bio_tpu.utils.text import to_array
 
 I32 = jnp.int32
+U32 = jnp.uint32
+_UMAX = np.uint32(0xFFFFFFFF)  # the u32 kernels' "-1" sentinel
 
 # status codes in the kernel's result
 ABSENT, PARTIAL, COMPLETE = 0, 1, 2
@@ -64,9 +66,24 @@ def _pack_bitplanes(b: np.ndarray, symbols: List[int]):
 class DeviceFMIndex:
     """Packed FM-index resident in device HBM, with batched search/locate."""
 
-    def __init__(self, bwt_arr, alphabet: Alphabet, sa=None, sampling_rate: int = 32):
+    def __init__(
+        self,
+        bwt_arr,
+        alphabet: Alphabet,
+        sa=None,
+        sampling_rate: int = 32,
+        force_u32: bool = False,
+    ):
         b = to_array(bwt_arr)
         self.n = len(b)
+        # texts with n >= 2^31 (the full human genome) carry suffix
+        # positions / interval bounds that no longer fit int32: the
+        # search/locate kernels switch to uint32 index arithmetic (native
+        # speed on the TPU's 32-bit datapath; 0xFFFFFFFF takes the role
+        # of the signed path's -1 sentinel).  ``force_u32`` lets tests
+        # property-check the u32 kernels on small texts.
+        assert self.n < 2**32 - 1, "single-chip index caps at n < 2^32-1"
+        self._big = bool(force_u32) or self.n >= 2**31
         symbols = sorted(set(alphabet.symbols()) | set(np.unique(b).tolist()))
         self.symbols = symbols
         sym_of = np.full(256, -1, dtype=np.int32)
@@ -97,10 +114,12 @@ class DeviceFMIndex:
         nw = bits.shape[1]
         n_present = int(np.count_nonzero(bits.any(axis=1)))
         swt = (n_present + 1) * (-(-nw // 128))
-        if swt <= 2048 and self.n < (1 << 23):
+        if swt <= 2048 and self.n < (1 << 23) and not self._big:
             self._build_mxu_tables(bits, ckpt)
-        self._build_fused_search(bits, ckpt)
-        self.less = jnp.asarray(less.astype(np.int32))
+        if not self._big:
+            self._build_fused_search(bits, ckpt)
+        inp = np.uint32 if self._big else np.int32
+        self.less = jnp.asarray(less.astype(inp))
         self.sym_of = jnp.asarray(sym_of)
         # (n,) symbol indices; uint8 storage (S <= 256 always) — int32
         # costs 4 GB of HBM at a 1 Gbp text.  Both byte arrays stay
@@ -111,7 +130,7 @@ class DeviceFMIndex:
         # less re-keyed by symbol rank (tiny; replaces a byte-table gather
         # in the locate walk)
         self.less_sym = jnp.asarray(
-            less[np.asarray(symbols, np.int64)].astype(np.int32)
+            less[np.asarray(symbols, np.int64)].astype(inp)
         )
         self._bwt_bytes = b
         # lexicographically smallest symbol == the sentinel (by construction
@@ -124,11 +143,11 @@ class DeviceFMIndex:
         # texts (e.g. the FMD-index T$revcomp(T)$ layout) locate correctly
         self.s = int(sampling_rate)
         if sa is not None:
-            sa = np.asarray(sa, dtype=np.int64)
-            self.sa_sample = jnp.asarray(sa[:: self.s].astype(np.int32))
+            sa = np.asarray(sa)
+            self.sa_sample = jnp.asarray(sa[:: self.s].astype(inp))
             sent_rows = np.nonzero(b == (b.min() if self.n else 0))[0]
-            self.sent_rows = jnp.asarray(sent_rows.astype(np.int32))
-            self.sent_vals = jnp.asarray(sa[sent_rows].astype(np.int32))
+            self.sent_rows = jnp.asarray(sent_rows.astype(inp))
+            self.sent_vals = jnp.asarray(sa[sent_rows].astype(inp))
         else:
             self.sa_sample = None
 
@@ -183,7 +202,10 @@ class DeviceFMIndex:
         # arrive here from deserialization without going through __init__)
         self._mxu_swt = 0
         self._fs_cfg = None
-        if device_put_sharding is None:  # sharded occ keeps the gather path
+        if not hasattr(self, "_big"):
+            self._big = self.n >= 2**31
+        if device_put_sharding is None and not self._big:
+            # sharded occ keeps the gather path
             bits = np.asarray(self.bits)
             n_present = int(np.count_nonzero(bits.any(axis=1)))
             swt = (n_present + 1) * (-(-bits.shape[1] // 128))
@@ -313,7 +335,10 @@ class DeviceFMIndex:
     def _rank(self, r, sym, fused=None):
         """Batched rank: occurrences of symbol-index ``sym`` in bwt[..r+1].
 
-        ``r`` may be -1 (returns 0). Shapes broadcast.
+        ``r`` may be -1 (returns 0). Shapes broadcast.  In u32 mode
+        (n >= 2^31) ``r`` is uint32 and 0xFFFFFFFF plays the role of -1
+        (an ``l - 1`` underflow wraps to exactly that value); the rank
+        COUNT itself is per-symbol and fits int32 for any real alphabet.
 
         ``fused`` must be passed explicitly from INSIDE jitted code: the
         default reads ``self._fused``, which a jit would bake in as a
@@ -321,10 +346,18 @@ class DeviceFMIndex:
         service rejects the request body outright)."""
         if fused is None:
             fused = self._fused
-        r = jnp.asarray(r, I32)
         sym = jnp.asarray(sym, I32)
-        w = jnp.maximum(r, 0) >> 5
-        bitpos = jnp.maximum(r, 0) & 31
+        if self._big:
+            r = jnp.asarray(r, U32)
+            invalid = r == _UMAX
+            rv = jnp.where(invalid, jnp.uint32(0), r)
+            w = (rv >> 5).astype(I32)  # word index < 2^27: i32-safe
+            bitpos = (rv & 31).astype(I32)
+        else:
+            r = jnp.asarray(r, I32)
+            invalid = r < 0
+            w = jnp.maximum(r, 0) >> 5
+            bitpos = jnp.maximum(r, 0) & 31
         pair = fused[sym, w]  # (..., 2): packed word | checkpoint
         word = jax.lax.bitcast_convert_type(pair[..., 0], jnp.uint32)
         mask = jnp.where(
@@ -333,7 +366,7 @@ class DeviceFMIndex:
             (jnp.uint32(1) << (bitpos + 1).astype(jnp.uint32)) - jnp.uint32(1),
         )
         cnt = pair[..., 1] + jax.lax.population_count(word & mask).astype(I32)
-        return jnp.where(r < 0, 0, cnt)
+        return jnp.where(invalid, 0, cnt)
 
     def occ(self, r, a):
         """Batched occ by symbol byte ``a`` (matches Occ::get semantics)."""
@@ -412,8 +445,9 @@ class DeviceFMIndex:
             k <<= 1
         # steps t >= plens read wrapped junk; they are inactive in every
         # consumer (active = t < plens)
+        IDX = U32 if self._big else I32
         sym_cols = jnp.full((B, L), -1, I32)
-        less_cols = jnp.zeros((B, L), I32)
+        less_cols = jnp.zeros((B, L), IDX)
         use_fs = self._fs_cfg is not None
         base_cols = (
             jnp.full((B, L), self._fs_zero_base, I32) if use_fs else None
@@ -471,8 +505,8 @@ class DeviceFMIndex:
             # underflow guard (issue #606): occ_r == 0 -> stop, no match here
             fail0 = occ_r == 0
             occ_lm1 = jnp.where((l > 0) & valid_sym, occ2[B:], 0)
-            l_new = less_a + occ_lm1
-            r_new = less_a + occ_r - 1
+            l_new = less_a + occ_lm1.astype(IDX)
+            r_new = less_a + occ_r.astype(IDX) - 1  # u32: wraps iff fail0
             fail1 = l_new > r_new
             fail = fail0 | fail1
             upd = active & ~fail
@@ -484,10 +518,10 @@ class DeviceFMIndex:
             return (l2, r2, pl_n, pr_n, mlen2, complete2, done2), None
 
         init = (
-            jnp.zeros(B, I32),
-            jnp.full(B, n - 1, I32),
-            jnp.zeros(B, I32),
-            jnp.full(B, n - 1, I32),
+            jnp.zeros(B, IDX),
+            jnp.full(B, n - 1, IDX),
+            jnp.zeros(B, IDX),
+            jnp.full(B, n - 1, IDX),
             jnp.zeros(B, I32),
             jnp.ones(B, bool),
             jnp.zeros(B, bool),
@@ -543,7 +577,9 @@ class DeviceFMIndex:
             l, r = nl, nr
         self._lut_q = q
         self._lut = jnp.asarray(
-            np.stack([l, r], axis=1).astype(np.int32)
+            np.stack([l, r], axis=1).astype(
+                np.uint32 if self._big else np.int32
+            )
         )  # (4^q, 2)
         lut_rank = np.full(256, -1, np.int32)
         for ci, cb in enumerate(dna_bytes):
@@ -573,8 +609,9 @@ class DeviceFMIndex:
                 (shift & k) != 0, jnp.roll(a_cols, -k, axis=1), a_cols
             )
             k <<= 1
+        IDX = U32 if self._big else I32
         sym_cols = jnp.full((B, L), -1, I32)
-        less_cols = jnp.zeros((B, L), I32)
+        less_cols = jnp.zeros((B, L), IDX)
         lut_cols = jnp.full((B, L), -1, I32)
         for si, sbyte in enumerate(self.symbols):
             hit = a_cols == sbyte
@@ -611,8 +648,8 @@ class DeviceFMIndex:
             occ_r = jnp.where(valid_sym, occ2[:B], 0)
             fail0 = occ_r == 0
             occ_lm1 = jnp.where((l > 0) & valid_sym, occ2[B:], 0)
-            l_new = less_a + occ_lm1
-            r_new = less_a + occ_r - 1
+            l_new = less_a + occ_lm1.astype(IDX)
+            r_new = less_a + occ_r.astype(IDX) - 1  # u32: wraps iff fail0
             fail = fail0 | (l_new > r_new)
             upd = active & ~fail
             l2 = jnp.where(upd, l_new, l)
@@ -716,7 +753,8 @@ class DeviceFMIndex:
     def _locate_impl(
         self, fused, mxu_T, bwt_sym, sa_sample, sent_rows, sent_vals, rows
     ):
-        s = self.s
+        IDX = U32 if self._big else I32
+        s = IDX(self.s) if self._big else self.s
         S = len(self.symbols)
 
         def cond(carry):
@@ -732,14 +770,16 @@ class DeviceFMIndex:
             less_v = jnp.zeros_like(pos)
             for si in range(S):  # tiny-table select, not a gather
                 less_v = jnp.where(sym == si, self.less_sym[si], less_v)
+            # pos - 1 at the (done) sentinel row pos==0 wraps to the u32
+            # "-1" sentinel / stays -1 in i32 — rank returns 0 either way
             nxt = less_v + self._rank_dispatch(
                 pos - 1, jnp.maximum(sym, 0), fused, mxu_T
-            )
+            ).astype(IDX)
             pos2 = jnp.where(done2, pos, nxt)
             offset2 = jnp.where(done2, offset, offset + 1)
             return pos2, offset2, done2
 
-        pos0 = jnp.asarray(rows, I32)
+        pos0 = jnp.asarray(rows, IDX)
         B = pos0.shape[0]
         pos, offset, _ = jax.lax.while_loop(
             cond, body, (pos0, jnp.zeros(B, I32), jnp.zeros(B, bool))
@@ -752,7 +792,7 @@ class DeviceFMIndex:
         )
         sent_base = jnp.where(sent_rows[si] == pos, sent_vals[si], 0)
         base = jnp.where(sampled, sa_sample[pos // s], sent_base)
-        return base + offset
+        return base + offset.astype(base.dtype)
 
     def locate_batch(self, rows) -> np.ndarray:
         """Text positions for a batch of suffix-array row indices.
@@ -762,7 +802,7 @@ class DeviceFMIndex:
         recompiles the while_loop for every distinct shape)."""
         handle, nb = self.locate_batch_async(rows)
         if handle is None:
-            return np.asarray(rows, np.int32)
+            return np.asarray(rows, np.uint32 if self._big else np.int32)
         return np.asarray(handle)[:nb]
 
     def locate_batch_async(self, rows):
@@ -770,7 +810,7 @@ class DeviceFMIndex:
         (device handle, true row count); ``np.asarray(handle)[:nb]``
         collects.  The walk is lockstep-latency-bound (~25 ms even for a
         handful of rows), so callers overlap it with host work."""
-        rows = np.asarray(rows, np.int32)
+        rows = np.asarray(rows, np.uint32 if self._big else np.int32)
         nb = rows.shape[0]
         if nb == 0:
             return None, 0

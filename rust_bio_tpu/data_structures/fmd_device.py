@@ -44,6 +44,13 @@ class DeviceFMDIndex:
     """
 
     def __init__(self, device_fm: DeviceFMIndex) -> None:
+        # the bidirectional SMEM kernels are int32-indexed; an FMD text
+        # with n >= 2^31 (a > 1 Gbp genome doubled) needs the occ-sharded
+        # multi-chip index, not this single-chip path
+        assert not device_fm._big, (
+            "DeviceFMDIndex requires n < 2^31 (use ShardedFMIndex for "
+            "larger FMD texts)"
+        )
         self.fm = device_fm
         sym_of = np.asarray(device_fm.sym_of)
         ext = np.frombuffer(_EXT_ORDER, np.uint8)

@@ -99,13 +99,16 @@ def load_fm_index(path, verify: bool = True, return_meta: bool = False):
     idx.s = meta["s"]
     idx.sentinel = meta["sentinel"]
     idx.symbols = list(meta["symbols"])
+    idx._big = idx.n >= 2**31  # u32 index arithmetic (see __init__)
+    inp = np.uint32 if idx._big else np.int32
     idx.bits = np.asarray(arrays["bits"])  # host-side (see __init__)
     idx.ckpt = np.asarray(arrays["ckpt"])
     idx._refresh_fused()
-    idx.less = jnp.asarray(arrays["less"])
+    idx.less = jnp.asarray(np.asarray(arrays["less"]).astype(inp))
     idx.less_sym = jnp.asarray(
-        np.asarray(arrays["less"])[np.asarray(meta["symbols"], np.int64)]
-        .astype(np.int32)
+        np.asarray(arrays["less"])
+        .astype(np.int64)[np.asarray(meta["symbols"], np.int64)]
+        .astype(inp)
     )
     idx.sym_of = jnp.asarray(arrays["sym_of"])
     # host-side until a device consumer (locate) touches them — a 2 Gbp

@@ -56,9 +56,13 @@ def transform_text(text: np.ndarray, alphabet: Alphabet, sentinel_count: int) ->
     dt = np.uint8 if maxv < 256 else (np.int32 if maxv < 2**31 else np.int64)
     ranks = (transform.lut.astype(np.int64) + offset).astype(dt)
     out = ranks[text]
-    is_sent = text == s
-    # descending ranks: first sentinel -> count-1, ..., last -> 0
-    out[is_sent] = sentinel_count - np.cumsum(is_sent)[is_sent]
+    # descending ranks: first sentinel -> count-1, ..., last -> 0.
+    # flatnonzero (one pass, tiny result) instead of a full cumsum — the
+    # (n,) int64 cumsum intermediate is 25 GB at a 3 Gbp text
+    sent_pos = np.flatnonzero(text == s)
+    out[sent_pos] = (
+        sentinel_count - 1 - np.arange(sentinel_count, dtype=np.int64)
+    ).astype(out.dtype)
     return out
 
 

@@ -27,7 +27,12 @@ _tried = False
 def _build() -> Optional[str]:
     if not os.path.exists(_SRC):
         return None
-    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
+    src_mtime = max(
+        os.path.getmtime(os.path.join(os.path.dirname(_SRC), f))
+        for f in ("biotpu.cpp", "sais.hpp", "banded_dp.hpp")
+        if os.path.exists(os.path.join(os.path.dirname(_SRC), f))
+    )
+    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= src_mtime:
         return _LIB_PATH
     try:
         subprocess.run(
@@ -95,6 +100,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.sais_u8_i64.restype = None
         except AttributeError:
             pass  # stale .so without the genome-scale entry points
+        try:
+            u32p = ctypes.POINTER(ctypes.c_uint32)
+            lib.sais_u8_u32.argtypes = [
+                u8p, ctypes.c_int64, ctypes.c_int64, u32p,
+            ]
+            lib.sais_u8_u32.restype = None
+        except AttributeError:
+            pass  # stale .so without the u32 human-genome entry point
         try:
             u16p = ctypes.POINTER(ctypes.c_uint16)
             lib.cigars_colrle.argtypes = [
@@ -164,6 +177,18 @@ def sais(transformed: np.ndarray, alphabet_size: int) -> Optional[np.ndarray]:
         # small arrays keep the historical int64 dtype; genome-scale SAs
         # stay i32 to avoid an 8n transient
         return sa32 if n >= (1 << 27) else sa32.astype(np.int64)
+    if u8_ok and n < 2**32 and hasattr(lib, "sais_u8_u32"):
+        # full-human-genome envelope (3.1 Gbp): u32 SA storage at the top
+        # level, i32 recursion — half the i64 path's working set
+        t = np.ascontiguousarray(transformed, dtype=np.uint8)
+        sa_u32 = np.empty(n, dtype=np.uint32)
+        lib.sais_u8_u32(
+            t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n,
+            int(alphabet_size),
+            sa_u32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        )
+        return sa_u32
     if u8_ok:
         t = np.ascontiguousarray(transformed, dtype=np.uint8)
         sa = np.empty(n, dtype=np.int64)
@@ -181,6 +206,27 @@ def sais(transformed: np.ndarray, alphabet_size: int) -> Optional[np.ndarray]:
         n,
         int(alphabet_size),
         sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return sa
+
+
+def sais_u32(transformed: np.ndarray, alphabet_size: int) -> Optional[np.ndarray]:
+    """Force the u8-text/u32-SA top-level instantiation regardless of
+    length (the >= 2^31 human-genome path; exposed so tests can property-
+    check it against the i32 path on small texts)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "sais_u8_u32"):
+        return None
+    if alphabet_size > 256:
+        return None
+    n = len(transformed)
+    t = np.ascontiguousarray(transformed, dtype=np.uint8)
+    sa = np.empty(n, dtype=np.uint32)
+    lib.sais_u8_u32(
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n,
+        int(alphabet_size),
+        sa.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
     )
     return sa
 

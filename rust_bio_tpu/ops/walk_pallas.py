@@ -913,6 +913,218 @@ def _resolve_fixed_column_custom(tbfix, lx_n, mlens, nlens):
     )
 
 
+def _kernel_sweep_walk_local(
+    i1_ref,  # (1, BB) i32 — entry state from the fixed-column prolog
+    j1_ref,
+    ca1_ref,
+    us1_ref,
+    dn1_ref,
+    xs0_ref,  # (1, BB) i32 — coords for lanes finished in the prolog
+    ys0_ref,
+    tb_ref,  # (K, X, BB) uint16, descending chunks (incl. column 0)
+    ins_out,  # (K, 1, BB) u16
+    exit_out,  # (K, 1, BB) u16 (TB_MATCH/TB_SUBST/TB_DEL; 0 = none)
+    xs_out,  # (1, BB) u16 — xstart resolved at the finish cell
+    ys_out,  # (1, BB) u16
+    icur,
+    jcur,
+    carried,
+    use_s,
+    done,
+    xs_s,
+    ys_s,
+):
+    """LOCAL-mode specialization of the custom sweep walk.
+
+    With all four clip penalties zero AND strictly negative gap steps
+    (gap_open + gap_extend < 0 — asserted by the dispatcher), an on-path
+    interior cell can never carry TB_XCLIP_SUFFIX (a del-run past a free
+    x-suffix clip would score strictly worse than clipping directly), and
+    TB_XCLIP_PREFIX / TB_YCLIP_PREFIX / TB_START are all terminal (the
+    path start).  That removes the custom kernel's speculative clip
+    gather, the lx stream, and 3 of its 5 output streams — per-column
+    work drops to the lean global kernel's 3 gathers / 2 streams (the
+    custom walk costs 2.3 ms more than the global walk per 8192x150
+    batch; PARITY.md "Local-engine VMEM ceiling" (b))."""
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+
+    K, X, BB = tb_ref.shape
+
+    @pl.when(c == 0)
+    def _init():
+        icur[:] = i1_ref[:]
+        jcur[:] = j1_ref[:]
+        carried[:] = ca1_ref[:]
+        use_s[:] = us1_ref[:]
+        done[:] = dn1_ref[:]
+        xs_s[:] = xs0_ref[:]
+        ys_s[:] = ys0_ref[:]
+
+    base = (n_chunks - 1 - c) * K
+
+    def column(kk, st):
+        i_s, j_s, ca_s, us_s, dn_s, xs_c, ys_c = st
+        k = K - 1 - kk
+        j = base + k  # DP column index, 0-based (column 0 included)
+
+        at = (j_s == j) & (dn_s == 0)
+        col = tb_ref[k].astype(I32)
+
+        g1 = _gather_row(col, i_s)
+        entry = jnp.where(us_s == 1, (g1 >> 8) & 0xF, ca_s)
+        is_ins = at & (entry == TB_INS)
+        m = jnp.where(is_ins, g1 >> 12, 0)
+
+        def chain_cond(st):
+            return jnp.any(st[1] == 1)
+
+        def chain_body(st):
+            mm, act = st
+            g = _gather_row(col, i_s - mm)
+            nib = g >> 12
+            upd = act == 1
+            return mm + jnp.where(upd, nib, 0), (upd & (nib == 15)).astype(I32)
+
+        m, _ = jax.lax.while_loop(
+            chain_cond, chain_body,
+            (m, (is_ins & (m == 15)).astype(I32)),
+        )
+        ins_cnt = jnp.where(is_ins, m + 1, 0)
+
+        ga = _gather_row(col, i_s - m)
+        gb = _gather_row(col, i_s - m - 1)
+        layer2 = jnp.where(is_ins, ga & 0xF, entry)
+        db2 = jnp.where(is_ins, (gb >> 4) & 0xF, (g1 >> 4) & 0xF)
+        i2 = jnp.where(is_ins, i_s - m - 1, i_s)
+
+        is_mm = (layer2 == TB_MATCH) | (layer2 == TB_SUBST)
+        is_del = layer2 == TB_DEL
+        # terminal codes: Start at (0,0), Xclip-prefix (xstart = i2, the
+        # clip length), Yclip-prefix (row 0 only: xstart = i2 = 0)
+        finish = at & (
+            (layer2 == TB_START)
+            | (layer2 == TB_XCLIP_PREFIX)
+            | (layer2 == TB_YCLIP_PREFIX)
+        )
+        exit_code = jnp.where(at & (is_mm | is_del), layer2, 0)
+
+        ins_out[k] = ins_cnt.astype(jnp.uint16)
+        exit_out[k] = exit_code.astype(jnp.uint16)
+
+        new_i = jnp.where(at & is_mm, i2 - 1, jnp.where(at, i2, i_s))
+        new_j = jnp.where(at & (is_mm | is_del), j - 1, j_s)
+        new_ca = jnp.where(at & is_del, db2, ca_s)
+        new_us = jnp.where(at, jnp.where(is_mm, 1, 0), us_s)
+        new_dn = jnp.where(finish, 1, dn_s)
+        # max-merge: the prolog may already have resolved an Xclip/Yclip
+        # prefix (leaving the lane live for a trailing column-0 Start);
+        # at most one source of each coordinate is ever nonzero
+        new_xs = jnp.where(finish, jnp.maximum(i2, xs_c), xs_c)
+        new_ys = jnp.where(finish, jnp.maximum(j, ys_c), ys_c)
+        return new_i, new_j, new_ca, new_us, new_dn, new_xs, new_ys
+
+    st = jax.lax.fori_loop(
+        0, K, column,
+        (icur[:], jcur[:], carried[:], use_s[:], done[:], xs_s[:], ys_s[:]),
+    )
+    icur[:], jcur[:], carried[:], use_s[:], done[:], xs_s[:], ys_s[:] = st
+
+    @pl.when(c == n_chunks - 1)
+    def _fin():
+        xs_out[:] = xs_s[:].astype(jnp.uint16)
+        ys_out[:] = ys_s[:].astype(jnp.uint16)
+
+
+def sweep_walk_local(tb_cols0, tbfix, lx_cols0, lx_n, mlens, nlens):
+    """Local-mode column-sweep walk (all clips 0, strict negative gaps).
+
+    Same inputs as ``sweep_walk_custom``; returns (ins_cnt, exit_op —
+    (Np+1, B) — fix_codes (B, 4), fix_lens (B, 4), xstart, ystart, xend,
+    yend).  The interior streams carry NO clip ops: Xclip/Yclip prefixes
+    are terminal in local mode and resolve to (xstart, ystart) directly;
+    suffix clips live in the fixed-column prolog's slots.  The dispatcher
+    must guarantee gap_open + gap_extend < 0 (see the kernel docstring)."""
+    Nc, X, B = tb_cols0.shape
+    (
+        fix_codes, fix_lens, i1, j1, ca1, us1, dn1,
+        xstart0, ystart0, xend0, yend0,
+    ) = _resolve_fixed_column_custom(tbfix, lx_n, mlens, nlens)
+
+    # lanes that left the fixed column via a y-suffix clip land at
+    # (mlens, yend) in the S layer, whose code may be an x-suffix clip:
+    # resolve it here (one two-axis cell gather) so the kernel needs no
+    # clip machinery.  Rows below mlens never hold TB_XCLIP_SUFFIX.
+    bidx = jnp.arange(B)
+    live = (~dn1) & us1 & (j1 < nlens) & (j1 > 0)
+    jg = jnp.where(live, j1, 0)
+    cell = tb_cols0[jg, jnp.where(live, i1, 0), bidx].astype(I32)
+    sbj = (cell >> 8) & 0xF
+    lxj = lx_cols0[jg, bidx]
+    is_xs = live & (sbj == TB_XCLIP_SUFFIX)
+    i1 = jnp.where(is_xs, i1 - lxj, i1)
+    xend = jnp.where(is_xs, i1, xend0)
+    # the x-suffix clip is recorded in a free fix slot so the decode can
+    # emit it in order (slot order is end -> start; it follows the y-clip)
+    nslot = jnp.sum(fix_codes != 0, axis=1)
+    oh = (jnp.arange(4)[None, :] == nslot[:, None]) & is_xs[:, None]
+    fix_codes = jnp.where(oh, TB_XCLIP_SUFFIX, fix_codes)
+    fix_lens = jnp.where(oh, lxj[:, None], fix_lens)
+
+    block_b, K = _pick_block_walk(B, X, Nc)
+    n_chunks = -(-Nc // K)
+    Npad = n_chunks * K
+    if Npad != Nc:
+        tb_cols0 = jnp.pad(tb_cols0, ((0, Npad - Nc), (0, 0), (0, 0)))
+    grid = (B // block_b, n_chunks)
+    out = pl.pallas_call(
+        _kernel_sweep_walk_local,
+        interpret=jax.default_backend() == "cpu",
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_b), lambda b, c: (0, b))
+            for _ in range(7)
+        ]
+        + [
+            pl.BlockSpec(
+                (K, X, block_b), lambda b, c, n=n_chunks: (n - 1 - c, 0, b)
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (K, 1, block_b), lambda b, c, n=n_chunks: (n - 1 - c, 0, b)
+            )
+            for _ in range(2)
+        ]
+        + [pl.BlockSpec((1, block_b), lambda b, c: (0, b)) for _ in range(2)],
+        out_shape=[
+            jax.ShapeDtypeStruct((Npad, 1, B), jnp.uint16) for _ in range(2)
+        ]
+        + [jax.ShapeDtypeStruct((1, B), jnp.uint16) for _ in range(2)],
+        scratch_shapes=[pltpu.VMEM((1, block_b), I32) for _ in range(7)],
+    )(
+        i1.reshape(1, B),
+        j1.reshape(1, B),
+        ca1.reshape(1, B),
+        us1.astype(I32).reshape(1, B),
+        dn1.astype(I32).reshape(1, B),
+        xstart0.reshape(1, B),
+        ystart0.reshape(1, B),
+        tb_cols0,
+    )
+    ins_cnt, exit_op, xs_u, ys_u = out
+    return (
+        ins_cnt[:Nc, 0],
+        exit_op[:Nc, 0],
+        fix_codes,
+        fix_lens,
+        xs_u[0].astype(I32),
+        ys_u[0].astype(I32),
+        xend,
+        yend0,
+    )
+
+
 def _kernel_sweep_walk_custom(
     i1_ref,
     j1_ref,

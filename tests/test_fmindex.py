@@ -394,3 +394,59 @@ def test_kmer_lut_search_matches_exact_kernel():
     )
     for name, g, w in zip(("status", "lower", "upper", "mlen"), got, want):
         np.testing.assert_array_equal(g, w, err_msg=name)
+
+
+def test_u32_kernels_match_i32():
+    """force_u32=True routes search/LUT/locate through the uint32 index
+    arithmetic used for n >= 2^31 texts (the 3.1 Gbp human-genome
+    envelope); results must be bit-identical to the int32 kernels."""
+    import jax
+
+    from rust_bio_tpu.data_structures.fm_device import DeviceFMIndex
+
+    rng = np.random.default_rng(5)
+    for trial in range(4):
+        n = int(rng.integers(200, 2500))
+        text = (
+            rng.choice(list(b"ACGT"), size=n).astype(np.uint8).tobytes()
+            + b"$"
+        )
+        sa = suffix_array(text)
+        b = bwt(text, sa)
+        i32i = DeviceFMIndex(b, dna.n_alphabet(), sa=sa, sampling_rate=8)
+        u32i = DeviceFMIndex(
+            b, dna.n_alphabet(), sa=sa, sampling_rate=8, force_u32=True
+        )
+        B, L = 48, 14
+        pats = np.zeros((B, L), np.uint8)
+        plens = np.zeros(B, np.int32)
+        tarr = np.frombuffer(text, np.uint8)
+        for i in range(B):
+            ln = int(rng.integers(1, L + 1))
+            if i % 3 == 0:  # random (mostly absent)
+                p = rng.choice(list(b"ACGT"), size=ln).astype(np.uint8)
+            else:  # real substring, sometimes mutated (partial)
+                s = int(rng.integers(0, n - ln))
+                p = tarr[s : s + ln].copy()
+                if i % 3 == 2 and ln > 2:
+                    p[int(rng.integers(0, ln))] = ord("T")
+            pats[i, :ln] = p
+            plens[i] = ln
+        a = jax.tree.map(np.asarray, i32i._search_kernel(pats, plens))
+        c = jax.tree.map(np.asarray, u32i._search_kernel(pats, plens))
+        for k in range(4):
+            assert (
+                a[k].astype(np.int64) == c[k].astype(np.int64)
+            ).all(), (trial, k)
+        i32i.build_kmer_lut(q=4)
+        u32i.build_kmer_lut(q=4)
+        ra = i32i.search_batch_lut(pats, plens)
+        rb = u32i.search_batch_lut(pats, plens)
+        for k in range(4):
+            assert (
+                ra[k].astype(np.int64) == rb[k].astype(np.int64)
+            ).all(), (trial, k)
+        rows = rng.integers(0, n + 1, size=17)
+        la = i32i.locate_batch(rows)
+        lb = u32i.locate_batch(rows)
+        assert (la.astype(np.int64) == lb.astype(np.int64)).all()

@@ -122,3 +122,56 @@ def test_sampled_doctest():
     sampled = sample_suffix_array(sa, text, b, l, occ, 2)
     for i in range(len(sa)):
         assert sampled.get(i) == int(sa[i])
+
+
+def test_sais_u32_matches_default_path():
+    """The u8/u32 top-level SAIS (the >= 2^31 human-genome instantiation,
+    forced small here) matches the default builder on random, multi-
+    sentinel, and periodic texts (native/sais.hpp sais_top_u8_u32;
+    reference dtype dispatch: suffix_array.rs:270-281)."""
+    from rust_bio_tpu import native
+    from rust_bio_tpu.data_structures.suffix_array import (
+        _sentinel_count,
+        transform_text,
+    )
+    from rust_bio_tpu.alphabets import Alphabet
+    from rust_bio_tpu.utils.text import to_array
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    for trial in range(60):
+        kind = trial % 3
+        if kind == 0:
+            n = int(rng.integers(1, 400))
+            text = (
+                rng.choice(list(b"ACGT"), size=n).astype(np.uint8).tobytes()
+                + b"$"
+            )
+        elif kind == 1:
+            parts = []
+            for _ in range(int(rng.integers(1, 4))):
+                m = int(rng.integers(1, 120))
+                parts.append(
+                    rng.choice(list(b"ACGT"), size=m)
+                    .astype(np.uint8)
+                    .tobytes()
+                    + b"$"
+                )
+            text = b"".join(parts)
+        else:
+            u = (
+                rng.choice(list(b"ACGT"), size=int(rng.integers(1, 5)))
+                .astype(np.uint8)
+                .tobytes()
+            )
+            text = u * int(rng.integers(2, 60)) + b"$"
+        arr = to_array(text)
+        alphabet = Alphabet(arr.tobytes())
+        tr = transform_text(arr, alphabet, _sentinel_count(arr))
+        got = native.sais_u32(tr, int(tr.max()) + 1)
+        ref = suffix_array(text)
+        assert got is not None
+        assert (got.astype(np.int64) == np.asarray(ref, np.int64)).all(), (
+            text[:50]
+        )

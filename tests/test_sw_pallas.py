@@ -876,3 +876,68 @@ def test_dispatch_fuzz_engine_boundaries():
                 h = getattr(host, mode)(xs[i], ys[i])
                 assert dev[i].score == h.score, (mode, i)
                 assert dev[i].operations == h.operations, (mode, i)
+
+
+def test_local_walk_matches_custom_walk():
+    """The local-specialized sweep walk (sweep_walk_local: no clip
+    machinery, terminal clip-prefixes) must produce Alignments identical
+    to the general custom walk on the same scan outputs — score, ops,
+    and all four coordinates — including ins runs, ragged lens, and
+    paths that end in y/x-suffix clips."""
+    import random
+
+    from rust_bio_tpu.alignment.pairwise.batched import (
+        _align_batch_device_custom_mp,
+        _decode_ops_colrle_custom,
+        _decode_ops_colrle_local,
+        _unpack_rle_custom,
+        _unpack_rle_local,
+    )
+
+    rng = random.Random(977)
+    B, M, N = 16, 21, 26
+    for trial in range(4):
+        go = rng.randint(-9, -1)
+        ge = rng.randint(go, 0)
+        ma, mi = rng.randint(1, 3), rng.randint(-4, -1)
+        xb = np.zeros((B, M), np.uint8)
+        yb = np.zeros((B, N), np.uint8)
+        ml = np.zeros(B, np.int32)
+        nl = np.zeros(B, np.int32)
+        for k in range(B):
+            ml[k] = rng.randint(1, M)
+            nl[k] = rng.randint(1, N)
+            xb[k, : ml[k]] = [rng.choice(b"ACGT") for _ in range(ml[k])]
+            yb[k, : nl[k]] = [rng.choice(b"ACG") for _ in range(nl[k])]
+        pen8 = jnp.asarray(np.array([go, ge, 0, 0, 0, 0, ma, mi], np.int32))
+        args = (jnp.asarray(xb), jnp.asarray(yb), jnp.asarray(ml),
+                jnp.asarray(nl), pen8)
+        out_l = _align_batch_device_custom_mp(
+            *args, local_engine=True, local_walk=True
+        )
+        out_c = _align_batch_device_custom_mp(
+            *args, local_engine=True, local_walk=False
+        )
+        s_l, up_l = _unpack_rle_local(np.asarray(out_l["packed_local"]))
+        s_c, up_c = _unpack_rle_custom(np.asarray(out_c["packed_custom"]))
+        np.testing.assert_array_equal(s_l, s_c, err_msg=f"trial {trial}")
+        for name in ("xstart", "ystart", "xend", "yend"):
+            np.testing.assert_array_equal(
+                up_l[name], up_c[name], err_msg=f"trial {trial} {name}"
+            )
+        for k in range(B):
+            ops_l = _decode_ops_colrle_local(
+                up_l["ins_cnt"][:, k], up_l["exit_op"][:, k],
+                up_l["fix_codes"][:, k], up_l["fix_lens"][:, k],
+                int(nl[k]),
+            )
+            ops_c = _decode_ops_colrle_custom(
+                up_c["pre"][:, k], up_c["ins_cnt"][:, k],
+                up_c["exit_op"][:, k], up_c["elen"][:, k],
+                up_c["post"][:, k], up_c["fix_codes"][:, k],
+                up_c["fix_lens"][:, k], int(nl[k]),
+            )
+            drop = lambda ops: [
+                o for o in ops if o.kind not in ("Xclip", "Yclip")
+            ]
+            assert drop(ops_l) == drop(ops_c), (trial, k, ops_l, ops_c)
