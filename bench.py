@@ -1439,7 +1439,8 @@ def main() -> None:
             s = None
             for _ in range(K):
                 out = _align_batch_device_custom_mp(
-                    xb, yb, mlens, nlens, pen8_l, local_engine=True
+                    xb, yb, mlens, nlens, pen8_l, local_engine=True,
+                    local_walk=True,
                 )
                 s = out["score"] if s is None else s + out["score"]
             return int(np.asarray(s).sum())

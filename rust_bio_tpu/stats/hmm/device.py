@@ -39,6 +39,50 @@ def _lse_last(x):
     return jnp.where(hi[..., 0] <= NEG / 2, hi[..., 0], out)
 
 
+def _emission_rows(obs, Bm):
+    """(T, B, S) emission rows for int observations via one one-hot einsum
+    (the per-step ``Bm[:, o]`` gather scalarizes inside ``lax.scan``)."""
+    V = Bm.shape[1]
+    oh = jax.nn.one_hot(obs, V, dtype=Bm.dtype)  # (B, T, V)
+    return jnp.einsum("btv,sv->tbs", oh, Bm)
+
+
+def _backtrack_paths(frms, last):
+    """Viterbi path from stored argmax tables in LOG depth.
+
+    The sequential backtrack ``path[t] = frms[t][path[t+1]]`` is a
+    composition of integer maps {0..S-1} -> {0..S-1}; map composition is
+    associative and exact, so a reverse ``associative_scan`` replaces the
+    T-step pointer chase with ~log2(T) vectorized gather passes.  Tie
+    semantics are untouched (the maps themselves are the scan's argmax
+    output).  ``frms``: (T-1, B, S); ``last``: (B,).  Returns (B, T)."""
+
+    S = frms.shape[-1]
+    ks = jnp.arange(S, dtype=frms.dtype)
+
+    def compose(f, g):
+        # under reverse=True the scan feeds the HIGHER-t operand first, so
+        # the lower-t map g applies after f: h[s] = g[f[s]] (verified
+        # against the sequential pointer chase in tests/test_hmm.py).
+        # gathers scalarize on TPU — blend arithmetically over the S
+        # possible values instead (exact: integer masks on integer maps)
+        h = jnp.zeros_like(f)
+        for k in range(S):
+            h = h + jnp.where(f == ks[k], g[..., k : k + 1], 0)
+        return h
+
+    suffix = jax.lax.associative_scan(compose, frms, reverse=True)
+    # path[t] = suffix[t][last] for t in 0..T-2, then the final state —
+    # again a masked sum instead of a lane gather
+    path_head = jnp.zeros(suffix.shape[:2], dtype=frms.dtype)
+    for k in range(S):
+        path_head = path_head + jnp.where(
+            last[None, :] == ks[k], suffix[..., k], 0
+        )
+    path = jnp.concatenate([path_head, last[None, :]], axis=0)
+    return jnp.swapaxes(path, 0, 1)
+
+
 class BatchDiscreteHMM:
     """Batched inference for one discrete-emission HMM over B sequences.
 
@@ -62,57 +106,46 @@ class BatchDiscreteHMM:
         A, Bm, pi = self.A, self.Bm, self.pi
         B, T = obs.shape
         S = A.shape[0]
+        # all emissions in ONE one-hot contraction before the scan (MXU):
+        # a per-step Bm[:, o] gather inside lax.scan scalarizes on TPU
+        e_all = _emission_rows(obs, Bm)  # (T, B, S)
 
         def step(carry, xs):
-            v, t = carry, xs[0]
-            o = xs[1]  # (B,)
-            e = Bm[:, o].T  # (B, S) emission of this obs per state
+            v, t, e = carry, xs[0], xs[1]
             # cand[b, k, j] = v[b, k] + A[k, j]
             cand = v[:, :, None] + A[None, :, :]
             best = jnp.max(cand, axis=1) + e  # (B, S)
             frm = jnp.argmax(cand, axis=1)  # (B, S)
             active = (t < lens)[:, None]
             v_new = jnp.where(active, best, v)
-            return v_new, (jnp.where(active, frm, -1), v_new)
+            # frozen steps store the identity map so the suffix composition
+            # below passes the held state straight through
+            ident = jnp.broadcast_to(
+                jnp.arange(S, dtype=frm.dtype)[None, :], frm.shape
+            )
+            return v_new, jnp.where(active, frm, ident)
 
-        e0 = Bm[:, obs[:, 0]].T
-        v0 = pi[None, :] + e0
-        v_fin, (frms, vals) = jax.lax.scan(
+        v0 = pi[None, :] + e_all[0]
+        v_fin, frms = jax.lax.scan(
             step,
             v0,
-            (jnp.arange(1, T, dtype=jnp.int32), jnp.swapaxes(obs[:, 1:], 0, 1)),
+            (jnp.arange(1, T, dtype=jnp.int32), e_all[1:]),
+            unroll=8,
         )
         v_end = v_fin + self.end[None, :]
         last = jnp.argmax(v_end, axis=1)  # (B,)
         prob = jnp.take_along_axis(v_end, last[:, None], 1)[:, 0]
-
-        # backtrack (reverse scan over the stored argmax tables)
-        def back(curr, xs):
-            frm, t = xs
-            prev = jnp.take_along_axis(frm, curr[:, None], axis=1)[:, 0]
-            take = t < lens  # frame t -> t-1 transition exists
-            prev = jnp.where(take, prev, curr)
-            return prev, prev
-
-        # iterate times T-1..1; emit state at t-1
-        _, path_rev = jax.lax.scan(
-            back,
-            last,
-            (frms[::-1], jnp.arange(T - 1, 0, -1, dtype=jnp.int32)),
-        )
-        path = jnp.concatenate(
-            [path_rev[::-1], last[None, :]], axis=0
-        )  # (T, B) states
-        return jnp.swapaxes(path, 0, 1), prob
+        path = _backtrack_paths(frms, last)
+        return path, prob
 
     @partial(jax.jit, static_argnums=0)
     def _forward(self, obs, lens):
         A, Bm, pi = self.A, self.Bm, self.pi
         B, T = obs.shape
+        e_all = _emission_rows(obs, Bm)  # (T, B, S)
 
         def step(v, xs):
-            t, o = xs
-            e = Bm[:, o].T
+            t, e = xs
             # lse over source k of v[b, k] + A[k, j]
             cand = jnp.swapaxes(v[:, :, None] + A[None, :, :], 1, 2)
             nxt = _lse_last(cand) + e  # (B, S)
@@ -120,11 +153,12 @@ class BatchDiscreteHMM:
             v = jnp.where(active, nxt, v)
             return v, v
 
-        v0 = pi[None, :] + Bm[:, obs[:, 0]].T
+        v0 = pi[None, :] + e_all[0]
         v_fin, vs = jax.lax.scan(
             step,
             v0,
-            (jnp.arange(1, T, dtype=jnp.int32), jnp.swapaxes(obs[:, 1:], 0, 1)),
+            (jnp.arange(1, T, dtype=jnp.int32), e_all[1:]),
+            unroll=8,
         )
         tot = _lse_last(v_fin + self.end[None, :])
         vals = jnp.concatenate([v0[None], vs], axis=0)  # (T, B, S)
@@ -222,6 +256,8 @@ class BatchGaussianHMM(BatchDiscreteHMM):
         A, pi = self.A, self.pi
         B, T = obs.shape
 
+        S = A.shape[0]
+
         def step(carry, xs):
             v, t = carry, xs[0]
             e = self._emit(xs[1])
@@ -230,29 +266,22 @@ class BatchGaussianHMM(BatchDiscreteHMM):
             frm = jnp.argmax(cand, axis=1)
             active = (t < lens)[:, None]
             v_new = jnp.where(active, best, v)
-            return v_new, (jnp.where(active, frm, -1), v_new)
+            ident = jnp.broadcast_to(
+                jnp.arange(S, dtype=frm.dtype)[None, :], frm.shape
+            )
+            return v_new, jnp.where(active, frm, ident)
 
         v0 = pi[None, :] + self._emit(obs[:, 0])
-        v_fin, (frms, vals) = jax.lax.scan(
+        v_fin, frms = jax.lax.scan(
             step, v0,
             (jnp.arange(1, T, dtype=jnp.int32), jnp.swapaxes(obs[:, 1:], 0, 1)),
+            unroll=8,
         )
         v_end = v_fin + self.end[None, :]
         last = jnp.argmax(v_end, axis=1)
         prob = jnp.take_along_axis(v_end, last[:, None], 1)[:, 0]
-
-        def back(curr, xs):
-            frm, t = xs
-            prev = jnp.take_along_axis(frm, curr[:, None], axis=1)[:, 0]
-            prev = jnp.where(t < lens, prev, curr)
-            return prev, prev
-
-        _, path_rev = jax.lax.scan(
-            back, last,
-            (frms[::-1], jnp.arange(T - 1, 0, -1, dtype=jnp.int32)),
-        )
-        path = jnp.concatenate([path_rev[::-1], last[None, :]], axis=0)
-        return jnp.swapaxes(path, 0, 1), prob
+        path = _backtrack_paths(frms, last)
+        return path, prob
 
     @partial(jax.jit, static_argnums=0)
     def _forward(self, obs, lens):

@@ -17,8 +17,10 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+# hard overrides, not setdefault: the harness presets both, and the axon
+# sitecustomize registers the TPU backend first if the pool IPs survive
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
@@ -107,6 +109,10 @@ def main():
     if not os.path.exists(NPZ_PATH):
         import jax
 
+        # the axon sitecustomize registers the TPU backend at interpreter
+        # startup, before this script body runs — the env vars alone are
+        # not enough (CLAUDE.md "Environment gotchas")
+        jax.config.update("jax_platforms", "cpu")
         assert jax.default_backend() == "cpu", "build must stay off the TPU"
         from rust_bio_tpu.alphabets import dna
         from rust_bio_tpu.data_structures.fm_device import DeviceFMIndex
