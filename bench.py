@@ -1265,19 +1265,23 @@ def _cigar_modes_rates():
     yb_hi[mut] = rng.integers(0, 4, size=int(mut.sum())).astype(
         np.uint8
     ) + ord("A")
-    p = BatchAligner.global_packed_finish(
-        ba.global_packed_async_arrays(xb, yb_hi, mlens, nlens)
+    # compact path: the column-RLE stream merges ON DEVICE to <= 32 runs
+    # per lane, so the transfer-bound pull shrinks ~4x (overflow lanes,
+    # if any, re-run dense — parity-tested in test_sw_pallas.py)
+    p = BatchAligner.packed_compact_finish(
+        ba.global_packed_compact_async_arrays(xb, yb_hi, mlens, nlens)
     )
     cigs = p.cigars()
     assert len(cigs) == B and all(cigs)
+    assert not p.overflow.any(), "hi-id corpus should fit the run budget"
 
     def run_hi():
         handles = [
-            ba.global_packed_async_arrays(xb, yb_hi, mlens, nlens)
+            ba.global_packed_compact_async_arrays(xb, yb_hi, mlens, nlens)
             for _ in range(K)
         ]
         for h in handles:
-            BatchAligner.global_packed_finish(h).cigars()
+            BatchAligner.packed_compact_finish(h).cigars()
 
     run_hi()
     hi_rate = K * B / _best_of(run_hi, 3)

@@ -797,6 +797,107 @@ def _pack_rle_local(
     return jnp.concatenate([small, merged], axis=0)
 
 
+def _merge_rle_device(ins_cnt, exit_op, ins0, fix_ins, fix_exit, nlens, R):
+    """Device-side merge of the column-RLE walk stream into at most ``R``
+    (kind, len) runs per lane — the vector replica of the numpy merge in
+    ``PackedSemiglobal.cigars()`` (same stream order, same drop/merge
+    rules; oracle-tested against it).  Purpose: the delivered-CIGAR pull
+    is transfer-bound through the dev tunnel (~26 ms latency + ~40 MB/s),
+    and at mapper-realistic identity a 150 bp pair merges to < 30 runs —
+    pulling (5+R, B) u16 instead of (10+Np, B) u16 is ~4x fewer bytes.
+
+    Returns (run_kind (R, B), run_len (R, B), n_runs (B,), ovf (B,) bool)
+    where ``ovf`` flags lanes with > R runs or a run length > 4095 (the
+    12-bit pack bound) — those lanes must be re-decoded via the dense
+    path."""
+    Np, B = ins_cnt.shape
+    cols = jnp.arange(Np, dtype=I32)[None, :]
+    cvalid = cols < nlens[:, None]  # (B, Np)
+    ex = jnp.where(cvalid, jnp.transpose(exit_op).astype(I32), 0)
+    cnt = jnp.where(cvalid, jnp.transpose(ins_cnt).astype(I32), 0)
+    # stream order (cigars() C/Lm build): [INS ins0], (exit_j len 1,
+    # INS cnt_j) for j ascending, [fix_exit len 1], [INS fix_ins]
+    kind_pairs = jnp.stack(
+        [ex, jnp.full_like(ex, TB_INS)], axis=2
+    ).reshape(B, 2 * Np)
+    len_pairs = jnp.stack([jnp.ones_like(cnt), cnt], axis=2).reshape(
+        B, 2 * Np
+    )
+    kind = jnp.concatenate(
+        [
+            jnp.full((B, 1), TB_INS, I32),
+            kind_pairs,
+            fix_exit[:, None].astype(I32),
+            jnp.full((B, 1), TB_INS, I32),
+        ],
+        axis=1,
+    )  # (B, W)
+    ln = jnp.concatenate(
+        [
+            ins0[:, None].astype(I32),
+            len_pairs,
+            jnp.ones((B, 1), I32),
+            fix_ins[:, None].astype(I32),
+        ],
+        axis=1,
+    )
+    valid = (kind >= TB_INS) & (kind <= TB_MATCH) & (ln > 0)
+    # previous-kept-kind forward fill (log-depth, no gathers), exclusive
+    vk = jnp.where(valid, kind, 0)
+    ffi = jax.lax.associative_scan(
+        lambda a, b: jnp.where(b > 0, b, a), vk, axis=1
+    )
+    prev = jnp.concatenate([jnp.zeros((B, 1), I32), ffi[:, :-1]], axis=1)
+    new = valid & (kind != prev)
+    rid = jnp.cumsum(new.astype(I32), axis=1) - 1
+    n_runs = rid[:, -1] + 1
+    # masked-sum compaction: R unrolled reductions, no scatters/gathers
+    lens_r, kinds_r = [], []
+    for r in range(R):
+        m = rid == r
+        lens_r.append(jnp.sum(jnp.where(valid & m, ln, 0), axis=1))
+        kinds_r.append(jnp.sum(jnp.where(new & m, kind, 0), axis=1))
+    run_len = jnp.stack(lens_r, axis=0)  # (R, B)
+    run_kind = jnp.stack(kinds_r, axis=0)
+    ovf = (n_runs > R) | (jnp.max(run_len, axis=0) > 0xFFF)
+    return run_kind, run_len, n_runs, ovf
+
+
+def _pack_rle_merged(score, run_kind, run_len, n_runs, ovf, xstart, xend):
+    """(5 + R, B) uint16 single-pull layout for the merged-run stream:
+    kind (4 bits) rides each run length's top nibble; the overflow flag
+    rides n_runs' top bit."""
+    small = jnp.stack(
+        [
+            (score >> 16) & 0xFFFF,
+            score & 0xFFFF,
+            xstart,
+            xend,
+            n_runs | (ovf.astype(I32) << 15),
+        ]
+    ).astype(jnp.uint16)
+    kl = (
+        (run_kind.astype(jnp.uint16) << 12)
+        | jnp.minimum(run_len, 0xFFF).astype(jnp.uint16)
+    )
+    return jnp.concatenate([small, kl], axis=0)
+
+
+def _unpack_rle_merged(packed: np.ndarray):
+    small = packed[:5].astype(np.int64)
+    v = (small[0] << 16) | small[1]
+    score = np.where(v >= 2**31, v - 2**32, v).astype(np.int64)
+    kl = packed[5:]
+    return score, {
+        "xstart": small[2],
+        "xend": small[3],
+        "n_runs": small[4] & 0x7FFF,
+        "ovf": (small[4] >> 15).astype(bool),
+        "run_kind": kl >> 12,  # (R, B)
+        "run_len": kl & 0xFFF,
+    }
+
+
 def _unpack_rle_local(packed: np.ndarray):
     small = packed[:14].astype(np.int64)
     v = (small[0] << 16) | small[1]
@@ -1085,10 +1186,12 @@ def _walk_semiclip(tb_xb, tbfix, mlens, nlens, B, M, N):
     }
 
 
-@partial(jax.jit, static_argnames=("with_traceback", "sweep_walk"))
+@partial(
+    jax.jit, static_argnames=("with_traceback", "sweep_walk", "merged_runs")
+)
 def _align_batch_device_semiglobal_mp(
     xb, yb, mlens, nlens, penalties8, with_traceback: bool = True,
-    sweep_walk: bool = True,
+    sweep_walk: bool = True, merged_runs: int = 0,
 ):
     """Semiglobal-family MatchParams fast path (x-clips MIN, y-clips
     dynamic): transposed Pallas scan + the shared XLA suffix fixups on the
@@ -1119,6 +1222,17 @@ def _align_batch_device_semiglobal_mp(
         (
             ins_cnt, exit_op, ins0, fix_ins, fix_exit, fix_ly, ystart, yend
         ) = sweep_walk_semiglobal(tb_cols, tbfix, mlens, nlens)
+        if merged_runs:
+            rk, rl, nr, ovf = _merge_rle_device(
+                ins_cnt, exit_op, ins0, fix_ins, fix_exit, nlens,
+                merged_runs,
+            )
+            return {
+                "score": score,
+                "packed_merged": _pack_rle_merged(
+                    score, rk, rl, nr, ovf, jnp.zeros(B, I32), mlens
+                ),
+            }
         return {
             "score": score,
             "packed": _pack_rle(
@@ -1473,10 +1587,12 @@ def _align_batch_device_global_lut(
     return out
 
 
-@partial(jax.jit, static_argnames=("with_traceback", "sweep_walk"))
+@partial(
+    jax.jit, static_argnames=("with_traceback", "sweep_walk", "merged_runs")
+)
 def _align_batch_device_global_mp(
     xb, yb, mlens, nlens, penalties8, with_traceback: bool = True,
-    sweep_walk: bool = True,
+    sweep_walk: bool = True, merged_runs: int = 0,
 ):
     """Global-mode MatchParams fastest path: the transposed Pallas kernel
     (ops/sw_pallas.scan_global_pallas_mp) computes scores + traceback cells
@@ -1508,6 +1624,16 @@ def _align_batch_device_global_mp(
 
         ins_cnt, exit_op, ins0 = sweep_walk_global(tb_cols, mlens, nlens)
         z = jnp.zeros(B, I32)
+        if merged_runs:
+            rk, rl, nr, ovf = _merge_rle_device(
+                ins_cnt, exit_op, ins0, z, z, nlens, merged_runs
+            )
+            return {
+                "score": score,
+                "packed_merged": _pack_rle_merged(
+                    score, rk, rl, nr, ovf, z, mlens
+                ),
+            }
         return {
             "score": score,
             "packed": _pack_rle(
@@ -1788,6 +1914,95 @@ def _decode_ops(codes: np.ndarray, lens: np.ndarray) -> List[AlignmentOperation]
 _CIGAR_BY_CODE = {TB_INS: "I", TB_DEL: "D", TB_SUBST: "X", TB_MATCH: "="}
 
 
+def _format_cigar_strings(run_row, run_kind, run_len, B, xs_a, xe_a, m_a):
+    """Vectorized byte-level CIGAR formatting for a flat merged-run list
+    (row-major per lane): per-run Python f-strings cost ~0.4 s per
+    8192-lane low-identity batch (~100 runs/pair); fixed-width digit
+    buffers + a boolean compaction build every string in one pass.
+    Per-column entries are uint16-bounded, but MERGED runs (e.g. one D
+    run spanning the whole target) can reach N — 7 digits (guarded)."""
+    assert len(run_len) == 0 or run_len.max() < 10_000_000, (
+        "CIGAR run exceeds 7 digits"
+    )
+    R = len(run_len)
+    opch = np.array(
+        [0, ord("I"), ord("D"), ord("X"), ord("=")], np.uint8
+    )[run_kind]
+    ndig = (
+        1
+        + (run_len >= 10)
+        + (run_len >= 100)
+        + (run_len >= 1000)
+        + (run_len >= 10000)
+        + (run_len >= 100000)
+        + (run_len >= 1000000)
+    ).astype(np.int64)
+    buf = np.empty((R, 8), np.uint8)
+    buf[:, 0] = 48 + run_len // 1000000 % 10
+    buf[:, 1] = 48 + run_len // 100000 % 10
+    buf[:, 2] = 48 + run_len // 10000 % 10
+    buf[:, 3] = 48 + run_len // 1000 % 10
+    buf[:, 4] = 48 + run_len // 100 % 10
+    buf[:, 5] = 48 + run_len // 10 % 10
+    buf[:, 6] = 48 + run_len % 10
+    buf[:, 7] = opch
+    keep = np.arange(8)[None, :] >= (7 - ndig)[:, None]
+    flat = buf[keep].tobytes()  # row-major: run order preserved
+    row_nbytes = np.bincount(
+        run_row, weights=ndig + 1, minlength=B
+    ).astype(np.int64)
+    offs = np.zeros(B + 1, np.int64)
+    np.cumsum(row_nbytes, out=offs[1:])
+    out = []
+    for b in range(B):
+        s = flat[offs[b] : offs[b + 1]].decode()
+        xs_, xe, m = int(xs_a[b]), int(xe_a[b]), int(m_a[b])
+        if xs_ > 0:
+            s = f"{xs_}S" + s
+        if m > xe:
+            s = s + f"{m - xe}S"
+        out.append(s)
+    return out
+
+
+class PackedMergedCigars:
+    """Compact delivered-CIGAR batch result: the column-RLE stream was
+    merged ON DEVICE (``_merge_rle_device``) and pulled as (5+R, B)
+    uint16.  Holds scores + per-lane merged runs; ``cigars()`` is pure
+    formatting.  ``ovf`` lanes (more than R runs) carry no run data — the
+    compact ``finish`` wrappers transparently re-run those through the
+    dense packed path."""
+
+    def __init__(self, score, up, mlens, nlens) -> None:
+        self.score = score
+        self._up = up
+        self.mlens = np.asarray(mlens)
+        self.nlens = np.asarray(nlens)
+        self.xstart = up["xstart"]
+        self.xend = up["xend"]
+        self.overflow = up["ovf"]
+        self._ovf_idx = None  # set by packed_compact_finish on overflow
+        self._ovf_cigars = None
+
+    def cigars(self) -> List[str]:
+        up = self._up
+        B = len(self.mlens)
+        nr = up["n_runs"]  # (B,)
+        R = up["run_len"].shape[0]
+        mask = (np.arange(R)[None, :] < nr[:, None]) & ~up["ovf"][:, None]
+        kinds = up["run_kind"].T[mask]
+        lens_ = up["run_len"].T[mask]
+        rows = np.nonzero(mask)[0]
+        out = _format_cigar_strings(
+            rows, kinds, lens_.astype(np.int64), B,
+            up["xstart"], up["xend"], self.mlens,
+        )
+        if self._ovf_idx is not None:
+            for i, c in zip(self._ovf_idx, self._ovf_cigars):
+                out[i] = c
+        return out
+
+
 class PackedSemiglobal:
     """Column-RLE semiglobal batch result: scores/coords as arrays,
     whole-batch vectorized CIGARs, per-read Alignment decode on demand."""
@@ -1860,55 +2075,10 @@ class PackedSemiglobal:
         starts = np.nonzero(new)[0]
         run_kind = k[starts]
         run_row = rr[starts]
-        # vectorized byte-level formatting: per-run Python f-strings cost
-        # ~0.4 s per 8192-lane low-identity batch (~100 runs/pair); fixed
-        # 5-digit buffers + a boolean compaction build every string in
-        # one pass.  Per-column entries are uint16-bounded, but MERGED
-        # runs (e.g. one D run spanning the whole target) can reach N and
-        # overflow 5 digits — widen to 7 (covers N < 10^7; guarded).
-        assert run_len.max() < 10_000_000, "CIGAR run exceeds 7 digits"
-        R = len(run_len)
-        opch = np.array(
-            [0, ord("I"), ord("D"), ord("X"), ord("=")], np.uint8
-        )[run_kind]
-        ndig = (
-            1
-            + (run_len >= 10)
-            + (run_len >= 100)
-            + (run_len >= 1000)
-            + (run_len >= 10000)
-            + (run_len >= 100000)
-            + (run_len >= 1000000)
-        ).astype(np.int64)
-        buf = np.empty((R, 8), np.uint8)
-        buf[:, 0] = 48 + run_len // 1000000 % 10
-        buf[:, 1] = 48 + run_len // 100000 % 10
-        buf[:, 2] = 48 + run_len // 10000 % 10
-        buf[:, 3] = 48 + run_len // 1000 % 10
-        buf[:, 4] = 48 + run_len // 100 % 10
-        buf[:, 5] = 48 + run_len // 10 % 10
-        buf[:, 6] = 48 + run_len % 10
-        buf[:, 7] = opch
-        keep = np.arange(8)[None, :] >= (7 - ndig)[:, None]
-        flat = buf[keep].tobytes()  # row-major: run order preserved
-        row_nbytes = np.bincount(
-            run_row, weights=ndig + 1, minlength=B
-        ).astype(np.int64)
-        offs = np.zeros(B + 1, np.int64)
-        np.cumsum(row_nbytes, out=offs[1:])
-        xs_a = np.asarray(self.xstart)
-        xe_a = np.asarray(self.xend)
-        m_a = self.mlens
-        out = []
-        for b in range(B):
-            s = flat[offs[b] : offs[b + 1]].decode()
-            xs_, xe, m = int(xs_a[b]), int(xe_a[b]), int(m_a[b])
-            if xs_ > 0:
-                s = f"{xs_}S" + s
-            if m > xe:
-                s = s + f"{m - xe}S"
-            out.append(s)
-        return out
+        return _format_cigar_strings(
+            run_row, run_kind, run_len, B,
+            np.asarray(self.xstart), np.asarray(self.xend), self.mlens,
+        )
 
     def alignment(self, k: int) -> Alignment:
         """Full reference-exact Alignment for read ``k`` (lazy decode)."""
@@ -1951,7 +2121,10 @@ class BatchAligner:
         self.scoring = scoring
         self._lut = jnp.asarray(scoring.dense_lut())
 
-    def _dispatch(self, xb, yb, mlens, nlens, pen, with_traceback):
+    def _dispatch(
+        self, xb, yb, mlens, nlens, pen, with_traceback,
+        merged_runs: int = 0,
+    ):
         """Pick the scan engine: the Pallas MatchParams kernel when the
         scoring is constant match/mismatch (and shapes allow), else XLA."""
         B, M = xb.shape
@@ -2002,6 +2175,7 @@ class BatchAligner:
                 np.pad(nlens, (0, padb), constant_values=1),
                 pen,
                 with_traceback,
+                merged_runs=merged_runs,
             )
             return {
                 k: v[:, :B] if v.ndim == 2 else v[:B] for k, v in out.items()
@@ -2026,6 +2200,7 @@ class BatchAligner:
                     jnp.asarray(nlens),
                     jnp.asarray(pen8),
                     with_traceback=with_traceback,
+                    merged_runs=merged_runs,
                 )
             if int(pen[2]) == MIN_SCORE and int(pen[3]) == MIN_SCORE:
                 # x-clips disabled (semiglobal family): transposed kernel
@@ -2037,6 +2212,7 @@ class BatchAligner:
                     jnp.asarray(nlens),
                     jnp.asarray(pen8),
                     with_traceback=with_traceback,
+                    merged_runs=merged_runs,
                 )
             # general clips (local/custom): transposed general kernel;
             # the all-clips-zero local() preset gets the lean kernel
@@ -2313,6 +2489,87 @@ class BatchAligner:
         return PackedSemiglobal(
             score_np, up, mlens, nlens, mode=AlignmentMode.Global
         )
+
+    # --- compact delivered-CIGAR path (device-side RLE merge) ---
+
+    _COMPACT_RUNS = 32  # fits mapper-realistic identity; 12-bit lengths
+
+    def global_packed_compact_async_arrays(
+        self, xb, yb, mlens, nlens, max_runs: int = 0
+    ):
+        """Dispatch the global batch with the ON-DEVICE run merge
+        (``_merge_rle_device``): the pull shrinks from (10+N, B) to
+        (5+R, B) uint16 — the delivered-CIGAR path is transfer-bound
+        through the dev tunnel, and high-identity pairs merge to well
+        under R runs.  Lanes exceeding R runs are transparently re-run
+        through the dense packed path at ``finish`` time."""
+        R = max_runs or self._COMPACT_RUNS
+        pen = np.array(
+            [self.scoring.gap_open, self.scoring.gap_extend,
+             MIN_SCORE, MIN_SCORE, MIN_SCORE, MIN_SCORE],
+            dtype=np.int32,
+        )
+        mlens = np.asarray(mlens, np.int32)
+        nlens = np.asarray(nlens, np.int32)
+        out = self._dispatch(
+            xb, yb, mlens, nlens, pen, with_traceback=True, merged_runs=R
+        )
+        assert "packed_merged" in out, (
+            "compact packed requires the column-RLE global engine"
+        )
+        return out["packed_merged"], mlens, nlens, (self, xb, yb, "global")
+
+    def semiglobal_packed_compact_async_arrays(
+        self, xb, yb, mlens, nlens, max_runs: int = 0
+    ):
+        """``global_packed_compact_async_arrays`` for semiglobal mode."""
+        R = max_runs or self._COMPACT_RUNS
+        pen = np.array(
+            [self.scoring.gap_open, self.scoring.gap_extend,
+             MIN_SCORE, MIN_SCORE, 0, 0],
+            dtype=np.int32,
+        )
+        mlens = np.asarray(mlens, np.int32)
+        nlens = np.asarray(nlens, np.int32)
+        out = self._dispatch(
+            xb, yb, mlens, nlens, pen, with_traceback=True, merged_runs=R
+        )
+        assert "packed_merged" in out, (
+            "compact packed requires the column-RLE semiglobal engine"
+        )
+        return out["packed_merged"], mlens, nlens, (self, xb, yb, "semiglobal")
+
+    @staticmethod
+    def packed_compact_finish(handle) -> "PackedMergedCigars":
+        """Pull + unpack a compact handle (ONE device transfer).  If any
+        lane overflowed the run budget, those lanes are re-run through
+        the dense packed path (one extra bucketed dispatch; rare by
+        construction on high-identity data) so ``cigars()`` is always
+        complete and exact."""
+        packed, mlens, nlens, (ba, xb, yb, mode) = handle
+        score_np, up = _unpack_rle_merged(np.asarray(packed))
+        res = PackedMergedCigars(score_np, up, mlens, nlens)
+        if up["ovf"].any():
+            idx = np.nonzero(up["ovf"])[0]
+            # pow2 bucket keeps retry shapes stable (CLAUDE.md: shape-
+            # unstable batched calls recompile every time)
+            nb = max(8, 1 << int(np.ceil(np.log2(len(idx)))))
+            sel = np.resize(idx, nb)
+            xb_r = np.asarray(xb)[sel]
+            yb_r = np.asarray(yb)[sel]
+            ml_r = np.asarray(mlens)[sel]
+            nl_r = np.asarray(nlens)[sel]
+            if mode == "global":
+                dense = BatchAligner.global_packed_finish(
+                    ba.global_packed_async_arrays(xb_r, yb_r, ml_r, nl_r)
+                )
+            else:
+                dense = BatchAligner.semiglobal_packed_finish(
+                    ba.semiglobal_packed_async_arrays(xb_r, yb_r, ml_r, nl_r)
+                )
+            res._ovf_idx = idx
+            res._ovf_cigars = dense.cigars()[: len(idx)]
+        return res
 
     def global_packed(self, xs, ys) -> "PackedSemiglobal":
         """Global batch WITHOUT materializing op lists (delivered-CIGAR

@@ -941,3 +941,75 @@ def test_local_walk_matches_custom_walk():
                 o for o in ops if o.kind not in ("Xclip", "Yclip")
             ]
             assert drop(ops_l) == drop(ops_c), (trial, k, ops_l, ops_c)
+
+
+def test_packed_compact_cigars_match_dense():
+    """Device-side RLE merge (compact delivered-CIGAR pull) emits the
+    exact same CIGAR strings as the dense packed path, for global and
+    semiglobal, on high-identity data (no overflow) AND random pairs
+    (overflow lanes take the dense re-run fallback)."""
+    from rust_bio_tpu.alignment.pairwise.batched import BatchAligner
+    from rust_bio_tpu.alignment.pairwise.scoring import Scoring
+
+    rng = np.random.default_rng(11)
+    B, M, N = 64, 96, 96
+    ba = BatchAligner(Scoring.from_scores(-5, -1, 2, -2))
+    mlens = np.full(B, M, np.int32)
+    nlens = np.full(B, N, np.int32)
+
+    def corpus(p):
+        xb = rng.integers(0, 4, size=(B, M)).astype(np.uint8) + ord("A")
+        yb = xb.copy()
+        mut = rng.random(size=(B, N)) < p
+        yb[mut] = rng.integers(0, 4, size=int(mut.sum())).astype(
+            np.uint8
+        ) + ord("A")
+        return xb, yb
+
+    for p in (0.02, 0.9):  # hi-identity; effectively random (overflows)
+        xb, yb = corpus(p)
+        dense = BatchAligner.global_packed_finish(
+            ba.global_packed_async_arrays(xb, yb, mlens, nlens)
+        )
+        comp = BatchAligner.packed_compact_finish(
+            ba.global_packed_compact_async_arrays(xb, yb, mlens, nlens)
+        )
+        assert np.array_equal(np.asarray(dense.score), np.asarray(comp.score))
+        assert dense.cigars() == comp.cigars(), f"global p={p}"
+        if p > 0.5:
+            assert comp.overflow.any()  # the fallback path really ran
+
+        dense = BatchAligner.semiglobal_packed_finish(
+            ba.semiglobal_packed_async_arrays(xb, yb, mlens, nlens)
+        )
+        comp = BatchAligner.packed_compact_finish(
+            ba.semiglobal_packed_compact_async_arrays(xb, yb, mlens, nlens)
+        )
+        assert np.array_equal(np.asarray(dense.score), np.asarray(comp.score))
+        assert dense.cigars() == comp.cigars(), f"semiglobal p={p}"
+
+
+def test_packed_compact_variable_lengths():
+    """Compact merge honors per-lane nlens masking (columns past a lane's
+    target length must not leak runs)."""
+    from rust_bio_tpu.alignment.pairwise.batched import BatchAligner
+    from rust_bio_tpu.alignment.pairwise.scoring import Scoring
+
+    rng = np.random.default_rng(13)
+    B, M, N = 32, 80, 80
+    ba = BatchAligner(Scoring.from_scores(-4, -1, 1, -1))
+    mlens = rng.integers(20, M + 1, size=B).astype(np.int32)
+    nlens = rng.integers(20, N + 1, size=B).astype(np.int32)
+    xb = rng.integers(0, 4, size=(B, M)).astype(np.uint8) + ord("A")
+    yb = np.zeros((B, N), np.uint8) + ord("A")
+    for i in range(B):
+        L = int(min(mlens[i], nlens[i]))
+        yb[i, :nlens[i]] = ord("A")
+        yb[i, : L] = xb[i, : L]  # mostly-matching prefix
+    dense = BatchAligner.semiglobal_packed_finish(
+        ba.semiglobal_packed_async_arrays(xb, yb, mlens, nlens)
+    )
+    comp = BatchAligner.packed_compact_finish(
+        ba.semiglobal_packed_compact_async_arrays(xb, yb, mlens, nlens)
+    )
+    assert dense.cigars() == comp.cigars()
