@@ -284,3 +284,68 @@ def test_native_host_fallback_matches_python_host():
         assert got[i].operations == want.operations, i
         for f in ("xstart", "xend", "ystart", "yend"):
             assert getattr(got[i], f) == getattr(want, f), (i, f)
+
+
+def test_native_host_batch_all_modes_random_clips():
+    """ADVICE r4 #2: the native banded twin (banded_dp.hpp) serves
+    production results for ALL four modes + arbitrary clip combos when
+    shapes are kernel-infeasible — property-test _host_batch's native
+    path against the per-pair Python oracle (_host_one) across every
+    mode preset AND random finite/MIN_SCORE clip patterns."""
+    from rust_bio_tpu.alignment.pairwise.banded_device import (
+        BatchBandedAligner,
+    )
+    from rust_bio_tpu.alignment.pairwise.scoring import MIN_SCORE, Scoring
+    from rust_bio_tpu.alignment.types import AlignmentMode
+
+    rng = np.random.default_rng(91)
+    bat = BatchBandedAligner(Scoring.from_scores(-5, -1, 2, -2), 6, 8)
+
+    def gen_batch(B):
+        xs, ys = [], []
+        for _ in range(B):
+            N = int(rng.integers(60, 220))
+            M = int(rng.integers(30, 160))
+            y = rng.choice(list(b"ACGT"), size=N).astype(np.uint8).tobytes()
+            if rng.random() < 0.7 and N > M:
+                s = int(rng.integers(0, N - M))
+                x = bytearray(y[s : s + M])
+                for _ in range(int(rng.integers(0, 8))):
+                    x[int(rng.integers(0, M))] = int(
+                        rng.choice(list(b"ACGT"))
+                    )
+                x = bytes(x)
+            else:
+                x = rng.choice(list(b"ACGT"), size=M).astype(
+                    np.uint8
+                ).tobytes()
+            xs.append(x)
+            ys.append(y)
+        return xs, ys
+
+    base = Scoring.from_scores(-5, -1, 2, -2)
+    mode_clips = {
+        AlignmentMode.Global: (MIN_SCORE,) * 4,
+        AlignmentMode.Semiglobal: (MIN_SCORE, MIN_SCORE, 0, 0),
+        AlignmentMode.Local: (0, 0, 0, 0),
+    }
+    cases = [(m, c) for m, c in mode_clips.items()]
+    for _ in range(5):  # random custom clip combos (finite + MIN_SCORE)
+        clips = tuple(
+            int(rng.choice([MIN_SCORE, 0, -3, -7, -11]))
+            for _ in range(4)
+        )
+        cases.append((AlignmentMode.Custom, clips))
+
+    for mode, clips in cases:
+        sc = base.with_clips(*clips)
+        xs, ys = gen_batch(10)
+        got = bat._host_batch(xs, ys, sc, mode, filter_clips=False)
+        for i, (x, y) in enumerate(zip(xs, ys)):
+            want = bat._host_one(sc, x, y, mode, filter_clips=False)
+            assert got[i].score == want.score, (mode, clips, i)
+            assert got[i].operations == want.operations, (mode, clips, i)
+            for f in ("xstart", "xend", "ystart", "yend"):
+                assert getattr(got[i], f) == getattr(want, f), (
+                    mode, clips, i, f,
+                )
