@@ -521,7 +521,43 @@ def _poa_rates():
     for k in range(nh):
         al.global_(qb[k].tobytes())
     host_rate = nh / (time.perf_counter() - t0)
-    return rate, host_rate
+
+    # compiled twin of the reference's Poa::custom DP (poa.rs:498-567) on
+    # the SAME frozen graph + query batch; probe scores parity-checked
+    # against the host oracle's alignment scores computed above
+    g = al.poa.graph
+    m = g.node_count()
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    gbin = os.path.join(_CACHE_DIR, "poa_graph.bin")
+    with open(gbin, "wb") as f:
+        f.write(np.int32(m).tobytes())
+        f.write(np.asarray(g.weights, np.uint8).tobytes())
+        f.write(np.asarray(g.topo_order(), np.int32).tobytes())
+        preds = [np.asarray(g.incoming(v), np.int32) for v in range(m)]
+        f.write(np.asarray([len(p) for p in preds], np.int32).tobytes())
+        for p in preds:
+            f.write(p.tobytes())
+        f.write(np.int32(B).tobytes())
+        f.write(np.int32(L).tobytes())
+        f.write(qb.astype(np.uint8).tobytes())
+        mp = sc.match_fn
+        f.write(
+            np.asarray(
+                [sc.gap_open, mp.match_score, mp.mismatch_score], np.int32
+            ).tobytes()
+        )
+    exe = _build_twin("cpu_poa")
+    out = subprocess.run(
+        [exe, gbin, "4"], check=True, capture_output=True, text=True
+    )
+    lines = out.stdout.strip().splitlines()
+    probe = [int(x) for x in lines[0].split()]
+    want = [
+        al.global_(qb[k].tobytes()).alignment().score for k in range(3)
+    ]
+    assert probe == want, f"cpu_poa twin parity: {probe} != {want}"
+    twin_rate = float(lines[-1])
+    return rate, host_rate, twin_rate
 
 
 def _sw_5kb_rates():
@@ -1334,6 +1370,7 @@ def main() -> None:
         "hmm_viterbi_vs_baseline",
         "poa_batch_scores_per_s",
         "poa_vs_host",
+        "poa_vs_baseline",
         "sw_5kb_alignments_per_s",
         "sw_5kb_vs_baseline",
         "smem_mapper_reads_per_s",
@@ -1510,9 +1547,10 @@ def main() -> None:
         RESULTS["hmm_viterbi_vs_baseline"] = round(rate / cpu, 2)
 
     def poa():
-        rate, host = _poa_rates()
+        rate, host, twin = _poa_rates()
         RESULTS["poa_batch_scores_per_s"] = round(rate, 2)
         RESULTS["poa_vs_host"] = round(rate / host, 1)
+        RESULTS["poa_vs_baseline"] = round(rate / twin, 2)
 
     def sw5kb():
         dev, cpu = _sw_5kb_rates()
