@@ -140,6 +140,14 @@ int main(int argc, char** argv) {
     const int iters = atoi(argv[2]);
     const int threads = (argc > 3) ? atoi(argv[3]) : 1;
 
+    if (iters == 0) { // parity mode: every query's score, one per line
+        std::vector<int32_t> mat((size_t)(g.m + 1) * (g.L + 1));
+        for (int32_t k = 0; k < g.B; ++k)
+            printf("%d\n",
+                   align_score(g, &g.queries[(size_t)k * g.L], g.L, mat));
+        return 0;
+    }
+
     std::vector<int32_t> probe(3, 0);
     {
         std::vector<int32_t> mat((size_t)(g.m + 1) * (g.L + 1));

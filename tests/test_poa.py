@@ -197,3 +197,68 @@ def test_batch_poa_global_scores_match_host():
     for k, q in enumerate(queries):
         want = al.global_(q).alignment().score
         assert int(got[k]) == want, q
+
+
+def test_cpu_poa_twin_score_parity(tmp_path):
+    """The -O3 C++ baseline twin (baselines/cpu_poa.cpp, the reference's
+    Poa::custom DP, poa.rs:498-567) must be score-exact vs the host
+    oracle on a branched graph: the `poa_vs_baseline` bench row divides
+    by this twin."""
+    import os
+    import subprocess
+
+    import numpy as np
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(here, "baselines", "cpu_poa.cpp")
+    exe = os.path.join(str(tmp_path), "cpu_poa")
+    subprocess.run(["g++", "-O2", "-o", exe, src], check=True)
+
+    rng = np.random.default_rng(7)
+    sc = Scoring.from_scores(-4, -4, 3, -2)
+    L = 60
+    backbone = rng.choice(list(b"ACGT"), size=L).astype(np.uint8)
+    al = Aligner(sc, backbone.tobytes())
+    for _ in range(4):  # thread mutated reads -> branches in the DAG
+        r = backbone.copy()
+        idx = rng.random(L) < 0.08
+        r[idx] = rng.choice(list(b"ACGT"), size=int(idx.sum()))
+        al.global_(r.tobytes()).add_to_graph()
+
+    B = 16
+    qb = np.zeros((B, L), np.uint8)
+    for k in range(B):
+        r = backbone.copy()
+        idx = rng.random(L) < 0.08
+        r[idx] = rng.choice(list(b"ACGT"), size=int(idx.sum()))
+        qb[k] = r
+
+    g = al.poa.graph
+    m = g.node_count()
+    gbin = os.path.join(str(tmp_path), "graph.bin")
+    with open(gbin, "wb") as f:
+        f.write(np.int32(m).tobytes())
+        f.write(np.asarray(g.weights, np.uint8).tobytes())
+        f.write(np.asarray(g.topo_order(), np.int32).tobytes())
+        preds = [np.asarray(g.incoming(v), np.int32) for v in range(m)]
+        f.write(np.asarray([len(p) for p in preds], np.int32).tobytes())
+        for p in preds:
+            f.write(p.tobytes())
+        f.write(np.int32(B).tobytes())
+        f.write(np.int32(L).tobytes())
+        f.write(qb.tobytes())
+        mp = sc.match_fn
+        f.write(
+            np.asarray(
+                [sc.gap_open, mp.match_score, mp.mismatch_score], np.int32
+            ).tobytes()
+        )
+
+    out = subprocess.run(
+        [exe, gbin, "0"], capture_output=True, text=True, check=True
+    )
+    got = [int(x) for x in out.stdout.split()]
+    want = [
+        al.global_(qb[k].tobytes()).alignment().score for k in range(B)
+    ]
+    assert got == want
