@@ -557,7 +557,20 @@ def _poa_rates():
     ]
     assert probe == want, f"cpu_poa twin parity: {probe} != {want}"
     twin_rate = float(lines[-1])
-    return rate, host_rate, twin_rate
+
+    # delivered full PoaAlignments: device forward + device score-diff
+    # traceback in one dispatch, pull, host op decode — op lists are
+    # oracle-identical (tests/test_poa.py::test_batch_poa_global_
+    # alignments_op_exact)
+    queries = [qb[k].tobytes() for k in range(B)]
+    alns = bp.global_alignments(queries)
+    assert alns[0].score == want[0]
+
+    def run_delivered():
+        bp.global_alignments(queries)
+
+    delivered_rate = B / _best_of(run_delivered, 3)
+    return rate, host_rate, twin_rate, delivered_rate
 
 
 def _sw_5kb_rates():
@@ -1371,6 +1384,7 @@ def main() -> None:
         "poa_batch_scores_per_s",
         "poa_vs_host",
         "poa_vs_baseline",
+        "poa_alignments_delivered_per_s",
         "sw_5kb_alignments_per_s",
         "sw_5kb_vs_baseline",
         "smem_mapper_reads_per_s",
@@ -1547,10 +1561,11 @@ def main() -> None:
         RESULTS["hmm_viterbi_vs_baseline"] = round(rate / cpu, 2)
 
     def poa():
-        rate, host, twin = _poa_rates()
+        rate, host, twin, delivered = _poa_rates()
         RESULTS["poa_batch_scores_per_s"] = round(rate, 2)
         RESULTS["poa_vs_host"] = round(rate / host, 1)
         RESULTS["poa_vs_baseline"] = round(rate / twin, 2)
+        RESULTS["poa_alignments_delivered_per_s"] = round(delivered, 2)
 
     def sw5kb():
         dev, cpu = _sw_5kb_rates()

@@ -262,3 +262,87 @@ def test_cpu_poa_twin_score_parity(tmp_path):
         al.global_(qb[k].tobytes()).alignment().score for k in range(B)
     ]
     assert got == want
+
+
+def test_batch_poa_global_alignments_op_exact():
+    """Device forward+traceback (poa_batch._poa_align_kernel) emits op
+    lists IDENTICAL to the host oracle's recalculate_alignment
+    (poa.rs:643-826) on branched graphs with substitutions and indels —
+    including tie-break order (Ins first, last predecessor wins) and the
+    trailing root-Ins / q0-Del break ops."""
+    import numpy as np
+
+    from rust_bio_tpu.alignment.poa_batch import BatchPoa
+
+    rng = np.random.default_rng(31)
+    for trial in range(4):
+        sc = (
+            Scoring.from_scores(-4, -4, 3, -2)
+            if trial % 2 == 0
+            else Scoring.from_scores(-6, -6, 2, -3)
+        )
+        L = int(rng.integers(20, 80))
+        backbone = rng.choice(list(b"ACGT"), size=L).astype(np.uint8)
+        al = Aligner(sc, backbone.tobytes())
+        for _ in range(int(rng.integers(0, 5))):
+            r = backbone.copy()
+            idx = rng.random(L) < 0.1
+            r[idx] = rng.choice(list(b"ACGT"), size=int(idx.sum()))
+            rr = bytearray(r.tobytes())
+            if rng.random() < 0.5 and len(rr) > 5:
+                del rr[int(rng.integers(0, len(rr)))]
+            al.global_(bytes(rr)).add_to_graph()
+        bp = BatchPoa(sc, al)
+        qs = []
+        for _ in range(8):
+            r = backbone.copy()
+            idx = rng.random(L) < 0.12
+            r[idx] = rng.choice(list(b"ACGT"), size=int(idx.sum()))
+            rr = bytearray(r.tobytes())
+            if rng.random() < 0.5 and len(rr) > 5:
+                del rr[int(rng.integers(0, len(rr)))]
+            if rng.random() < 0.5:
+                rr.insert(
+                    int(rng.integers(0, len(rr))),
+                    int(rng.choice(list(b"ACGT"))),
+                )
+            qs.append(bytes(rr))
+        got = bp.global_alignments(qs)
+        for k, q in enumerate(qs):
+            want = al.global_(q).alignment()
+            assert got[k].score == want.score
+            assert got[k].operations == want.operations
+
+
+def test_batch_poa_alignments_extend_graph_like_host():
+    """Device-emitted alignments drive add_alignment to the same graph
+    as host-emitted ones (op lists are identical, so the extension path
+    is too) — the consensus after extension must match."""
+    import numpy as np
+
+    from rust_bio_tpu.alignment.poa_batch import BatchPoa
+
+    rng = np.random.default_rng(97)
+    sc = Scoring.from_scores(-4, -4, 3, -2)
+    L = 50
+    backbone = rng.choice(list(b"ACGT"), size=L).astype(np.uint8)
+    reads = []
+    for _ in range(5):
+        r = backbone.copy()
+        idx = rng.random(L) < 0.06
+        r[idx] = rng.choice(list(b"ACGT"), size=int(idx.sum()))
+        reads.append(r.tobytes())
+
+    al_host = Aligner(sc, backbone.tobytes())
+    al_dev = Aligner(sc, backbone.tobytes())
+    for r in reads:
+        al_host.global_(r).add_to_graph()
+        aln = BatchPoa(sc, al_dev).global_alignments([r])[0]
+        al_dev.poa.add_alignment(aln, r)
+    assert al_host.consensus() == al_dev.consensus()
+    assert (
+        al_host.poa.graph.node_count() == al_dev.poa.graph.node_count()
+    )
+    assert (
+        al_host.poa.graph.edge_count() == al_dev.poa.graph.edge_count()
+    )
