@@ -27,8 +27,14 @@ print("truth    :", truth.decode())
 print("consensus:", bytes(cons).decode())
 
 # batched rescoring of all reads against the final graph (device kernel)
-scores = BatchPoa(sc, al).global_scores(reads)
+bp = BatchPoa(sc, al)
+scores = bp.global_scores(reads)
 print("read scores vs graph:", scores.tolist())
+
+# full alignments (device forward + traceback, op lists oracle-identical):
+# usable to extend the graph exactly like host alignments
+alns = bp.global_alignments(reads[:2])
+print("first read ops:", alns[0].operations[:6], "...")
 
 
 if __name__ == "__main__":
