@@ -1804,12 +1804,25 @@ def _decode_semi_batch(
 
 def _decode_ops_colrle_local(
     ins_cnt, exit_op, fix_codes, fix_lens, nlen: int,
+    xstart: int = 0, ystart: int = 0, keep_clips: bool = False,
 ) -> List[AlignmentOperation]:
     """Decode the local-mode column-RLE walk (columns 0..nlen ascending;
     per column [exit][Ins x cnt]; then the fixed-column slots, newest
     last).  Interior streams carry no clips — terminal Xclip/Yclip
     prefixes resolved to coordinates in the kernel; suffix clips live in
-    the fix slots (dropped by local's filter_clip_operations anyway)."""
+    the fix slots (dropped by local's filter_clip_operations anyway).
+
+    ``keep_clips`` (the custom() preset with all-zero clips dispatching
+    into the local engine, where clip ops must be MATERIALIZED like the
+    reference's custom mode, pairwise/mod.rs:845-921): the kernel-resolved
+    prefix clips are re-emitted from (xstart, ystart).  With zero clips a
+    path starting at xstart > 0 always enters via TB_XCLIP_PREFIX, and a
+    row-0 cell at ystart > 0 is always TB_YCLIP_PREFIX (the gap ramp is
+    strictly negative), so the reference op order is
+    [Yclip(ystart), Xclip(xstart), <interior>...].  Degenerate lanes whose
+    whole path lives in the fixed final column already emit their prefix
+    clips through the fix slots (at most one source is ever nonzero —
+    see _kernel_sweep_walk_local's max-merge)."""
     ops: List[AlignmentOperation] = []
     exits = exit_op[: nlen + 1].tolist()
     cnts = ins_cnt[: nlen + 1].tolist()
@@ -1820,6 +1833,7 @@ def _decode_ops_colrle_local(
         n = cnts[j]
         if n:
             ops.extend([Ins] * n)
+    emitted_xp = emitted_yp = False
     for t in range(3, -1, -1):
         c = int(fix_codes[t])
         if not c:
@@ -1828,10 +1842,20 @@ def _decode_ops_colrle_local(
             ops.extend([Ins] * int(fix_lens[t]))
         elif c in (TB_XCLIP_PREFIX, TB_XCLIP_SUFFIX):
             ops.append(Xclip(int(fix_lens[t])))
+            emitted_xp = emitted_xp or c == TB_XCLIP_PREFIX
         elif c in (TB_YCLIP_PREFIX, TB_YCLIP_SUFFIX):
             ops.append(Yclip(int(fix_lens[t])))
+            emitted_yp = emitted_yp or c == TB_YCLIP_PREFIX
         else:
             ops.append(_OP_BY_CODE[c])
+    if keep_clips:
+        pre: List[AlignmentOperation] = []
+        if ystart and not emitted_yp:
+            pre.append(Yclip(ystart))
+        if xstart and not emitted_xp:
+            pre.append(Xclip(xstart))
+        if pre:
+            ops = pre + ops
     return ops
 
 
@@ -2372,6 +2396,9 @@ class BatchAligner:
                     out["fix_codes"][:, k],
                     out["fix_lens"][:, k],
                     int(nlens[k]),
+                    xstart=int(out["xstart"][k]),
+                    ystart=int(out["ystart"][k]),
+                    keep_clips=not filter_clips,
                 )
             elif custom_rle:
                 ops = _decode_ops_colrle_custom(
