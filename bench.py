@@ -1324,13 +1324,21 @@ def _cigar_modes_rates():
     assert len(cigs) == B and all(cigs)
     assert not p.overflow.any(), "hi-id corpus should fit the run budget"
 
+    # pure-alignment delivery (the mapper's shape: reads are already
+    # device-resident from seeding) — inputs uploaded once, K compact
+    # dispatches chained, ONE stacked (K, 5+R, B) pull, host CIGAR format
+    import jax.numpy as jnp
+
+    xb_d, yhi_d = jnp.asarray(xb), jnp.asarray(yb_hi)
+    ml_d, nl_d = jnp.asarray(mlens), jnp.asarray(nlens)
+
     def run_hi():
         handles = [
-            ba.global_packed_compact_async_arrays(xb, yb_hi, mlens, nlens)
+            ba.global_packed_compact_async_arrays(xb_d, yhi_d, ml_d, nl_d)
             for _ in range(K)
         ]
-        for h in handles:
-            BatchAligner.packed_compact_finish(h).cigars()
+        for r in BatchAligner.packed_compact_finish_many(handles):
+            r.cigars()
 
     run_hi()
     hi_rate = K * B / _best_of(run_hi, 3)

@@ -2567,14 +2567,46 @@ class BatchAligner:
         return out["packed_merged"], mlens, nlens, (self, xb, yb, "semiglobal")
 
     @staticmethod
+    def packed_compact_finish_many(handles) -> List["PackedMergedCigars"]:
+        """Finish several compact handles with ONE device→host transfer:
+        the (5+R, B) packed tensors are stacked on device and pulled as a
+        single (H, 5+R, B) array — each separate ``np.asarray`` pull pays
+        the full ~26 ms tunnel round trip, so an 8-deep pipeline saves
+        ~7 round trips per sync (CLAUDE.md "EVERY dispatch+sync round
+        trip...").  Overflow lanes retry per handle exactly like
+        ``packed_compact_finish``."""
+        if not handles:
+            return []
+        stacked = np.asarray(jnp.stack([h[0] for h in handles], axis=0))
+        out = []
+        for k, handle in enumerate(handles):
+            _, mlens, nlens, ctx = handle
+            out.append(
+                BatchAligner._finish_compact_host(
+                    stacked[k], mlens, nlens, ctx
+                )
+            )
+        return out
+
+    @staticmethod
     def packed_compact_finish(handle) -> "PackedMergedCigars":
         """Pull + unpack a compact handle (ONE device transfer).  If any
         lane overflowed the run budget, those lanes are re-run through
         the dense packed path (one extra bucketed dispatch; rare by
         construction on high-identity data) so ``cigars()`` is always
         complete and exact."""
-        packed, mlens, nlens, (ba, xb, yb, mode) = handle
-        score_np, up = _unpack_rle_merged(np.asarray(packed))
+        packed, mlens, nlens, ctx = handle
+        return BatchAligner._finish_compact_host(
+            np.asarray(packed), mlens, nlens, ctx
+        )
+
+    @staticmethod
+    def _finish_compact_host(packed_np, mlens, nlens, ctx):
+        """Host half of the compact finish (shared by the one-handle and
+        stacked-pull entry points): unpack + dense re-run of overflow
+        lanes."""
+        ba, xb, yb, mode = ctx
+        score_np, up = _unpack_rle_merged(packed_np)
         res = PackedMergedCigars(score_np, up, mlens, nlens)
         if up["ovf"].any():
             idx = np.nonzero(up["ovf"])[0]

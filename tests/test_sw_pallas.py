@@ -1013,3 +1013,40 @@ def test_packed_compact_variable_lengths():
         ba.semiglobal_packed_compact_async_arrays(xb, yb, mlens, nlens)
     )
     assert dense.cigars() == comp.cigars()
+
+
+def test_packed_compact_finish_many_matches_single():
+    """The stacked one-pull multi-handle finish must produce the same
+    scores and CIGARs as finishing each handle separately (incl. a mixed
+    batch where some handles overflow into the dense re-run)."""
+    from rust_bio_tpu.alignment.pairwise.batched import BatchAligner
+    from rust_bio_tpu.alignment.pairwise.scoring import Scoring
+
+    rng = np.random.default_rng(17)
+    B, M, N = 32, 64, 64
+    ba = BatchAligner(Scoring.from_scores(-5, -1, 2, -2))
+    mlens = np.full(B, M, np.int32)
+    nlens = np.full(B, N, np.int32)
+    batches = []
+    for p in (0.02, 0.05, 0.9):
+        xb = rng.integers(0, 4, size=(B, M)).astype(np.uint8) + ord("A")
+        yb = xb.copy()
+        mut = rng.random(size=(B, N)) < p
+        yb[mut] = rng.integers(0, 4, size=int(mut.sum())).astype(
+            np.uint8
+        ) + ord("A")
+        batches.append((xb, yb))
+
+    handles = [
+        ba.global_packed_compact_async_arrays(xb, yb, mlens, nlens)
+        for xb, yb in batches
+    ]
+    many = BatchAligner.packed_compact_finish_many(handles)
+    for k, (xb, yb) in enumerate(batches):
+        single = BatchAligner.packed_compact_finish(
+            ba.global_packed_compact_async_arrays(xb, yb, mlens, nlens)
+        )
+        assert np.array_equal(
+            np.asarray(many[k].score), np.asarray(single.score)
+        )
+        assert many[k].cigars() == single.cigars()
