@@ -142,7 +142,13 @@ int main(int argc, char** argv) {
     int L = atoi(argv[5]);
     int occ_k = atoi(argv[6]);
     int iters = atoi(argv[7]);
-    int nthreads = argc > 8 ? atoi(argv[8]) : 1;
+    // one or more thread counts: the index is built ONCE and each count
+    // is timed in turn (one rate line each, argv order) — a Gbp-scale
+    // occ build costs minutes, so the 1-core and 4-core anchors must
+    // share it
+    std::vector<int> thread_counts;
+    for (int a = 8; a < argc; a++) thread_counts.push_back(atoi(argv[a]));
+    if (thread_counts.empty()) thread_counts.push_back(1);
     FM fm;
     {
       FILE* f = fopen(bwtfile, "rb");
@@ -170,35 +176,39 @@ int main(int argc, char** argv) {
     // optional thread fan-out over the query batch — the reference's
     // documented scale-out model (lib.rs:173-210: embarrassingly
     // parallel per-query work fanned over OS threads)
-    double best = 1e100;
-    for (int it = 0; it < iters; it++) {
-      auto t0 = std::chrono::steady_clock::now();
-      if (nthreads <= 1) {
-        for (int b = 0; b < B; b++) {
-          int64_t l, r;
-          sink += fm.backward_search(&pats[(size_t)b * L], L, &l, &r) + l + r;
+    for (int nthreads : thread_counts) {
+      double best = 1e100;
+      for (int it = 0; it < iters; it++) {
+        auto t0 = std::chrono::steady_clock::now();
+        if (nthreads <= 1) {
+          for (int b = 0; b < B; b++) {
+            int64_t l, r;
+            sink +=
+                fm.backward_search(&pats[(size_t)b * L], L, &l, &r) + l + r;
+          }
+        } else {
+          std::vector<std::thread> th;
+          std::vector<int64_t> sinks(nthreads, 0);
+          for (int t = 0; t < nthreads; t++) {
+            th.emplace_back([&, t]() {
+              int64_t s = 0;
+              for (int b = t; b < B; b += nthreads) {
+                int64_t l, r;
+                s += fm.backward_search(&pats[(size_t)b * L], L, &l, &r) +
+                     l + r;
+              }
+              sinks[t] = s;
+            });
+          }
+          for (auto& x : th) x.join();
+          for (int t = 0; t < nthreads; t++) sink += sinks[t];
         }
-      } else {
-        std::vector<std::thread> th;
-        std::vector<int64_t> sinks(nthreads, 0);
-        for (int t = 0; t < nthreads; t++) {
-          th.emplace_back([&, t]() {
-            int64_t s = 0;
-            for (int b = t; b < B; b += nthreads) {
-              int64_t l, r;
-              s += fm.backward_search(&pats[(size_t)b * L], L, &l, &r) + l + r;
-            }
-            sinks[t] = s;
-          });
-        }
-        for (auto& x : th) x.join();
-        for (int t = 0; t < nthreads; t++) sink += sinks[t];
+        double dt = std::chrono::duration<double>(
+            std::chrono::steady_clock::now() - t0).count();
+        best = std::min(best, dt);
       }
-      double dt = std::chrono::duration<double>(
-          std::chrono::steady_clock::now() - t0).count();
-      best = std::min(best, dt);
+      printf("%.2f\n", B / best);
     }
-    printf("%.2f\n", B / best);
     return (int)(sink & 1);
   }
   int64_t text_len = argc > 1 ? atoll(argv[1]) : 100000;

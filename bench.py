@@ -895,23 +895,18 @@ def _fm_big_rates(G: int, seed: int, tag: str, twin_threads: int = 0):
     pat_path = os.path.join(_CACHE_DIR, f"fm_{tag}_pats.bin")
     if not os.path.exists(pat_path):
         pats[:Bt].tofile(pat_path)
+    # ONE twin invocation times every thread count (the Gbp-scale occ
+    # build inside the twin costs minutes and must be shared)
+    tcounts = ["1"] + ([str(twin_threads)] if twin_threads else [])
     out = subprocess.run(
-        [exe, "--bwt", bwt_path, pat_path, str(Bt), str(L), "64", "2"],
+        [exe, "--bwt", bwt_path, pat_path, str(Bt), str(L), "64", "2",
+         *tcounts],
         check=True,
         capture_output=True,
         text=True,
     )
-    cpu_rate = float(out.stdout.strip().splitlines()[-1])
-    rates = [lut_rate, plain_rate, cpu_rate]
-    if twin_threads:
-        out = subprocess.run(
-            [exe, "--bwt", bwt_path, pat_path, str(Bt), str(L), "64", "2",
-             str(twin_threads)],
-            check=True,
-            capture_output=True,
-            text=True,
-        )
-        rates.append(float(out.stdout.strip().splitlines()[-1]))
+    lines = out.stdout.strip().splitlines()[-len(tcounts):]
+    rates = [lut_rate, plain_rate] + [float(v) for v in lines]
 
     del idx, pats_d, plens_d
     _free_device()
