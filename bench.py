@@ -40,7 +40,15 @@ import numpy as np
 #      cannot starve the report (round 4 recorded rc=124, parsed null).
 # ---------------------------------------------------------------------------
 _T0 = time.monotonic()
-_BUDGET = float(os.environ.get("BENCH_BUDGET_S", "460"))
+# Budget calibration (round 5): a fully-warm all-caches run measured
+# 2,773 s end-to-end on the real chip (headline block 279 s, smem trio
+# ~1,310 s, Gbp FM quad ~1,184 s) with minutes-scale noise from the
+# shared remote-compile service.  The round-3 driver bench ran >10 min
+# and recorded rc=0, so the driver allows well beyond 600 s; the SIGTERM
+# handler emits the partial JSON line and exits immediately if the
+# driver's own timeout fires first.  28 min covers the healthy-chip full
+# run; per-row reserves below skip what can no longer fit.
+_BUDGET = float(os.environ.get("BENCH_BUDGET_S", "2250"))
 _EMIT_LOCK = threading.Lock()
 _EMITTED = False
 
@@ -896,16 +904,33 @@ def _fm_big_rates(G: int, seed: int, tag: str, twin_threads: int = 0):
     if not os.path.exists(pat_path):
         pats[:Bt].tofile(pat_path)
     # ONE twin invocation times every thread count (the Gbp-scale occ
-    # build inside the twin costs minutes and must be shared)
+    # build inside the twin costs minutes and must be shared).  The twin
+    # rates are machine properties, not device code under test: they are
+    # measured once per (tag, B, L, threads) and cached so driver runs
+    # spend their budget on the device rows (BENCH_FRESH_TWIN=1 forces a
+    # re-measure; delete .bench_cache/twin_rates.json after changing
+    # baselines/cpu_fm.cpp).
     tcounts = ["1"] + ([str(twin_threads)] if twin_threads else [])
-    out = subprocess.run(
-        [exe, "--bwt", bwt_path, pat_path, str(Bt), str(L), "64", "2",
-         *tcounts],
-        check=True,
-        capture_output=True,
-        text=True,
-    )
-    lines = out.stdout.strip().splitlines()[-len(tcounts):]
+    tr_path = os.path.join(_CACHE_DIR, "twin_rates.json")
+    tr_key = f"cpu_fm:{tag}:{Bt}:{L}:" + ",".join(tcounts)
+    twin_cache = {}
+    if os.path.exists(tr_path):
+        with open(tr_path) as f:
+            twin_cache = json.load(f)
+    if tr_key in twin_cache and not os.environ.get("BENCH_FRESH_TWIN"):
+        lines = twin_cache[tr_key]
+    else:
+        out = subprocess.run(
+            [exe, "--bwt", bwt_path, pat_path, str(Bt), str(L), "64", "2",
+             *tcounts],
+            check=True,
+            capture_output=True,
+            text=True,
+        )
+        lines = out.stdout.strip().splitlines()[-len(tcounts):]
+        twin_cache[tr_key] = lines
+        with open(tr_path, "w") as f:
+            json.dump(twin_cache, f)
     rates = [lut_rate, plain_rate] + [float(v) for v in lines]
 
     del idx, pats_d, plens_d
@@ -1319,17 +1344,13 @@ def _cigar_modes_rates():
     assert len(cigs) == B and all(cigs)
     assert not p.overflow.any(), "hi-id corpus should fit the run budget"
 
-    # pure-alignment delivery (the mapper's shape: reads are already
-    # device-resident from seeding) — inputs uploaded once, K compact
-    # dispatches chained, ONE stacked (K, 5+R, B) pull, host CIGAR format
-    import jax.numpy as jnp
-
-    xb_d, yhi_d = jnp.asarray(xb), jnp.asarray(yb_hi)
-    ml_d, nl_d = jnp.asarray(mlens), jnp.asarray(nlens)
-
+    # K compact dispatches chained (fresh per-dispatch input uploads —
+    # measured: pre-committed device buffers serialize dispatches through
+    # the axon tunnel, 43 K/s vs 111 K/s; fresh jnp.asarray uploads
+    # pipeline with compute), ONE stacked (K, 5+R, B) pull, host format
     def run_hi():
         handles = [
-            ba.global_packed_compact_async_arrays(xb_d, yhi_d, ml_d, nl_d)
+            ba.global_packed_compact_async_arrays(xb, yb_hi, mlens, nlens)
             for _ in range(K)
         ]
         for r in BatchAligner.packed_compact_finish_many(handles):
@@ -1645,32 +1666,35 @@ def main() -> None:
     # costs ~10+ min of host CPU); Gbp FM rows last.  Estimates are the
     # wall-clock reserve a row needs — rows that would blow the budget
     # are skipped to null, never started.
+    # reserves = measured warm-run row times (round-5 calibration runs)
+    # plus headroom for remote-compile noise; a row that can no longer
+    # fit is skipped to null rather than started
     rows = [
         ("sw_headline", 0, headline),
-        ("score_only", 15, score_only),
-        ("semiglobal", 15, semiglobal),
-        ("local", 20, local_mode),
-        ("custom", 20, custom_mode),
-        ("cigar_global", 25, cigar_global),
-        ("cigar_modes", 45, cigar_modes),
-        ("fm_small", 25, fm_small),
-        ("pairhmm_f32", 20, pairhmm_f32),
-        ("pairhmm_exact", 40, pairhmm_exact),
-        ("homopoly", 25, homopoly),
-        ("hmm", 25, hmm_row),
-        ("poa", 20, poa),
-        ("sw_5kb", 35, sw5kb),
-        ("banded_long", 45, banded_long),
-        ("banded_1kb", 25, banded_1kb),
+        ("score_only", 10, score_only),
+        ("semiglobal", 10, semiglobal),
+        ("local", 12, local_mode),
+        ("custom", 12, custom_mode),
+        ("cigar_global", 15, cigar_global),
+        ("cigar_modes", 30, cigar_modes),
+        ("fm_small", 20, fm_small),
+        ("pairhmm_f32", 8, pairhmm_f32),
+        ("pairhmm_exact", 25, pairhmm_exact),
+        ("homopoly", 30, homopoly),
+        ("hmm", 10, hmm_row),
+        ("poa", 10, poa),
+        ("sw_5kb", 10, sw5kb),
+        ("banded_long", 55, banded_long),
+        ("banded_1kb", 5, banded_1kb),
         ("smem_1mbp", 50, smem_1mbp),
-        ("fixed_window", 20, fixed_window),
-        ("smem_repeats", 60, smem_repeats),
-        ("smem_50mbp", 50, smem_50mbp),
-        ("smem_300mbp", 80, smem_300mbp),
-        ("fm_50mbp", 40, fm_50mbp),
-        ("fm_1gbp", 60, fm_1gbp),
-        ("fm_2gbp", 80, fm_2gbp),
-        ("fm_3gbp", 110, fm_3gbp),
+        ("fixed_window", 25, fixed_window),
+        ("smem_repeats", 150, smem_repeats),
+        ("smem_50mbp", 100, smem_50mbp),
+        ("smem_300mbp", 250, smem_300mbp),
+        ("fm_50mbp", 15, fm_50mbp),
+        ("fm_1gbp", 160, fm_1gbp),
+        ("fm_2gbp", 260, fm_2gbp),
+        ("fm_3gbp", 430, fm_3gbp),
     ]
     try:
         for name, est, fn in rows:
